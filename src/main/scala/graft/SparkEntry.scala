@@ -1,13 +1,288 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a matching DuckDB oracle in [[oracleSql]] unless its
+  * semantics are not SQL-expressible (then the driver records a weaker
+  * rows-only check). All floating-point outputs are rounded to 6 decimals
+  * on BOTH sides so double-summation order differences between engines
+  * cannot flip the hash. All outputs carry a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val HOUR = 3600L * 1000L
+  private val MIN = 60L * 1000L
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * E1 cost-of-consumption report (SURVEY.md §3, ref
+    * RandomQueries/Program.cs:33-58): hourly buckets of 4 series, aligned
+    * with missing⇒0, derived usage/cost/ratio folds.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    costReport(spark, "/root/testdata/sf0.001")
+
+  /** E1: hourly avg of 4 event series → align → usage/cost totals. */
+  def costReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // grid ≙ click, price ≙ view, pv1 ≙ purchase, pv2 ≙ error
+    // (ref semantics Program.cs:42-44: usage = (grid − pv1 + pv2)/1000)
+    val aligned = TimeSeriesOps.alignSeriesByBucket(
+      ev, col("event_type"), col("ts"), col("value"), HOUR,
+      Seq("click", "view", "purchase", "error"))
+      .filter(col("click") =!= 0.0) // grid buckets drive the report
+    val usage = (col("click") - col("purchase") + col("error")) / lit(1000.0)
+    aligned
+      .agg(
+        round(sum(usage), 6).as("consumption_kwh"),
+        round(sum(usage * col("view")), 6).as("cost"),
+        round(sum(col("click") / lit(1000.0)), 6).as("consumption_without_solar_kwh"),
+        count(lit(1)).as("n_buckets"))
+      .select(
+        col("consumption_kwh"), col("cost"),
+        col("consumption_without_solar_kwh"), col("n_buckets"),
+        round(col("cost") / col("consumption_kwh"), 6).as("avg_price"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — tumbling 1 h average per series (Program.cs:71-75)
+    "q01_hourly_avg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("series"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("series"), col("bucket"))
+    }),
+    // A2 — tumbling 1 min average, single series (ZeroExport.cs:86-104)
+    "q02_minute_avg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("minute", col("ts")).as("bucket"))
+        .agg(round(avg(col("value")), 6).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+    // A3 — last entry per (meter, series) via max_by (KasaLogger.cs:59-68)
+    "q03_last_entry" -> ((s, dir) => {
+      TimeSeriesOps.lastByKey(
+        Tables.events(s, dir),
+        Seq(col("user_id"), col("event_type").as("series")),
+        col("ts"),
+        Seq("last_value" -> col("value")))
+        .select(col("user_id"), col("series"),
+          round(col("last_value"), 6).as("last_value"),
+          unix_millis(col("last_ts")).as("last_ts_ms"))
+        .orderBy(col("user_id"), col("series"))
+    }),
+    // A5 — entry count per series (GpioLogger.cs:79-85)
+    "q04_count_by_series" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("series"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("series"))
+    }),
+    // A6 — exact percentile per series (Deploy/switchboiler.sh RQL p50)
+    "q05_percentile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("series"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+        .orderBy(col("series"))
+    }),
+    // E1 flagship — J1 align + A7/A8/A9 folds (Program.cs:33-58)
+    "q06_cost_report" -> ((s, dir) => costReport(s, dir)),
+    // W5 — rate from cumulative counter (GpioLogger.cs:85-99)
+    "q07_rate" -> ((s, dir) => {
+      TimeSeriesOps.rateFromCounter(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value")
+        .select(col("event_id"), round(col("rate"), 6).as("rate"))
+        .orderBy(col("event_id"))
+    }),
+    // W3 — trapezoid integration per meter (MbusLogger.cs:116-149)
+    "q08_trapezoid" -> ((s, dir) => {
+      TimeSeriesOps.trapezoidIntegrate(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("step_energy")), 6).as("energy"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+    // W4 — counter-rollover offset correction (KasaLogger.cs:55-75)
+    "q09_rollover" -> ((s, dir) => {
+      TimeSeriesOps.rolloverCorrect(
+        Tables.events(s, dir), Seq("user_id"), "ts", "value")
+        .select(col("event_id"), round(col("corrected"), 6).as("corrected"))
+        .orderBy(col("event_id"))
+    }),
+    // TPC-H Q1 shape — multi-agg scan (engine bread and butter)
+    "q10_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // J3/J4-style broadcast dim joins — revenue per nation
+    "q11_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    // top-k with deterministic tie-break — top 10 parts by revenue
+    "q12_top_parts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .limit(10)
+        .select(col("l_partkey"), col("p_name"), round(col("rev"), 6).as("revenue"))
+    }),
+    // As-of join — latest purchase value at-or-before each click, per user
+    "q13_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeSeriesOps.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), round(col("value_asof"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_hourly_avg" ->
+      """SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_minute_avg" ->
+      """SELECT date_trunc('minute', ts) AS bucket,
+         round(avg(value), 6) AS avg_value, count(*) AS n
+         FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""",
+    "q03_last_entry" ->
+      """SELECT user_id, event_type AS series,
+         round(max_by(value, ts), 6) AS last_value,
+         epoch_ms(max(ts)) AS last_ts_ms
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q04_count_by_series" ->
+      """SELECT user_id, event_type AS series, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q05_percentile" ->
+      """SELECT event_type AS series,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q06_cost_report" ->
+      """WITH b AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS v
+           FROM events GROUP BY 1, 2
+         ), g AS (SELECT bucket, v FROM b WHERE event_type = 'click'),
+         p AS (SELECT bucket, v FROM b WHERE event_type = 'view'),
+         s1 AS (SELECT bucket, v FROM b WHERE event_type = 'purchase'),
+         s2 AS (SELECT bucket, v FROM b WHERE event_type = 'error'),
+         j AS (
+           SELECT g.v AS grid, coalesce(p.v, 0) AS price,
+                  coalesce(s1.v, 0) AS pv1, coalesce(s2.v, 0) AS pv2
+           FROM g LEFT JOIN p ON g.bucket = p.bucket
+                  LEFT JOIN s1 ON g.bucket = s1.bucket
+                  LEFT JOIN s2 ON g.bucket = s2.bucket
+         ), t AS (
+           SELECT round(sum((grid - pv1 + pv2) / 1000), 6) AS consumption_kwh,
+                  round(sum((grid - pv1 + pv2) / 1000 * price), 6) AS cost,
+                  round(sum(grid / 1000), 6) AS consumption_without_solar_kwh,
+                  count(*) AS n_buckets
+           FROM j
+         )
+         SELECT consumption_kwh, cost, consumption_without_solar_kwh,
+                n_buckets, round(cost / consumption_kwh, 6) AS avg_price
+         FROM t""",
+    "q07_rate" ->
+      """SELECT event_id,
+         round((value - lag(value) OVER w) /
+               ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 6) AS rate
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ORDER BY event_id""",
+    "q08_trapezoid" ->
+      """WITH s AS (
+           SELECT user_id,
+             CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND epoch_us(ts) > lag(epoch_us(ts)) OVER w
+               THEN (value + lag(value) OVER w) / 2.0 *
+                    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 3600e6
+               ELSE 0.0 END AS step_energy
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT user_id, round(sum(step_energy), 6) AS energy, count(*) AS n
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q09_rollover" ->
+      """WITH r AS (
+           SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND value < lag(value) OVER w
+               THEN lag(value) OVER w ELSE 0.0 END AS reset_amount
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT event_id,
+           round(value + sum(reset_amount) OVER
+             (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS corrected
+         FROM r ORDER BY event_id""",
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 6) AS sum_qty,
+         round(sum(l_extendedprice), 6) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q11_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q12_top_parts" ->
+      """WITH r AS (
+           SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+           FROM lineitem GROUP BY 1
+         )
+         SELECT l_partkey, p_name, round(rev, 6) AS revenue
+         FROM r JOIN part ON l_partkey = p_partkey
+         ORDER BY rev DESC, l_partkey LIMIT 10""",
+    "q13_asof" ->
+      """SELECT c.event_id, round(p.value, 6) AS purchase_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+  )
 }

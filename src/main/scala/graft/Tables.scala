@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical table access over the driver-generated parquet directory
+  * (TESTDATA.md). Also derives the engine's canonical `readings`
+  * time-series shape (SURVEY.md §1.4) from the `events` table:
+  *   readings(meterId, series, ts, values: array<double>, tag).
+  *
+  * Reference data model: RavenDB document + named time series, see
+  * /root/reference/TelemetryToRaven/Meter.cs:5-10 and
+  * P1/P1Logger.cs:131-154 (append of (ts, double[], tag)).
+  */
+object Tables {
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. Read the raw nanos as long (legacy
+    * conf) and floor-convert to microsecond timestamps with integer
+    * division — double arithmetic would lose precision above 2^53 ns.
+    * DuckDB floors ns→µs the same way, so oracle parity holds.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events → canonical readings fact table. At 100 TB this table is
+    * written partitioned by (series, date) so that per-series range scans
+    * prune files (SURVEY.md §4 predicate/partition pruning); here we map
+    * on the fly.
+    */
+  def readings(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("meters/"), col("user_id")).as("meterId"),
+      col("event_type").as("series"),
+      col("ts"),
+      array(col("value")).as("values"),
+      col("props").as("tag"))
+}

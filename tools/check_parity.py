@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only parity checker mirroring the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_parity.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over the same sf parquet tables,
+sorts columns by name, and compares row-by-row (values stringified; floats
+compared after round-trip through repr). NOT part of the shipped library —
+driver-side python is available locally for dev testing only.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to UTC-naive strings, floats via repr
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime"):
+            s = s.astype("datetime64[us]").astype(str)
+        out[c] = s
+    return pd.DataFrame(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted([d for d in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, d))])
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                             ignore_index=True)
+        if name not in oracle:
+            print(f"  {name}: NO ORACLE (rows-only) rows={len(spark_df)}")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"✗ {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"✗ {name}: ROWCOUNT spark={len(a)} duck={len(b)}")
+            n_fail += 1
+            continue
+        # row order must match too (driver hashes values in order)
+        mism = None
+        for c in a.columns:
+            av, bv = a[c].tolist(), b[c].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                ok = (x == y) or (pd.isna(x) and pd.isna(y))
+                if not ok and isinstance(x, float) and isinstance(y, float):
+                    ok = abs(x - y) < 1e-12 or (x != x and y != y)
+                if not ok:
+                    mism = (c, i, x, y)
+                    break
+            if mism:
+                break
+        if mism:
+            c, i, x, y = mism
+            print(f"✗ {name}: VALUE MISMATCH col={c} row={i} spark={x!r} duck={y!r}")
+            n_fail += 1
+        else:
+            print(f"✓ {name}: {len(a)} rows match")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
