@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.TimeSeriesOps
+import graft.operators.{Battery, Dedup, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -167,6 +167,102 @@ object SparkEntry {
         .select(col("event_id"), round(col("value_asof"), 6).as("purchase_value"))
         .orderBy(col("event_id"))
     }),
+    // Text analysis — token stats (pipeline quality features)
+    "q14_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+          round(TextOps.avgTokenLength(col("text")), 6).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+    // Text analysis — quality scoring (stopword / punctuation ratios)
+    "q15_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    // Text analysis — heuristic language ID
+    "q16_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+    // Text analysis — rolling-hash document fingerprint
+    "q17_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // Dedup — exact duplicate groups
+    "q18_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))
+    }),
+    // Dedup — MinHash LSH near-dup pairs, exact-Jaccard verified
+    "q19_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+    // Dedup — SimHash chunk-bucketed near-dup pairs, exact-Jaccard verified
+    "q20_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+    // Similarity — brute-force cosine top-k for 5 query vectors
+    "q21_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+        .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // Similarity — embedding near-dup pairs (cosine >= 0.4)
+    "q22_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("i"), col("j"))
+    }),
+    // Similarity — IVF cell-probed approximate top-k (deterministic mirror)
+    "q23_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
+        5)
+        .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // W1/W2 — battery zero-export simulation (ZeroExport.cs:34-73): an
+    // ordered non-commutative fold per meter; no SQL oracle (the step
+    // recurrence clamps on accumulated state) → rows-only check. Pinned
+    // instead by the golden-value ScalaTest (SparkKernelsSpec).
+    "q24_battery_sim" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perMin = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"),
+          TimeSeriesOps.bucket(col("ts"), 60L * 1000L).as("bucket"))
+        .pivot("event_type", Seq("click", "view")).agg(avg(col("value")))
+      val pts = perMin.select(
+        col("user_id").as("meterId"),
+        col("bucket").as("ts"),
+        // net grid power W → energy kWh per minute slot (ZeroExport.cs:49)
+        ((coalesce(col("click"), lit(0.0)) - coalesce(col("view"), lit(0.0)))
+          / 1000.0 / 60.0).as("energyKwh"))
+      Battery.simulate(pts, Battery.Params(2.7, 0.9, 0.8 / 60.0))(s)
+        .toDF()
+        .select(col("meterId"),
+          round(col("totalChargedKwh"), 6).as("charged_kwh"),
+          round(col("totalDischargedKwh"), 6).as("discharged_kwh"),
+          round(col("finalSocKwh"), 6).as("final_soc_kwh"),
+          round(col("cycles"), 6).as("cycles"),
+          col("nDays").as("n_days"), col("nSteps").as("n_steps"))
+        .orderBy(col("meterId"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,5 +380,106 @@ object SparkEntry {
               (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY c.event_id""",
+    "q14_token_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id, len(w) AS n_tokens,
+           round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+           round(list_sum(list_transform(w, t -> length(t)::BIGINT))::DOUBLE / len(w), 6)
+             AS avg_token_len
+         FROM t ORDER BY doc_id""",
+    "q15_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           round(len(list_filter(w, t -> list_contains(
+             ['the','a','and','of','to','in','is','it','for','on'], t)))::DOUBLE
+             / len(w), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+             / length(text), 6) AS punct_ratio
+         FROM t ORDER BY doc_id""",
+    "q16_langid" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+           len(list_filter(w, t -> list_contains(['the','a','is','and'], t))) AS en,
+           len(list_filter(w, t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(w, t -> list_contains(['el','los','y','que'], t))) AS es,
+           len(list_filter(w, t -> list_contains(['der','die','und','das'], t))) AS de
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang
+         FROM c ORDER BY doc_id""",
+    "q17_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           list_reduce(
+             list_concat([7::BIGINT],
+               list_transform(w, t -> (17*length(t) + ord(t[1]))::BIGINT)),
+             (a, b) -> (a*31 + b) % 1000000007) AS fp
+         FROM t ORDER BY doc_id""",
+    "q18_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper""",
+    "q19_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
+         ORDER BY i, j""",
+    // q20_simhash_neardup intentionally has NO oracle: SimHash chunk
+    // banding is probabilistic-recall by design (a hamming-7 pair can
+    // miss all 4 chunk buckets), so no SQL query reproduces its output
+    // exactly — the driver records the weaker rows-only check.
+    "q21_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                 list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+               FROM n q JOIN n x ON q.vec_id < 5 AND x.vec_id <> q.vec_id),
+         r AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+               FROM s)
+         SELECT qid, nid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10
+         ORDER BY qid, rank""",
+    "q22_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                 list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+               FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
+         ORDER BY i, j""",
+    "q23_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+         asn AS (SELECT n.vec_id, n.v, n.nrm, cent.cid,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_inner_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+                     cent.cid) AS rk
+                 FROM n CROSS JOIN cent),
+         cells AS (SELECT vec_id, v, nrm, cid AS cell FROM asn WHERE rk = 1),
+         s AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                 list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
+               FROM cells q JOIN cells x
+                 ON q.vec_id < 5 AND x.vec_id <> q.vec_id AND q.cell = x.cell),
+         r AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+               FROM s)
+         SELECT qid, nid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
   )
 }

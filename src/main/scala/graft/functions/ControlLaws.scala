@@ -1,0 +1,91 @@
+package graft.functions
+
+/** Pure control-law functions from the reference's closed-loop services,
+  * extracted exactly as its unit tests pin them down (SURVEY.md §2.6
+  * W7/W8). Pure ⇒ decision-table testable, and usable either driver-side
+  * or inside `when()` chains over as-of-joined latest values.
+  */
+object ControlLaws {
+
+  case class RunExtenderConfig(
+      desiredModulation: Double,
+      minimumFlowTemperature: Double,
+      maximumFlowTemperature: Double)
+
+  /** Heat-pump run-extender law
+    * (/root/reference/TelemetryToRaven/Ebus/EbusRunExtender.cs:63-97,
+    * decision table TelemetryTests/EbusRunExtenderTests.cs:24-46).
+    * Returns the new minimum-flow-temperature setpoint, NaN = no action.
+    *
+    *   1. held minimum below configured floor          → reset to floor
+    *   2. no heat requested while minimum is raised    → reset to floor
+    *   3. under-modulating while flow tracks desired   → raise by 0.5 K
+    *   4. over-modulating (> desired+5) at/below setpt → lower by 0.5 K
+    *
+    * Note: the reference source raises to `desiredFlow + 0.5`
+    * (EbusRunExtender.cs:83) but its own decision table expects
+    * `actualFlow + 0.5` (test row (0,24,24,25)→25.5 — desired+0.5 would
+    * give 24.5). The table is the behavioral spec, so we follow it.
+    */
+  def runExtender(
+      modulation: Double,
+      currentMinimum: Double,
+      desiredFlow: Double,
+      actualFlow: Double,
+      cfg: RunExtenderConfig): Double = {
+    if (currentMinimum < cfg.minimumFlowTemperature)
+      cfg.minimumFlowTemperature
+    else if (desiredFlow < 1 && currentMinimum > cfg.minimumFlowTemperature)
+      cfg.minimumFlowTemperature
+    else if (modulation < cfg.desiredModulation &&
+      actualFlow < cfg.maximumFlowTemperature &&
+      actualFlow >= desiredFlow && desiredFlow >= 1)
+      actualFlow + 0.5
+    else if (modulation > cfg.desiredModulation + 5 &&
+      actualFlow > cfg.minimumFlowTemperature &&
+      actualFlow <= desiredFlow && desiredFlow <= currentMinimum)
+      currentMinimum - 0.5
+    else Double.NaN
+  }
+
+  /** Production setpoint guard (EbusRunExtender.cs:99-108): suppress the
+    * write when out of [floor, ceiling] or within the 0.4 K deadband of
+    * the currently-held minimum.
+    */
+  def setpointGuard(
+      newMinimum: Double,
+      currentMinimum: Double,
+      cfg: RunExtenderConfig): Option[Double] =
+    if (newMinimum.isNaN ||
+      newMinimum < cfg.minimumFlowTemperature ||
+      newMinimum > cfg.maximumFlowTemperature ||
+      math.abs(newMinimum - currentMinimum) < 0.4) None
+    else Some(newMinimum)
+
+  /** Time-of-day window predicate (ref EbusThermostatSwitcher.cs:84-92):
+    * true if `secondsOfDay` falls inside any [on, off] period.
+    */
+  def inAnyPeriod(secondsOfDay: Long, periods: Seq[(Long, Long)]): Boolean =
+    periods.exists { case (on, off) => secondsOfDay >= on && secondsOfDay <= off }
+
+  /** Thermostat mode decision (ref EbusThermostatSwitcher.cs:37-81):
+    * switch to "permanent" when the trailing-window average outside
+    * temperature is below the threshold AND the setpoint was
+    * continuously >0 ("all on") for the window; switch back on "all
+    * off". Returns Some(newMode) or None for no-op.
+    */
+  def thermostatSwitch(
+      avgOutsideTemp: Double,
+      permanentSwitchTemperature: Double,
+      nSetpoints: Int,
+      allOn: Boolean,
+      allOff: Boolean,
+      currentlyPermanent: Boolean): Option[String] = {
+    if (nSetpoints < 10) None // insufficient data guard (A13)
+    else if (!currentlyPermanent && avgOutsideTemp < permanentSwitchTemperature && allOn)
+      Some("permanent")
+    else if (currentlyPermanent && (avgOutsideTemp >= permanentSwitchTemperature || allOff))
+      Some("schedule")
+    else None
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristic, and
+  * rolling-hash document fingerprinting. All pure Column expressions
+  * (whole-stage codegen, no UDFs) so they run at scan speed and scale
+  * linearly — no shuffle is introduced by any of them.
+  */
+object TextOps {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio — low values indicate repetitive/spammy text. */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Mean token length in characters. */
+  def avgTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(tokens(text))
+
+  /** Count of tokens that appear in a fixed marker list. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Stopword ratio against a fixed English stopword list — a standard
+    * quality-scoring feature (natural prose has ratio ≫ 0).
+    */
+  def stopwordRatio(text: Column): Column =
+    markerCount(tokens(text), EnStopwords).cast("double") / size(tokens(text))
+
+  /** Punctuation character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text)
+
+  // language-ID marker sets (tiny n-gram/stopword heuristic; the point is
+  // the operator shape — swap in real profiles for production use)
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+  )
+
+  /** Heuristic language ID: CJK characters ⇒ zh; else the marker set
+    * with the highest hit count, ties broken in fixed priority order
+    * (en > fr > es > de); no hits ⇒ unknown. Deterministic by
+    * construction so it can be mirrored 1:1 in oracle SQL.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = LangMarkers.map { case (l, m) => l -> markerCount(toks, m) }
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val Seq(en, fr, es, de) = counts.map(_._2)
+    when(cjk > 0, "zh")
+      .when(en >= fr && en >= es && en >= de && en > 0, "en")
+      .when(fr >= es && fr >= de && fr > 0, "fr")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("unknown")
+  }
+
+  /** Rolling polynomial hash over tokens — a content fingerprint that is
+    * stable under identical token sequences (left fold, mod 1e9+7).
+    * h_0 = 7; h_{i+1} = (31·h_i + 17·len(t) + ascii(t[0])) mod p.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(7L),
+      (h, t) => pmod(h * lit(31L) + length(t).cast("long") * lit(17L) + ascii(t).cast("long"),
+        lit(1000000007L)))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ControlLaws
+import graft.functions.ControlLaws.RunExtenderConfig
+
+/** W7 decision table — the reference's exact xunit InlineData rows
+  * (/root/reference/TelemetryTests/EbusRunExtenderTests.cs:24-46).
+  */
+class ControlLawsSpec extends AnyFunSuite {
+
+  private val base = RunExtenderConfig(
+    desiredModulation = 5, minimumFlowTemperature = 24, maximumFlowTemperature = 30)
+
+  private def check(cfg: RunExtenderConfig)(
+      mod: Double, curMin: Double, desired: Double, actual: Double, expected: Double): Unit = {
+    val got = ControlLaws.runExtender(mod, curMin, desired, actual, cfg)
+    if (expected.isNaN) assert(got.isNaN, s"($mod,$curMin,$desired,$actual) -> $got, want NaN")
+    else assert(got == expected, s"($mod,$curMin,$desired,$actual) -> $got, want $expected")
+  }
+
+  test("ParseTableItem rows (DesiredModulation=5)") {
+    val c = check(base) _
+    c(0, 24, 24, 25, 25.5) // extend the run when overshooting Ta
+    c(0, 26, 0, 22, 24) // reset when undershooting with no heat request
+    c(0, 23, 0, 15, 24) // raise to configured minimum when below it
+    c(0, 23, 23, 23.5, 24)
+    c(0, 24, 24, 24.5, 25) // extend the run when on minimum
+  }
+
+  test("ManageModulation rows (DesiredModulation=10)") {
+    val c = check(base.copy(desiredModulation = 10)) _
+    c(9, 24, 25, 25, 25.5)
+    c(20, 26, 26, 26, 25.5)
+    c(5, 30, 30, 30, Double.NaN)
+    c(20, 25, 26, 26, Double.NaN)
+  }
+
+  test("setpoint guard suppresses out-of-range and deadband writes") {
+    assert(ControlLaws.setpointGuard(25.5, 24, base).contains(25.5))
+    assert(ControlLaws.setpointGuard(23.0, 24, base).isEmpty) // below floor
+    assert(ControlLaws.setpointGuard(30.5, 24, base).isEmpty) // above ceiling
+    assert(ControlLaws.setpointGuard(24.2, 24, base).isEmpty) // deadband
+    assert(ControlLaws.setpointGuard(Double.NaN, 24, base).isEmpty)
+  }
+
+  test("time-of-day window predicate") {
+    val periods = Seq((3600L, 7200L), (80000L, 85000L))
+    assert(ControlLaws.inAnyPeriod(3600, periods))
+    assert(ControlLaws.inAnyPeriod(7200, periods))
+    assert(!ControlLaws.inAnyPeriod(7201, periods))
+    assert(ControlLaws.inAnyPeriod(84000, periods))
+    assert(!ControlLaws.inAnyPeriod(0, periods))
+  }
+
+  test("thermostat switch decision") {
+    import ControlLaws.thermostatSwitch
+    assert(thermostatSwitch(2.0, 4.0, 20, allOn = true, allOff = false,
+      currentlyPermanent = false).contains("permanent"))
+    assert(thermostatSwitch(2.0, 4.0, 5, allOn = true, allOff = false,
+      currentlyPermanent = false).isEmpty) // insufficient data
+    assert(thermostatSwitch(6.0, 4.0, 20, allOn = false, allOff = true,
+      currentlyPermanent = true).contains("schedule"))
+    assert(thermostatSwitch(2.0, 4.0, 20, allOn = false, allOff = false,
+      currentlyPermanent = false).isEmpty)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Battery, Dedup, TimeSeriesOps}
+
+/** Operator kernels on tiny in-memory data: the ordered/stateful ops
+  * (W1/W3/W4/W6), as-of join semantics, and the dedup signatures.
+  */
+class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tsDf(rows: Seq[(Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("sec", "k", "v")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("k"), col("v"))
+  }
+
+  test("battery fold matches hand-computed golden (ZeroExport semantics)") {
+    val p = Battery.Params(capacityKwh = 10, efficiency = 0.5, maxStepKwh = 100)
+    val pts = Iterator(
+      Battery.Point(1, 0L, -2.0), // charge min(50, 1, 10) = 1  -> soc 1
+      Battery.Point(1, 60000000L, 1.0), // discharge min(200, 2, 1) = 1 -> soc 0
+      Battery.Point(1, 120000000L, -30.0)) // charge min(50, 15, 10) = 10 -> soc 10
+    val r = Battery.foldMeter(1, pts, p)
+    assert(math.abs(r.totalChargedKwh - 11.0) < 1e-12)
+    assert(math.abs(r.totalDischargedKwh - 1.0) < 1e-12)
+    assert(math.abs(r.finalSocKwh - 10.0) < 1e-12)
+    assert(math.abs(r.cycles - 0.6) < 1e-12)
+    assert(r.nDays == 1 && r.nSteps == 3)
+  }
+
+  test("battery simulate distributes per meter") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 0L, -2.0), (1L, 60L, 1.0),
+      (2L, 0L, -4.0), (2L, 60L, -4.0))
+      .toDF("meterId", "sec", "energyKwh")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val res = Battery.simulate(df, Battery.Params(10, 0.5, 100)).collect()
+      .map(r => r.meterId -> r).toMap
+    assert(math.abs(res(1L).totalChargedKwh - 1.0) < 1e-12)
+    assert(math.abs(res(1L).totalDischargedKwh - 1.0) < 1e-12)
+    assert(math.abs(res(2L).totalChargedKwh - 4.0) < 1e-12)
+    assert(res(2L).totalDischargedKwh == 0.0)
+  }
+
+  test("asOfJoin picks latest right row at-or-before, honors tolerance") {
+    val left = tsDf(Seq((100L, "a", 0.0), (200L, "a", 0.0), (50L, "b", 0.0)))
+      .select(col("k"), col("ts"), col("v"))
+    val right = tsDf(Seq((90L, "a", 1.0), (150L, "a", 2.0), (100L, "b", 9.0)))
+      .select(col("k"), col("ts"), col("v").as("rv"))
+    val out = TimeSeriesOps.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .select(col("k"), unix_micros(col("ts")).as("lts"), col("rv_asof"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000L,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(out == Set(("a", 100L, Some(1.0)), ("a", 200L, Some(2.0)), ("b", 50L, None)))
+
+    // 30 s tolerance: the 100s left row is 10s after the 90s right row (ok),
+    // the 200s row is 50s after 150s (dropped)
+    val tol = TimeSeriesOps.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("rv"),
+      toleranceMillis = 30000L)
+      .select(col("k"), unix_micros(col("ts")).as("lts"), col("rv_asof"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000L,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(tol == Set(("a", 100L, Some(1.0)), ("a", 200L, None), ("b", 50L, None)))
+  }
+
+  test("asOfJoin equal timestamps: right row visible to left row") {
+    val left = tsDf(Seq((100L, "a", 0.0))).select(col("k"), col("ts"))
+    val right = tsDf(Seq((100L, "a", 5.0))).select(col("k"), col("ts"), col("v").as("rv"))
+    val out = TimeSeriesOps.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("rv")).collect()
+    assert(out.head.getAs[Double]("rv_asof") == 5.0)
+  }
+
+  test("rolloverCorrect accumulates reset offsets (Kasa/Tapo W4)") {
+    val df = tsDf(Seq((1L, "m", 10.0), (2L, "m", 20.0), (3L, "m", 2.0), (4L, "m", 5.0),
+      (5L, "m", 1.0)))
+    val out = TimeSeriesOps.rolloverCorrect(df, Seq("k"), "ts", "v")
+      .orderBy(col("ts")).select(col("corrected")).collect().map(_.getDouble(0)).toSeq
+    // resets at 20->2 (offset 20) and 5->1 (offset +5 = 25)
+    assert(out == Seq(10.0, 20.0, 22.0, 25.0, 26.0))
+  }
+
+  test("trapezoidIntegrate matches analytic integral (Mbus W3)") {
+    // power ramps 0..100 W over 3600 s → energy = 0.05 kWh... in our unit
+    // convention output is in (power·hours): 100/2 * 1h = 50
+    val df = tsDf(Seq((0L, "m", 0.0), (3600L, "m", 100.0)))
+    val out = TimeSeriesOps.trapezoidIntegrate(df, Seq("k"), "ts", "v")
+      .agg(sum("step_energy")).collect()(0).getDouble(0)
+    assert(math.abs(out - 50.0) < 1e-9)
+    // non-monotonic timestamps are skipped
+    val df2 = tsDf(Seq((0L, "m", 0.0), (3600L, "m", 100.0), (3600L, "m", 50.0)))
+    val out2 = TimeSeriesOps.trapezoidIntegrate(df2, Seq("k"), "ts", "v")
+      .agg(sum("step_energy")).collect()(0).getDouble(0)
+    assert(math.abs(out2 - 50.0) < 1e-9)
+  }
+
+  test("debounce drops events within the window (Gpio W6)") {
+    val df = spark.range(1).select(
+      explode(array(
+        (Seq(0L, 100L, 150L, 400L, 450L, 800L)).map(ms =>
+          timestamp_millis(lit(ms))): _*)).as("ts"))
+      .withColumn("k", lit("m"))
+    val out = TimeSeriesOps.debounce(df, Seq("k"), "ts", 200L)
+      .select(unix_millis(col("ts"))).collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 400L, 800L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhashChunks(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashNearDup(df, "doc_id", "text", threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
