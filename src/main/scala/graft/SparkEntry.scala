@@ -263,6 +263,38 @@ object SparkEntry {
           col("nDays").as("n_days"), col("nSteps").as("n_steps"))
         .orderBy(col("meterId"))
     }),
+    // F2/F3 — dotted-path JSON traversal over the props payload
+    // (EbusLogger.cs:113-119 GetChild ≙ get_json_object)
+    "q25_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy((col("k_val") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k_val")), 6).as("avg_k"))
+        .orderBy(col("k_mod"))
+    }),
+    // A11/A12/A13 — conditional count, universal quantifier, sufficient-
+    // data guard (EbusThermostatSwitcher.cs:64-80)
+    "q26_conditional_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("value") > 50, 1)).as("n_high"),
+          expr("bool_and(value > 0)").as("all_positive"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("user_id"))
+    }),
+    // S7 — same-timestamp overwrite semantics: quantize to 1 s, last
+    // write wins per (meter, series, second)
+    "q27_last_wins_upsert" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("series"),
+          expr("unix_micros(ts) div 1000000").as("sec"))
+        .agg(round(max_by(col("value"), col("event_id")), 6).as("value"),
+          count(lit(1)).as("n_writes"))
+        .orderBy(col("user_id"), col("series"), col("sec"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,5 +513,20 @@ object SparkEntry {
                FROM s)
          SELECT qid, nid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+    "q25_json_extract" ->
+      """WITH k AS (SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val
+                    FROM events)
+         SELECT k_val % 10 AS k_mod, count(*) AS n, round(avg(k_val), 6) AS avg_k
+         FROM k GROUP BY 1 ORDER BY 1""",
+    "q26_conditional_agg" ->
+      """SELECT user_id,
+           count(CASE WHEN value > 50 THEN 1 END) AS n_high,
+           bool_and(value > 0) AS all_positive,
+           count(*) AS n
+         FROM events GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""",
+    "q27_last_wins_upsert" ->
+      """SELECT user_id, event_type AS series, epoch_us(ts) // 1000000 AS sec,
+           round(max_by(value, event_id), 6) AS value, count(*) AS n_writes
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion — the Spark-native re-expression of the
+  * reference's logger loop (SURVEY.md §2.7, §3 E3):
+  *
+  *  - every poll cycle = one micro-batch (`Trigger.ProcessingTime`
+  *    replaces LoggerService.cs:28-50's 1-minute loop);
+  *  - per-device mutable state cached across cycles
+  *    (MbusLogger.cs:17-18,24-44) = `flatMapGroupsWithState`, recovered
+  *    from the checkpoint instead of re-read from the store;
+  *  - same-timestamp overwrite on append (S7) = last-wins dedup inside
+  *    `foreachBatch` before the sink write;
+  *  - no watermarking exists in the reference — we add a configurable
+  *    one so out-of-order device clocks don't hold unbounded state.
+  */
+object Ingest {
+
+  /** Canonical reading row (FIXTURES.md §1). */
+  val readingSchema: StructType = StructType(Seq(
+    StructField("meterId", StringType),
+    StructField("series", StringType),
+    StructField("ts", TimestampType),
+    StructField("values", ArrayType(DoubleType)),
+    StructField("tag", StringType)))
+
+  case class Reading(meterId: String, series: String, ts: java.sql.Timestamp,
+      values: Seq[Double], tag: String)
+
+  /** File-based streaming source: each dropped file is a poll result.
+    * JSON-lines in the reading shape; schema is fixed so the stream
+    * never does inference work.
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(readingSchema).json(dir)
+
+  /** A1's streaming twin: tumbling averages with a watermark; emits
+    * finalized windows only (append mode compatible).
+    */
+  def windowedAverages(
+      readings: DataFrame,
+      windowDuration: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("ts", lateness)
+      .groupBy(col("meterId"), col("series"),
+        window(col("ts"), windowDuration).as("w"))
+      .agg(avg(element_at(col("values"), 1)).as("avg_value"),
+        count(lit(1)).as("n"))
+      .select(col("meterId"), col("series"),
+        col("w.start").as("bucket"), col("avg_value"), col("n"))
+
+  /** Per-meter trapezoid-interpolation state (W3's streaming twin;
+    * batch twin is TimeSeriesOps.trapezoidIntegrate). State carries the
+    * previous (ts, power) and the running integral, exactly like
+    * MbusLogger's `_latestReading`/`_interpolatedEnergy` pair.
+    */
+  case class InterpState(lastTsMicros: Long, lastPower: Double, cumEnergy: Double)
+  case class EnergyPoint(meterId: String, tsMicros: Long, power: Double,
+      stepEnergy: Double, cumEnergy: Double)
+
+  def interpolateEnergy(
+      readings: Dataset[Reading],
+      powerSeries: String)(implicit spark: SparkSession): Dataset[EnergyPoint] = {
+    import spark.implicits._
+    readings
+      .filter(_.series == powerSeries)
+      .groupByKey(_.meterId)
+      .flatMapGroupsWithState[InterpState, EnergyPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (meterId: String, rows: Iterator[Reading], state: GroupState[InterpState]) =>
+          var st = state.getOption.getOrElse(InterpState(Long.MinValue, Double.NaN, 0.0))
+          val out = rows.toSeq.sortBy(_.ts.getTime).iterator.map { r =>
+            val tsMicros = r.ts.getTime * 1000L
+            val p = r.values.head
+            val step =
+              if (st.lastTsMicros == Long.MinValue || tsMicros <= st.lastTsMicros) 0.0
+              else (p + st.lastPower) / 2.0 *
+                ((tsMicros - st.lastTsMicros).toDouble / 3600e6)
+            st = InterpState(tsMicros, p, st.cumEnergy + step)
+            EnergyPoint(meterId, tsMicros, p, step, st.cumEnergy)
+          }.toSeq
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** S6/S7 sink: last-wins upsert per (meterId, series, ts) applied per
+    * micro-batch, then appended as date-partitioned parquet — the layout
+    * every batch operator partition-prunes on.
+    */
+  def lastWinsParquetSink(
+      readings: DataFrame,
+      outDir: String,
+      checkpointDir: String) =
+    readings.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("meterId"), col("series"), col("ts"))
+              .orderBy(monotonically_increasing_id().desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+          .withColumn("date", to_date(col("ts")))
+          .write.mode("append")
+          .partitionBy("series", "date")
+          .parquet(outDir)
+        ()
+      }
+
+  /** S18 actuator sink stub: the control loop's side-effect boundary.
+    * The callback receives finalized decisions per micro-batch (in
+    * production: shell out / HTTP to the device).
+    */
+  def actuatorSink(
+      decisions: DataFrame,
+      checkpointDir: String)(act: Seq[(String, Double)] => Unit) =
+    decisions.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        act(batch.collect().toSeq.map(r =>
+          (r.getString(0), r.getDouble(1))))
+      }
+}
