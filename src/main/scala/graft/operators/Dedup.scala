@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit weighted-bit signature, bucketed by 16-bit chunks
   *    (pigeonhole guarantees recall for hamming ≤ 3 with 4 chunks).
   *
-  * Signature hashing uses xxhash64 (codegen'd, seeded per hash index by
-  * passing the index as a leading column) — never a Python/Scala UDF.
+  * Hashing discipline (the difference between seconds and minutes at
+  * the bench): every shingle/token string is xxhash64'd exactly ONCE
+  * into a long; the k permutation hashes / 64 sign bits derive from
+  * that long, never from the string. The hashed-shingle frame is cached
+  * because three plan branches (banding, i-side verify, j-side verify)
+  * would otherwise each recompute it. Jaccard verification runs on the
+  * hashed shingles — identical to string Jaccard up to a ~2⁻⁶⁴
+  * collision, far below the 6-decimal output rounding.
   */
 object Dedup {
 
@@ -37,12 +43,19 @@ object Dedup {
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
   }
 
-  /** MinHash signature: k minimums of per-shingle xxhash64 values, the
-    * hash "permutation" selected by a leading index column.
+  /** (doc_id, shh) with each distinct shingle hashed once to a long. */
+  private def hashedShingles(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("shh"))
+
+  /** MinHash signature from pre-hashed shingles: k minima of seeded
+    * XXH64 rehashes of the 8-byte shingle hash (native expression —
+    * no per-(seed,shingle) interpreted lambda).
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => xxhash64(i, s))))
+  def minhashSignatureFromHashes(shh: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Signatures.minhash_signature(shh, k)
 
   /** Exact Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =
@@ -52,9 +65,9 @@ object Dedup {
   /** Near-duplicate pairs by MinHash LSH with exact-Jaccard verification.
     *
     * Plan shape (scales linearly in documents):
-    *   1. map: shingles → k-hash signature → b band keys per doc
+    *   1. map: shingles → hash → k-min signature → b band keys per doc
     *   2. shuffle 1: self-join on (band, bandSig) → candidate pairs
-    *   3. shuffle 2: re-attach shingle sets, exact Jaccard, filter ≥ τ
+    *   3. shuffle 2: re-attach shingle-hash sets, exact Jaccard, filter ≥ τ
     *
     * Banding parameters (k=64, b=16, r=4) give miss probability
     * (1−s⁴)¹⁶ ≈ 3·10⁻¹⁸ at s=0.98 — deterministic in practice, so the
@@ -69,11 +82,10 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
+    val hashed = hashedShingles(df, idCol, textCol, shingleN).cache()
+    val sig = hashed.select(col("doc_id"),
+      minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+    val banded = sig.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -85,35 +97,25 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val sh = withSig.select(col("doc_id"), col("sh"))
     cand
-      .join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("sh", "sh_i"), "i")
-      .join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("sh", "sh_j"), "j")
+      .join(hashed.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
+      .join(hashed.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }
 
-  /** 64-bit SimHash of the token sequence: bit b of the signature is the
-    * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : −1).
-    * Returned as an array of 4 16-bit chunk values (long) — the natural
-    * shape for chunk-bucketed near-dup search.
+  /** 64-bit SimHash from pre-hashed tokens: bit b of the signature is
+    * the sign of Σ_tokens (bit b of tokenHash ? +1 : −1). Returned as 4
+    * 16-bit chunk values — the natural shape for chunk-bucketed search.
+    * Native expression: a 64-wide vote fold per token is exactly the
+    * kind of loop interpreted lambdas are worst at.
     */
-  def simhashChunks(text: Column): Column = {
-    val toks = split(text, " ")
-    // per-bit vote counts: fold tokens into a 64-slot vector
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
-          a + when(bit_get(xxhash64(t), b) === 1, lit(1)).otherwise(lit(-1))))
-    // pack sign bits into 4 × 16-bit chunks (MSB-first doubling fold)
-    transform(sequence(lit(0), lit(3)), c =>
-      aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L), (acc, b) =>
-        acc * 2 + when(element_at(votes, (c * 16 + b + 1).cast("int")) > 0,
-          lit(1L)).otherwise(lit(0L))))
-  }
+  def simhashChunksFromHashes(tokenHashes: Column): Column =
+    org.apache.spark.sql.graft.Signatures.simhash_chunks(tokenHashes)
+
+  def simhashChunks(text: Column): Column =
+    simhashChunksFromHashes(transform(split(text, " "), t => xxhash64(t)))
 
   /** Hamming distance between two chunked simhash signatures. */
   def hammingChunks(a: Column, b: Column): Column =
@@ -130,27 +132,35 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxHamming: Int = 12): DataFrame = {
     val base = df.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"),
       simhashChunks(col(textCol)).as("sig"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"), col("sig"))
+      .cache()
     val buckets = base.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "chunkval")))
+    // hamming bound inside the join condition: with a small vocabulary
+    // chunk buckets can degenerate (many docs sharing a chunk value), and
+    // the 8-op hamming check prunes those pairs before they ever reach
+    // the candidate set — the expensive set-intersect verification only
+    // sees genuinely close signatures.
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunkval") === col("b.chunkval") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          hammingChunks(col("a.sig"), col("b.sig")) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val side = base.select(col("doc_id"), col("sh"), col("sig"))
     cand
-      .join(side.select(col("doc_id").as("i"), col("sh").as("sh_i"), col("sig").as("sig_i")), "i")
-      .join(side.select(col("doc_id").as("j"), col("sh").as("sh_j"), col("sig").as("sig_j")), "j")
-      .withColumn("hamming", hammingChunks(col("sig_i"), col("sig_j")))
+      .join(base.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
+      .join(base.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
