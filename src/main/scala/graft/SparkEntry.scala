@@ -238,9 +238,8 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
     // W1/W2 — battery zero-export simulation (ZeroExport.cs:34-73): an
-    // ordered non-commutative fold per meter; no SQL oracle (the step
-    // recurrence clamps on accumulated state) → rows-only check. Pinned
-    // instead by the golden-value ScalaTest (SparkKernelsSpec).
+    // ordered non-commutative fold per meter. The oracle replays the
+    // same recurrence as a DuckDB recursive CTE stepping rn→rn+1.
     "q24_battery_sim" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val perMin = ev.filter(col("event_type").isin("click", "view"))
@@ -294,6 +293,38 @@ object SparkEntry {
         .agg(round(max_by(col("value"), col("event_id")), 6).as("value"),
           count(lit(1)).as("n_writes"))
         .orderBy(col("user_id"), col("series"), col("sec"))
+    }),
+    // P12 — time-of-day window predicate over TimeRange[] config
+    // (EbusThermostatSwitcher.cs:84-92): events inside any on/off period
+    "q28_timeofday_windows" -> ((s, dir) => {
+      val secOfDay = expr("unix_micros(ts) div 1000000") % lit(86400L)
+      val periods = Seq((28800L, 43200L), (50400L, 64800L)) // 8-12h, 14-18h
+      val inAny = periods
+        .map { case (on, off) => secOfDay >= on && secOfDay <= off }
+        .reduce(_ || _)
+      Tables.events(s, dir)
+        .filter(inAny)
+        .groupBy(col("event_type").as("series"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("series"))
+    }),
+    // A4 — last-within-lookback with absent⇒NaN semantics
+    // (EbusRunExtender.cs:38-57): latest value in the trailing 24 h
+    // before the dataset's max ts, per (meter, series); meters with no
+    // reading in the window surface with NaN (the reference's default).
+    "q29_lookback_last" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val cutoffUs = cutoff.getTime * 1000L + (cutoff.getNanos / 1000) % 1000
+      val inWindow = TimeSeriesOps.lastWithinLookback(
+        ev, Seq(col("user_id"), col("event_type").as("series")), col("ts"),
+        timestamp_micros(lit(cutoffUs - 24L * 3600L * 1000000L)),
+        Seq("last_value" -> col("value")))
+      val allKeys = ev.select(col("user_id"), col("event_type").as("series")).distinct()
+      allKeys.join(inWindow, Seq("user_id", "series"), "left")
+        .select(col("user_id"), col("series"),
+          round(coalesce(col("last_value"), lit(Double.NaN)), 6).as("last_value"))
+        .orderBy(col("user_id"), col("series"))
     }),
   )
 
@@ -513,6 +544,47 @@ object SparkEntry {
                FROM s)
          SELECT qid, nid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+    "q24_battery_sim" ->
+      """WITH RECURSIVE perMin AS (
+           SELECT user_id, date_trunc('minute', ts) AS bucket,
+             (coalesce(avg(CASE WHEN event_type = 'click' THEN value END), 0)
+              - coalesce(avg(CASE WHEN event_type = 'view' THEN value END), 0))
+               / 1000 / 60 AS e
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2
+         ), pts AS (
+           SELECT user_id, e, bucket,
+             row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+           FROM perMin
+         ), sim AS (
+           SELECT user_id, 0::BIGINT AS rn, 0.0::DOUBLE AS soc,
+                  0.0::DOUBLE AS charged, 0.0::DOUBLE AS discharged
+           FROM (SELECT DISTINCT user_id FROM pts)
+           UNION ALL
+           SELECT p.user_id, p.rn,
+             CASE WHEN p.e > 0
+               THEN s.soc - least(0.8/60.0/0.9, p.e/0.9, s.soc)
+               ELSE s.soc + least(0.8/60.0*0.9, -p.e*0.9, 2.7 - s.soc) END,
+             s.charged + CASE WHEN p.e > 0 THEN 0.0
+               ELSE least(0.8/60.0*0.9, -p.e*0.9, 2.7 - s.soc) END,
+             s.discharged + CASE WHEN p.e > 0
+               THEN least(0.8/60.0/0.9, p.e/0.9, s.soc) ELSE 0.0 END
+           FROM sim s JOIN pts p ON p.user_id = s.user_id AND p.rn = s.rn + 1
+         ), final AS (
+           SELECT user_id, max_by(charged, rn) AS charged,
+                  max_by(discharged, rn) AS discharged,
+                  max_by(soc, rn) AS soc, max(rn) AS n_steps
+           FROM sim GROUP BY 1
+         ), days AS (
+           SELECT user_id, count(DISTINCT date_trunc('day', bucket)) AS n_days
+           FROM pts GROUP BY 1
+         )
+         SELECT f.user_id AS meterId, round(f.charged, 6) AS charged_kwh,
+           round(f.discharged, 6) AS discharged_kwh,
+           round(f.soc, 6) AS final_soc_kwh,
+           round((f.charged + f.discharged) / 2 / 2.7, 6) AS cycles,
+           d.n_days, f.n_steps
+         FROM final f JOIN days d USING (user_id) ORDER BY meterId""",
     "q25_json_extract" ->
       """WITH k AS (SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val
                     FROM events)
@@ -528,5 +600,29 @@ object SparkEntry {
       """SELECT user_id, event_type AS series, epoch_us(ts) // 1000000 AS sec,
            round(max_by(value, event_id), 6) AS value, count(*) AS n_writes
          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q28_timeofday_windows" ->
+      """WITH t AS (
+           SELECT event_type, value, epoch_us(ts) // 1000000 % 86400 AS sod
+           FROM events
+         )
+         SELECT event_type AS series, count(*) AS n,
+           round(avg(value), 6) AS avg_value
+         FROM t
+         WHERE (sod >= 28800 AND sod <= 43200) OR (sod >= 50400 AND sod <= 64800)
+         GROUP BY 1 ORDER BY 1""",
+    "q29_lookback_last" ->
+      """WITH cutoff AS (SELECT max(ts) AS mx FROM events),
+         w AS (
+           SELECT user_id, event_type AS series, max_by(value, ts) AS last_value
+           FROM events, cutoff
+           WHERE epoch_us(ts) >= epoch_us(mx) - 86400000000::BIGINT
+           GROUP BY 1, 2
+         ), allk AS (
+           SELECT DISTINCT user_id, event_type AS series FROM events
+         )
+         SELECT a.user_id, a.series,
+           round(coalesce(w.last_value, 'NaN'::DOUBLE), 6) AS last_value
+         FROM allk a LEFT JOIN w ON a.user_id = w.user_id AND a.series = w.series
+         ORDER BY a.user_id, a.series""",
   )
 }
