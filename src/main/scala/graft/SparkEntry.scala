@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Battery, Dedup, Similarity, TextOps, TimeSeriesOps}
+import graft.operators.{Battery, Dedup, Multimodal, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -326,6 +326,18 @@ object SparkEntry {
           round(coalesce(col("last_value"), lit(Double.NaN)), 6).as("last_value"))
         .orderBy(col("user_id"), col("series"))
     }),
+    // Multimodal — binary payload columns + batched stub decode
+    // (feature extraction before any shuffle; payloads never move)
+    "q30_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media)(s).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_bytes")), 6).as("avg_bytes"),
+          round(avg(col("luma")), 6).as("avg_first_byte"),
+          sum(col("checksum")).as("total_checksum"))
+        .orderBy(col("kind"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -624,5 +636,19 @@ object SparkEntry {
            round(coalesce(w.last_value, 'NaN'::DOUBLE), 6) AS last_value
          FROM allk a LEFT JOIN w ON a.user_id = w.user_id AND a.series = w.series
          ORDER BY a.user_id, a.series""",
+    "q30_multimodal_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+             length(text)::BIGINT AS n_bytes,
+             ord(text[1])::DOUBLE AS luma,
+             list_sum(list_transform(string_split(text, ''),
+               c -> ord(c)::BIGINT))::BIGINT AS checksum
+           FROM documents
+         )
+         SELECT kind, count(*) AS n, round(avg(n_bytes), 6) AS avg_bytes,
+           round(avg(luma), 6) AS avg_first_byte,
+           sum(checksum)::BIGINT AS total_checksum
+         FROM m GROUP BY 1 ORDER BY 1""",
   )
 }

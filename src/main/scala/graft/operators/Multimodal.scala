@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media as
+  * opaque `binary` payloads + typed metadata, with decode / feature
+  * extraction running batched per partition.
+  *
+  * The decode itself is a clearly-marked STUB (no image/audio codecs in
+  * this environment — it derives deterministic pseudo-features from the
+  * bytes), but everything Spark-side is real and is what matters at
+  * 100 TB: the schema contract, the per-partition batch loop (the same
+  * shape a vectorized/Arrow decode UDF would use), and the rule that
+  * payload bytes are never shuffled — features are extracted before any
+  * groupBy/join touches the rows, so shuffles move ~100-byte feature
+  * rows instead of megabyte blobs.
+  */
+object Multimodal {
+
+  case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      declared_bytes: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      luma: Double, // STUB: first payload byte (a real decoder: mean luminance)
+      checksum: Long, // STUB: sum of bytes (a real decoder: content digest)
+      embedding: Array[Float]) // STUB: byte-histogram sketch, unit length
+
+  /** Wrap a text table into the media shape (payload = UTF-8 bytes) —
+    * the driver testdata has no binary column, so `documents` stands in
+    * for a blob store; kind cycles deterministically.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(
+        typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"),
+      col("n_chars").cast("long").as("declared_bytes"))
+
+  /** STUB decode of one payload. Replace the body with a real codec
+    * call (JPEG decode, PCM resample, frame grab) — the signature and
+    * batch loop stay the same.
+    */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    var sum = 0L
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      hist(b % 16) += 1f
+      i += 1
+    }
+    var nrm = 0.0
+    hist.foreach(h => nrm += h.toDouble * h)
+    val n = math.sqrt(nrm)
+    val emb = if (n == 0) hist else hist.map(h => (h / n).toFloat)
+    MediaFeatures(
+      row.media_id, row.kind, bytes.length.toLong,
+      if (bytes.isEmpty) 0.0 else (bytes(0) & 0xff).toDouble,
+      sum, emb)
+  }
+
+  /** Batched per-partition feature extraction: the iterator is consumed
+    * in fixed-size batches (the shape a JNI/Arrow decoder wants), one
+    * output row per media item. This is the only operator that touches
+    * payload bytes; everything downstream is small feature rows.
+    */
+  def extractFeatures(
+      media: DataFrame, batchSize: Int = 64)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would submit `batch` to the codec as one unit
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video metadata: every `stride`-th frame
+    * index up to nFrames — pure metadata math, no payload access.
+    */
+  def sampleFrameIndexes(nFrames: Int, stride: Int): Seq[Int] =
+    0 until nFrames by stride
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{Battery, Dedup, TimeSeriesOps}
+import graft.operators.{Battery, Dedup, Multimodal, TimeSeriesOps}
 
 /** Operator kernels on tiny in-memory data: the ordered/stateful ops
   * (W1/W3/W4/W6), as-of join semantics, and the dedup signatures.
@@ -128,6 +128,24 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("multimodal stub decode: batch plumbing + deterministic features") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = Seq((0L, "abc", 3L), (1L, "zz", 2L), (2L, "q", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(0L).kind == "image" && feats(1L).kind == "audio" && feats(2L).kind == "video")
+    assert(feats(0L).n_bytes == 3 && feats(0L).luma == 'a'.toInt.toDouble)
+    assert(feats(0L).checksum == 'a'.toInt + 'b'.toInt + 'c'.toInt)
+    // embedding is unit-length
+    val e = feats(0L).embedding.map(_.toDouble)
+    assert(math.abs(e.map(x => x * x).sum - 1.0) < 1e-6)
+    assert(Multimodal.sampleFrameIndexes(10, 3) == Seq(0, 3, 6, 9))
   }
 
   test("simhash: identical docs collide, disjoint docs differ") {
