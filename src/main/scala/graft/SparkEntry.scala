@@ -338,6 +338,17 @@ object SparkEntry {
           sum(col("checksum")).as("total_checksum"))
         .orderBy(col("kind"))
     }),
+    // TsQuery DSL over the canonical readings shape (SURVEY §1.4/§7.1):
+    // same hourly-average semantics as q01 but through meterId/series/
+    // values[] — proves the engine's public surface end-to-end
+    "q31_readings_dsl" -> ((s, dir) => {
+      TsQuery(Tables.readings(s, dir))
+        .series("click", "view")
+        .bucketedAvg(3600L * 1000L)
+        .select(col("meterId"), col("series"), col("bucket"),
+          round(col("avg_value"), 6).as("avg_value"), col("n"))
+        .orderBy(col("meterId"), col("series"), col("bucket"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -650,5 +661,11 @@ object SparkEntry {
            round(avg(luma), 6) AS avg_first_byte,
            sum(checksum)::BIGINT AS total_checksum
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q31_readings_dsl" ->
+      """SELECT 'meters/' || user_id AS meterId, event_type AS series,
+           date_trunc('hour', ts) AS bucket,
+           round(avg(value), 6) AS avg_value, count(*) AS n
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }
