@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ControlLaws
 import graft.operators.{Battery, Dedup, Multimodal, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -349,6 +350,33 @@ object SparkEntry {
           round(col("avg_value"), 6).as("avg_value"), col("n"))
         .orderBy(col("meterId"), col("series"), col("bucket"))
     }),
+    // W7 inside the engine — the run-extender decision law evaluated
+    // over the latest value of 4 series per meter (the reference reads
+    // the 4 latest readings then decides: EbusRunExtender.cs:54-60).
+    // Event values are mapped into the law's operating ranges.
+    "q32_control_law" -> ((s, dir) => {
+      val cfg = ControlLaws.RunExtenderConfig(
+        desiredModulation = 5, minimumFlowTemperature = 24, maximumFlowTemperature = 30)
+      val latest = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("value"), when(col("event_type") === "error", col("ts"))).as("m_err"),
+          max_by(col("value"), when(col("event_type") === "view", col("ts"))).as("m_view"),
+          max_by(col("value"), when(col("event_type") === "click", col("ts"))).as("m_click"),
+          max_by(col("value"), when(col("event_type") === "purchase", col("ts"))).as("m_pur"))
+        .select(col("user_id"),
+          (col("m_err") % 20.0).as("modulation"),
+          (lit(23.0) + col("m_view") % 7.0).as("current_min"),
+          (lit(22.0) + col("m_click") % 9.0).as("desired_flow"),
+          (lit(22.0) + col("m_pur") % 9.0).as("actual_flow"))
+      latest
+        .select(col("user_id"),
+          round(col("modulation"), 6).as("modulation"),
+          round(ControlLaws.runExtenderColumn(
+            col("modulation"), col("current_min"),
+            col("desired_flow"), col("actual_flow"), cfg), 6).as("new_minimum"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,5 +695,32 @@ object SparkEntry {
            round(avg(value), 6) AS avg_value, count(*) AS n
          FROM events WHERE event_type IN ('click', 'view')
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q32_control_law" ->
+      """WITH latest AS (
+           SELECT user_id,
+             max_by(value, CASE WHEN event_type = 'error' THEN ts END) AS m_err,
+             max_by(value, CASE WHEN event_type = 'view' THEN ts END) AS m_view,
+             max_by(value, CASE WHEN event_type = 'click' THEN ts END) AS m_click,
+             max_by(value, CASE WHEN event_type = 'purchase' THEN ts END) AS m_pur
+           FROM events GROUP BY 1
+         ), x AS (
+           SELECT user_id, m_err % 20.0 AS modulation,
+             23.0 + m_view % 7.0 AS current_min,
+             22.0 + m_click % 9.0 AS desired_flow,
+             22.0 + m_pur % 9.0 AS actual_flow
+           FROM latest
+         )
+         SELECT user_id, round(modulation, 6) AS modulation,
+           round(CASE
+             WHEN current_min < 24 THEN 24.0
+             WHEN desired_flow < 1 AND current_min > 24 THEN 24.0
+             WHEN modulation < 5 AND actual_flow < 30
+                  AND actual_flow >= desired_flow AND desired_flow >= 1
+               THEN actual_flow + 0.5
+             WHEN modulation > 10 AND actual_flow > 24
+                  AND actual_flow <= desired_flow AND desired_flow <= current_min
+               THEN current_min - 0.5
+             ELSE 'NaN'::DOUBLE END, 6) AS new_minimum
+         FROM x ORDER BY user_id""",
   )
 }

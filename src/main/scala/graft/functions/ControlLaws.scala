@@ -48,6 +48,32 @@ object ControlLaws {
     else Double.NaN
   }
 
+  /** Column-expression twin of [[runExtender]] so the control law can
+    * run inside a query plan over as-of-joined latest values (NaN = no
+    * action, like the scalar version). Kept in lockstep by
+    * ControlLawsSpec's equivalence test.
+    */
+  def runExtenderColumn(
+      modulation: org.apache.spark.sql.Column,
+      currentMinimum: org.apache.spark.sql.Column,
+      desiredFlow: org.apache.spark.sql.Column,
+      actualFlow: org.apache.spark.sql.Column,
+      cfg: RunExtenderConfig): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(currentMinimum < cfg.minimumFlowTemperature, lit(cfg.minimumFlowTemperature))
+      .when(desiredFlow < 1 && currentMinimum > cfg.minimumFlowTemperature,
+        lit(cfg.minimumFlowTemperature))
+      .when(modulation < cfg.desiredModulation &&
+        actualFlow < cfg.maximumFlowTemperature &&
+        actualFlow >= desiredFlow && desiredFlow >= 1,
+        actualFlow + 0.5)
+      .when(modulation > cfg.desiredModulation + 5 &&
+        actualFlow > cfg.minimumFlowTemperature &&
+        actualFlow <= desiredFlow && desiredFlow <= currentMinimum,
+        currentMinimum - 0.5)
+      .otherwise(lit(Double.NaN))
+  }
+
   /** Production setpoint guard (EbusRunExtender.cs:99-108): suppress the
     * write when out of [floor, ceiling] or within the 0.4 K deadband of
     * the currently-held minimum.

@@ -130,6 +130,29 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("runExtenderColumn matches the scalar law on the decision table") {
+    import spark.implicits._
+    import graft.functions.ControlLaws
+    val cfg5 = ControlLaws.RunExtenderConfig(5, 24, 30)
+    val cfg10 = ControlLaws.RunExtenderConfig(10, 24, 30)
+    val rows = Seq( // (desiredModulation, mod, curMin, desired, actual)
+      (5.0, 0.0, 24.0, 24.0, 25.0), (5.0, 0.0, 26.0, 0.0, 22.0),
+      (5.0, 0.0, 23.0, 0.0, 15.0), (5.0, 0.0, 23.0, 23.0, 23.5),
+      (5.0, 0.0, 24.0, 24.0, 24.5), (10.0, 9.0, 24.0, 25.0, 25.0),
+      (10.0, 20.0, 26.0, 26.0, 26.0), (10.0, 5.0, 30.0, 30.0, 30.0),
+      (10.0, 20.0, 25.0, 26.0, 26.0))
+    for ((dm, m, c, d, a) <- rows) {
+      val cfg = if (dm == 5.0) cfg5 else cfg10
+      val expected = ControlLaws.runExtender(m, c, d, a, cfg)
+      val got = Seq((m, c, d, a)).toDF("m", "c", "d", "a")
+        .select(ControlLaws.runExtenderColumn(
+          col("m"), col("c"), col("d"), col("a"), cfg).as("r"))
+        .collect()(0).getDouble(0)
+      assert(got == expected || (got.isNaN && expected.isNaN),
+        s"($dm,$m,$c,$d,$a): column=$got scalar=$expected")
+    }
+  }
+
   test("multimodal stub decode: batch plumbing + deterministic features") {
     implicit val s: SparkSession = spark
     import s.implicits._
