@@ -43,12 +43,16 @@ object Dedup {
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
   }
 
-  /** (doc_id, shh) with each distinct shingle hashed once to a long. */
+  /** (doc_id, shh): distinct n-gram shingle hashes via the native
+    * ShingleHashes expression — tokens hashed once, windows combined
+    * arithmetically, no shingle strings materialized.
+    */
   private def hashedShingles(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("shh"))
+    df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col(textCol), " "), shingleN).as("shh"))
+      .filter(size(col("shh")) > 0)
 
   /** MinHash signature from pre-hashed shingles: k minima of seeded
     * XXH64 rehashes of the 8-byte shingle hash (native expression —
@@ -115,7 +119,8 @@ object Dedup {
     org.apache.spark.sql.graft.Signatures.simhash_chunks(tokenHashes)
 
   def simhashChunks(text: Column): Column =
-    simhashChunksFromHashes(transform(split(text, " "), t => xxhash64(t)))
+    simhashChunksFromHashes(
+      org.apache.spark.sql.graft.Signatures.token_hashes(split(text, " ")))
 
   /** Hamming distance between two chunked simhash signatures. */
   def hammingChunks(a: Column, b: Column): Column =
@@ -136,11 +141,10 @@ object Dedup {
       maxHamming: Int = 12): DataFrame = {
     val base = df.select(
       col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"),
+      org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col(textCol), " "), shingleN).as("shh"),
       simhashChunks(col(textCol)).as("sig"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        transform(col("sh"), s => xxhash64(s)).as("shh"), col("sig"))
+      .filter(size(col("shh")) > 0)
       .cache()
     val buckets = base.select(
       col("doc_id"), col("sig"),

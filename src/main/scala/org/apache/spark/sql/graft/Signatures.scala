@@ -95,6 +95,76 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Hash every token string once (XXH64 over its UTF-8 bytes). */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** Distinct hashes of the word n-gram shingles of a token array —
+  * tokens are hashed once, each shingle hash is the XXH64 chain of its
+  * n token hashes, so no shingle string is ever materialized. Set
+  * semantics match distinct string shingles up to a ~2⁻⁶⁴ collision.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nTok = toks.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      val s = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nTok - n + 1)
+    i = 0
+    while (i <= nTok - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) {
+        h = XXH64.hashLong(th(i + j), h)
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object Signatures {
   def simhash_chunks(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHashChunks(ExpressionUtils.expression(tokenHashes)))
@@ -102,4 +172,10 @@ object Signatures {
   def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(shingleHashes), numHashes))
+
+  def token_hashes(tokens: Column): Column =
+    ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(tokens)))
+
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
 }
