@@ -39,39 +39,44 @@ object Battery {
       nDays: Int,
       nSteps: Long)
 
-  /** Fold one meter's ordered minute points, matching the reference's
-    * algebra exactly (ZeroExport.cs:50-69):
+  /** Accumulated simulation state — also the streaming checkpoint state
+    * (graft.streaming.Ingest.batteryStream).
+    */
+  case class State(
+      socKwh: Double, chargedKwh: Double, dischargedKwh: Double,
+      steps: Long, lastDay: Long, nDays: Int)
+
+  val initialState: State = State(0.0, 0.0, 0.0, 0L, Long.MinValue, 0)
+
+  /** One recurrence step, matching the reference's algebra exactly
+    * (ZeroExport.cs:50-69):
     *   demand  (e > 0): discharge = min(maxE/η, e/η, SoC);      SoC −= discharge
     *   surplus (e ≤ 0): charge    = min(maxE·η, −e·η, cap−SoC); SoC += charge
-    *   cycles = (totalCharged + totalDischarged) / 2 / capacity
     */
-  def foldMeter(meterId: Long, points: Iterator[Point], p: Params): Result = {
-    var soc = 0.0
-    var charged = 0.0
-    var discharged = 0.0
-    var steps = 0L
-    var lastDay = Long.MinValue
-    var nDays = 0
-    while (points.hasNext) {
-      val pt = points.next()
-      val day = Math.floorDiv(pt.tsMicros, 86400000000L)
-      if (day != lastDay) { nDays += 1; lastDay = day }
-      val e = pt.energyKwh
-      if (e > 0) { // demand → discharge
-        val d = math.min(math.min(p.maxStepKwh / p.efficiency, e / p.efficiency), soc)
-        soc -= d
-        discharged += d
-      } else { // surplus (or zero) → charge
-        val c = math.min(math.min(p.maxStepKwh * p.efficiency, -e * p.efficiency),
-          p.capacityKwh - soc)
-        soc += c
-        charged += c
-      }
-      steps += 1
+  def step(st: State, tsMicros: Long, energyKwh: Double, p: Params): State = {
+    val day = Math.floorDiv(tsMicros, 86400000000L)
+    val (nDays, lastDay) =
+      if (day != st.lastDay) (st.nDays + 1, day) else (st.nDays, st.lastDay)
+    if (energyKwh > 0) {
+      val d = math.min(math.min(p.maxStepKwh / p.efficiency, energyKwh / p.efficiency),
+        st.socKwh)
+      State(st.socKwh - d, st.chargedKwh, st.dischargedKwh + d, st.steps + 1, lastDay, nDays)
+    } else {
+      val c = math.min(math.min(p.maxStepKwh * p.efficiency, -energyKwh * p.efficiency),
+        p.capacityKwh - st.socKwh)
+      State(st.socKwh + c, st.chargedKwh + c, st.dischargedKwh, st.steps + 1, lastDay, nDays)
     }
-    Result(meterId, charged, discharged, soc,
-      (charged + discharged) / 2.0 / p.capacityKwh, nDays, steps)
   }
+
+  /** cycles = (totalCharged + totalDischarged) / 2 / capacity. */
+  def result(meterId: Long, st: State, p: Params): Result =
+    Result(meterId, st.chargedKwh, st.dischargedKwh, st.socKwh,
+      (st.chargedKwh + st.dischargedKwh) / 2.0 / p.capacityKwh, st.nDays, st.steps)
+
+  /** Fold one meter's ordered minute points. */
+  def foldMeter(meterId: Long, points: Iterator[Point], p: Params): Result =
+    result(meterId,
+      points.foldLeft(initialState)((st, pt) => step(st, pt.tsMicros, pt.energyKwh, p)), p)
 
   /** Distributed batch simulation: one shuffle keyed by meter, ordered
     * fold inside each task. Input df columns: (meterId: long,

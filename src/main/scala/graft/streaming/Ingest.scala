@@ -89,6 +89,37 @@ object Ingest {
       }
   }
 
+  /** W1's streaming twin: the battery simulation state carried across
+    * micro-batches per meter (batch twin: graft.operators.Battery
+    * .simulate — both run the same Battery.step recurrence). Emits the
+    * running totals after each processed point.
+    */
+  case class BatterySnapshot(meterId: Long, tsMicros: Long, socKwh: Double,
+      chargedKwh: Double, dischargedKwh: Double, cycles: Double)
+
+  def batteryStream(
+      points: Dataset[graft.operators.Battery.Point],
+      params: graft.operators.Battery.Params)(
+      implicit spark: SparkSession): Dataset[BatterySnapshot] = {
+    import spark.implicits._
+    import graft.operators.Battery
+    points
+      .groupByKey(_.meterId)
+      .flatMapGroupsWithState[Battery.State, BatterySnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (meterId: Long, rows: Iterator[Battery.Point], state: GroupState[Battery.State]) =>
+          var st = state.getOption.getOrElse(Battery.initialState)
+          val out = rows.toSeq.sortBy(_.tsMicros).map { pt =>
+            st = Battery.step(st, pt.tsMicros, pt.energyKwh, params)
+            BatterySnapshot(meterId, pt.tsMicros, st.socKwh,
+              st.chargedKwh, st.dischargedKwh,
+              (st.chargedKwh + st.dischargedKwh) / 2.0 / params.capacityKwh)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** S6/S7 sink: last-wins upsert per (meterId, series, ts) applied per
     * micro-batch, then appended as date-partitioned parquet — the layout
     * every batch operator partition-prunes on.

@@ -78,6 +78,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming battery state matches the batch fold across micro-batches (W1)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import s.implicits._
+    import graft.operators.Battery
+    val p = Battery.Params(10, 0.5, 100)
+    val pts = Seq(
+      Battery.Point(1, 0L, -2.0),
+      Battery.Point(1, 60000000L, 1.0),
+      Battery.Point(1, 120000000L, -30.0))
+    val mem = MemoryStream[Battery.Point]
+    val q = graft.streaming.Ingest.batteryStream(mem.toDS(), p)
+      .writeStream.format("memory").queryName("battery_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(pts(0), pts(1)) // batch 1
+      q.processAllAvailable()
+      mem.addData(pts(2)) // batch 2 — state must carry over
+      q.processAllAvailable()
+      val last = spark.table("battery_stream")
+        .orderBy(col("tsMicros").desc).limit(1).collect()(0)
+      val batch = Battery.foldMeter(1, pts.iterator, p)
+      assert(last.getAs[Double]("socKwh") == batch.finalSocKwh)
+      assert(last.getAs[Double]("chargedKwh") == batch.totalChargedKwh)
+      assert(last.getAs[Double]("dischargedKwh") == batch.totalDischargedKwh)
+      assert(last.getAs[Double]("cycles") == batch.cycles)
+    } finally q.stop()
+  }
+
   test("last-wins parquet sink dedups same-timestamp re-appends (S7)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
