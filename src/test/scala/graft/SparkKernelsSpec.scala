@@ -130,6 +130,51 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("rolloverCorrect equals a reference fold on random counter series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      meter <- 1 to 8
+      i <- 0 until 50
+    } yield {
+      // counters mostly rise, occasionally reset toward zero
+      val v = if (rnd.nextDouble() < 0.15) rnd.nextDouble() * 5
+              else i * 10.0 + rnd.nextDouble()
+      (meter.toString, i.toLong, v)
+    }
+    val got = TimeSeriesOps.rolloverCorrect(
+      tsDf(rows.map { case (k, sec, v) => (sec, k, v) }), Seq("k"), "ts", "v")
+      .select(col("k"), unix_micros(col("ts")).as("us"), col("corrected"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000L) -> r.getDouble(2)).toMap
+    // reference: per meter, corrected = raw + running sum of pre-reset values
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      var offset = 0.0
+      var prev = Double.NaN
+      rs.sortBy(_._2).foreach { case (_, sec, v) =>
+        if (!prev.isNaN && v < prev) offset += prev
+        prev = v
+        assert(math.abs(got((k, sec)) - (v + offset)) < 1e-9, s"meter $k at $sec")
+      }
+    }
+  }
+
+  test("trapezoidIntegrate equals a reference fold on random series") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (meter <- 1 to 5; i <- 0 until 40)
+      yield (meter.toString, i * 60L, rnd.nextDouble() * 1000)
+    val got = TimeSeriesOps.trapezoidIntegrate(
+      tsDf(rows.map { case (k, sec, v) => (sec, k, v) }), Seq("k"), "ts", "v")
+      .groupBy(col("k")).agg(sum(col("step_energy")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val expected = sorted.zip(sorted.tail).map { case ((_, t0, v0), (_, t1, v1)) =>
+        (v0 + v1) / 2.0 * ((t1 - t0).toDouble / 3600.0)
+      }.sum
+      assert(math.abs(got(k) - expected) < 1e-9, s"meter $k")
+    }
+  }
+
   test("runExtenderColumn matches the scalar law on the decision table") {
     import spark.implicits._
     import graft.functions.ControlLaws

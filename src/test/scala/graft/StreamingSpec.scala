@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("file source streams dropped reading files (poll-cycle ingest)") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc")
+    val q = Ingest.fileSource(spark, dir.toString)
+      .writeStream.format("memory").queryName("file_readings")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(dir.resolve("poll1.json"),
+        """{"meterId":"m1","series":"Power","ts":"2024-01-01T00:00:00.000Z","values":[240.0],"tag":"W"}
+          |{"meterId":"m1","series":"CO2","ts":"2024-01-01T00:00:01.000Z","values":[600.0,21.5],"tag":"ppm;C"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(dir.resolve("poll2.json"),
+        """{"meterId":"m2","series":"Power","ts":"2024-01-01T00:01:00.000Z","values":[100.0],"tag":"W"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val rows = spark.table("file_readings").collect()
+      assert(rows.length == 3)
+      val co2 = rows.find(_.getAs[String]("series") == "CO2").get
+      assert(co2.getSeq[Double](co2.fieldIndex("values")) == Seq(600.0, 21.5))
+    } finally q.stop()
+  }
+
   test("streaming battery state matches the batch fold across micro-batches (W1)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
