@@ -94,6 +94,38 @@ object ControlLaws {
   def inAnyPeriod(secondsOfDay: Long, periods: Seq[(Long, Long)]): Boolean =
     periods.exists { case (on, off) => secondsOfDay >= on && secondsOfDay <= off }
 
+  /** Ventilation speed-mode decision tree — P15
+    * (ref VentsMicraLogger.cs:98-121): later modes override earlier
+    * ones (on < schedule < timer < boost), everything off ⇒ (0, "off").
+    */
+  case class VentState(
+      onOff: Boolean, speedMode: Int,
+      scheduleEnabled: Boolean, scheduleSpeed: Int,
+      timer: Boolean, timerSpeed: Int,
+      boost: Boolean)
+
+  def ventSpeed(s: VentState): (Int, String) =
+    if (!s.onOff) (0, "off")
+    else if (s.boost) (6, "boost")
+    else if (s.timer) (s.timerSpeed, "timer")
+    else if (s.scheduleEnabled) (s.scheduleSpeed, "schedule")
+    else (s.speedMode, "on")
+
+  /** Per-mode register select (VentsMicraLogger.cs:124-161): the speed
+    * level picks which (supply, extract) percentage pair applies;
+    * speeds 1-5 index the table, 6 is the boost pair, 0 is off.
+    */
+  def ventSpeedPercentages(
+      speed: Int,
+      table: IndexedSeq[(Double, Double)], // levels 1..5
+      boostPair: (Double, Double)): (Double, Double) =
+    speed match {
+      case 0 => (0.0, 0.0)
+      case 6 => boostPair
+      case n if n >= 1 && n <= 5 => table(n - 1)
+      case n => throw new IllegalArgumentException(s"speed $n")
+    }
+
   /** Thermostat mode decision (ref EbusThermostatSwitcher.cs:37-81):
     * switch to "permanent" when the trailing-window average outside
     * temperature is below the threshold AND the setpoint was

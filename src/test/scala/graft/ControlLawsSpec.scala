@@ -53,6 +53,28 @@ class ControlLawsSpec extends AnyFunSuite {
     assert(!ControlLaws.inAnyPeriod(0, periods))
   }
 
+  test("vent speed decision tree (P15, VentsMicraLogger.cs:98-161)") {
+    import ControlLaws.{VentState, ventSpeed, ventSpeedPercentages}
+    val base = VentState(onOff = true, speedMode = 2,
+      scheduleEnabled = false, scheduleSpeed = 3,
+      timer = false, timerSpeed = 4, boost = false)
+    assert(ventSpeed(base.copy(onOff = false)) == (0, "off"))
+    assert(ventSpeed(base) == (2, "on"))
+    assert(ventSpeed(base.copy(scheduleEnabled = true)) == (3, "schedule"))
+    // timer overrides schedule; boost overrides everything
+    assert(ventSpeed(base.copy(scheduleEnabled = true, timer = true)) == (4, "timer"))
+    assert(ventSpeed(base.copy(timer = true, boost = true)) == (6, "boost"))
+    // off wins even with boost requested
+    assert(ventSpeed(base.copy(onOff = false, boost = true)) == (0, "off"))
+
+    val table = IndexedSeq((20.0, 25.0), (40.0, 45.0), (60.0, 65.0),
+      (80.0, 85.0), (90.0, 95.0))
+    assert(ventSpeedPercentages(0, table, (100.0, 100.0)) == (0.0, 0.0))
+    assert(ventSpeedPercentages(3, table, (100.0, 100.0)) == (60.0, 65.0))
+    assert(ventSpeedPercentages(6, table, (100.0, 100.0)) == (100.0, 100.0))
+    assertThrows[IllegalArgumentException](ventSpeedPercentages(7, table, (0.0, 0.0)))
+  }
+
   test("thermostat switch decision") {
     import ControlLaws.thermostatSwitch
     assert(thermostatSwitch(2.0, 4.0, 20, allOn = true, allOff = false,
