@@ -142,6 +142,27 @@ object Parsers {
   /** ZyAura temperature decode: raw/16 − 273.15 (ZGm053Service.cs:150). */
   def zyauraTempC(raw: Int): Double = raw / 16.0 - 273.15
 
+  /** P7 — IEEE-754 float from a Modbus register pair
+    * (SdmLogger.cs:90: Int32BitsToSingle(hi<<16 | lo)).
+    */
+  def registerPairToFloat(hi: Int, lo: Int): Float =
+    java.lang.Float.intBitsToFloat(((hi & 0xffff) << 16) | (lo & 0xffff))
+
+  /** F6 — base64 → UTF-8 (Tapo nickname, TapoLogger.cs:238-246). */
+  def base64Utf8(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** F8 — subnet host enumeration for device discovery
+    * (KasaLogger.cs:100-111): base IP's .2-.254 siblings.
+    */
+  def subnetAddresses(ip: String): Seq[String] = {
+    val m = """(.+[.])\d+""".r
+    ip match {
+      case m(base) => (2 to 254).map(i => s"$base$i")
+      case _ => Seq.empty
+    }
+  }
+
   // -------------------------------------------------------------------
   // F9 — CRC-16/Modbus (ref Goodwe/InverterTelemetry.cs:48-68).
   // -------------------------------------------------------------------
