@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's native expressions as SQL functions, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` works anywhere the
+  * Column API does. Enable with either
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * or `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double> columns"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      info("token_hashes", "token_hashes(tokens) - XXH64 of each token string"),
+      (children: Seq[Expression]) => TokenHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(tokens, n) - distinct word n-gram hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingleHashes, k) - k-min MinHash signature"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_chunks"),
+      info("simhash_chunks", "simhash_chunks(tokenHashes) - 64-bit SimHash as 4x16-bit chunks"),
+      (children: Seq[Expression]) => SimHashChunks(children.head)))
+  }
+}
