@@ -339,6 +339,28 @@ object SparkEntry {
           sum(col("checksum")).as("total_checksum"))
         .orderBy(col("kind"))
     }),
+    // ranking window — top-3 readings by value per meter (the engine
+    // extension the reference lacks but any TSDB user reaches for)
+    "q33_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("rk"))
+    }),
+    // distinct aggregates — cardinality per series (exact)
+    "q34_distinct_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("series"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("value")).as("n_values"),
+          count(lit(1)).as("n"))
+        .orderBy(col("series"))
+    }),
     // TsQuery DSL over the canonical readings shape (SURVEY §1.4/§7.1):
     // same hourly-average semantics as q01 but through meterId/series/
     // values[] — proves the engine's public surface end-to-end
@@ -689,6 +711,21 @@ object SparkEntry {
            round(avg(luma), 6) AS avg_first_byte,
            sum(checksum)::BIGINT AS total_checksum
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q33_topk_per_group" ->
+      """WITH r AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id ASC) AS rk
+           FROM events
+         )
+         SELECT user_id, rk, event_id, round(value, 6) AS value
+         FROM r WHERE rk <= 3 ORDER BY user_id, rk""",
+    "q34_distinct_counts" ->
+      """SELECT event_type AS series,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT value) AS n_values,
+           count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q31_readings_dsl" ->
       """SELECT 'meters/' || user_id AS meterId, event_type AS series,
            date_trunc('hour', ts) AS bucket,
