@@ -205,6 +205,28 @@ object TimeSeriesOps {
   }
 
   // ---------------------------------------------------------------------
+  // Skew salting (100 TB posture, SURVEY.md §7.4): when one key (a hot
+  // meter, a dominant series) would swamp a single reducer, aggregate in
+  // two phases over (keys, salt) then (keys). The salt is deterministic
+  // (hash of a high-cardinality column, e.g. the timestamp), so results
+  // are reproducible. Map-side partial aggregation already handles mild
+  // skew for algebraic aggregates — this helper is for the severe case
+  // and for aggregates whose partial state is per-group-heavy.
+  // ---------------------------------------------------------------------
+  def saltedAvg(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      saltFrom: Column,
+      buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(saltFrom), lit(buckets.toLong)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_s"), count(col(valueCol)).as("_c"))
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col("_s")) / sum(col("_c"))).as("avg_value"),
+        sum(col("_c")).as("n"))
+
+  // ---------------------------------------------------------------------
   // As-of join (SURVEY.md §2.5): for each left row, the latest right row
   // with rTs <= lTs within `toleranceMillis`, per key. Generalizes A4+J5
   // ("last value before t"). Implemented as union + window (one shuffle,

@@ -130,6 +130,23 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("saltedAvg equals plain groupBy average (skew-safe two-phase)") {
+    val rnd = new scala.util.Random(17)
+    // one hot key with 10x the rows
+    val rows = (1 to 1000).map(i => (60L + i, "hot", rnd.nextDouble() * 100)) ++
+      (1 to 100).map(i => (60L + i, "cold", rnd.nextDouble() * 100))
+    val df = tsDf(rows)
+    val salted = TimeSeriesOps.saltedAvg(df, Seq("k"), "v", col("ts"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = df.groupBy(col("k"))
+      .agg(avg(col("v")).as("a"), count(col("v")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    for (k <- Seq("hot", "cold")) {
+      assert(salted(k)._2 == plain(k)._2)
+      assert(math.abs(salted(k)._1 - plain(k)._1) < 1e-9)
+    }
+  }
+
   test("rolloverCorrect equals a reference fold on random counter series") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
