@@ -31,10 +31,16 @@ object SparkEntry {
     val ev = Tables.events(spark, dir)
     // grid ≙ click, price ≙ view, pv1 ≙ purchase, pv2 ≙ error
     // (ref semantics Program.cs:42-44: usage = (grid − pv1 + pv2)/1000)
-    val aligned = TimeSeriesOps.alignSeriesByBucket(
+    // "bucket has grid data" must test presence (isNotNull before fill),
+    // not the filled value — a bucket whose avg grid power is exactly 0.0
+    // is still a real bucket.
+    val aligned = TimeSeriesOps.alignSeriesByBucketNullable(
       ev, col("event_type"), col("ts"), col("value"), HOUR,
       Seq("click", "view", "purchase", "error"))
-      .filter(col("click") =!= 0.0) // grid buckets drive the report
+      .filter(col("click").isNotNull) // grid buckets drive the report
+      .withColumn("purchase", coalesce(col("purchase"), lit(0.0)))
+      .withColumn("error", coalesce(col("error"), lit(0.0)))
+      .withColumn("view", coalesce(col("view"), lit(0.0)))
     val usage = (col("click") - col("purchase") + col("error")) / lit(1000.0)
     aligned
       .agg(
@@ -315,11 +321,16 @@ object SparkEntry {
     // reading in the window surface with NaN (the reference's default).
     "q29_lookback_last" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val cutoff = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val cutoffUs = cutoff.getTime * 1000L + (cutoff.getNanos / 1000) % 1000
+      // single plan, no driver round-trip: the cutoff is a broadcast
+      // 1-row aggregate cross-joined in (at 100 TB the max(ts) side is
+      // one tiny partial-agg job fused into the same plan)
+      val cutoff = ev.agg(
+        timestamp_micros(max(unix_micros(col("ts"))) - 24L * 3600L * 1000000L)
+          .as("_cutoff"))
       val inWindow = TimeSeriesOps.lastWithinLookback(
-        ev, Seq(col("user_id"), col("event_type").as("series")), col("ts"),
-        timestamp_micros(lit(cutoffUs - 24L * 3600L * 1000000L)),
+        ev.crossJoin(broadcast(cutoff)),
+        Seq(col("user_id"), col("event_type").as("series")), col("ts"),
+        col("_cutoff"),
         Seq("last_value" -> col("value")))
       val allKeys = ev.select(col("user_id"), col("event_type").as("series")).distinct()
       allKeys.join(inWindow, Seq("user_id", "series"), "left")
@@ -399,6 +410,69 @@ object SparkEntry {
             col("desired_flow"), col("actual_flow"), cfg), 6).as("new_minimum"))
         .orderBy(col("user_id"))
     }),
+    // S5 — document scan with predicate over the typed meters dimension
+    // (≙ session.Query<Meter>().Where(...), KasaLogger.cs:59-61)
+    "q35_meter_docs" -> ((s, dir) => {
+      Tables.meters(s, dir)
+        .filter(col("medium") === "Electricity" && col("extendRuns"))
+        .select(col("meterId"), col("vendorInfo"), col("medium"),
+          round(col("energyOffset"), 6).as("energy_offset"),
+          col("lastPollSuccessful").as("last_poll_ok"),
+          size(col("registers")).cast("long").as("n_registers"))
+        .orderBy(col("meterId"))
+    }),
+    // S4/J3 — doc ⋈ its time series: load each KASA meter's doc, apply
+    // its rolling offset to the latest raw energy reading — the stored-
+    // series value the reference appends (KasaLogger.cs:45-47).
+    // Broadcast the doc side: readings never shuffle for a doc join.
+    "q36_doc_ts_join" -> ((s, dir) => {
+      val kasa = Tables.meters(s, dir)
+        .filter(col("vendorInfo") === "KASA")
+        .select(col("userId").as("user_id"), col("meterId"), col("energyOffset"))
+      val lastE = Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("ts")).as("last_energy"))
+      lastE.join(broadcast(kasa), "user_id")
+        .select(col("meterId"),
+          round(col("last_energy") + col("energyOffset"), 6).as("stored_energy"))
+        .orderBy(col("meterId"))
+    }),
+    // Named value-column selection through the series registry
+    // (≙ registered TS column names, P1/P1Logger.cs:103-127): ask for
+    // "Power [kW]" by NAME; each series resolves its own position.
+    "q37_named_column" -> ((s, dir) => {
+      TsQuery(Tables.readingsWide(s, dir))
+        .series("click", "view")
+        .valueColumnNamed("Power [kW]")
+        .bucketedAvg(3600L * 1000L)
+        .select(col("meterId"), col("series"), col("bucket"),
+          round(col("avg_value"), 6).as("avg_value"), col("n"))
+        .orderBy(col("meterId"), col("series"), col("bucket"))
+    }),
+    // S6 companion — the Kasa/Tapo rolling-offset doc mutation computed
+    // as a query (KasaLogger.cs:55-75): the per-meter new offset a poll
+    // cycle would persist back into the document.
+    "q38_offset_update" -> ((s, dir) => {
+      Meters.energyOffsetUpdate(
+        Tables.meters(s, dir),
+        Tables.events(s, dir).filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value")))
+        .select(col("user_id"), round(col("new_offset"), 6).as("new_offset"))
+        .orderBy(col("user_id"))
+    }),
+    // S19 — pure-SQL endpoint through registered views (≙ the RQL HTTP
+    // endpoint, Deploy/switchboiler.sh): doc ⋈ TS entirely in SQL text.
+    "q39_sql_view" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT m.medium, count(*) AS n,
+               round(avg(element_at(r.values, 1)), 6) AS avg_power
+        FROM readings r
+        JOIN meters m ON r.meterId = m.meterId
+        WHERE r.series = 'click'
+        GROUP BY m.medium ORDER BY m.medium""")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,10 +524,13 @@ object SparkEntry {
          SELECT consumption_kwh, cost, consumption_without_solar_kwh,
                 n_buckets, round(cost / consumption_kwh, 6) AS avg_price
          FROM t""",
+    // + 0.0 normalizes IEEE signed zero: DuckDB round() can yield -0.0
+    // where Spark's BigDecimal round yields +0.0, and the driver hashes
+    // raw values. Applies to every ratio-shaped rounded output.
     "q07_rate" ->
       """SELECT event_id,
          round((value - lag(value) OVER w) /
-               ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 6) AS rate
+               ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 6) + 0.0 AS rate
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          ORDER BY event_id""",
@@ -662,7 +739,7 @@ object SparkEntry {
       """WITH k AS (SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val
                     FROM events)
          SELECT k_val % 10 AS k_mod, count(*) AS n, round(avg(k_val), 6) AS avg_k
-         FROM k GROUP BY 1 ORDER BY 1""",
+         FROM k GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     "q26_conditional_agg" ->
       """SELECT user_id,
            count(CASE WHEN value > 50 THEN 1 END) AS n_high,
@@ -697,15 +774,25 @@ object SparkEntry {
            round(coalesce(w.last_value, 'NaN'::DOUBLE), 6) AS last_value
          FROM allk a LEFT JOIN w ON a.user_id = w.user_id AND a.series = w.series
          ORDER BY a.user_id, a.series""",
+    // Byte-accurate oracle: Spark computes UTF-8 byte lengths/sums, so
+    // the oracle decodes hex(encode(text)) pairwise instead of counting
+    // characters/codepoints — parity holds for non-ASCII text too.
     "q30_multimodal_features" ->
-      """WITH m AS (
+      """WITH h AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text))::BIGINT AS nb
+           FROM documents
+         ), m AS (
            SELECT doc_id,
              (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
-             length(text)::BIGINT AS n_bytes,
-             ord(text[1])::DOUBLE AS luma,
-             list_sum(list_transform(string_split(text, ''),
-               c -> ord(c)::BIGINT))::BIGINT AS checksum
-           FROM documents
+             nb AS n_bytes,
+             (16 * strpos('0123456789ABCDEF', hx[1:1])
+              + strpos('0123456789ABCDEF', hx[2:2]) - 17)::DOUBLE AS luma,
+             list_sum(list_transform(range(nb),
+               i -> 16 * strpos('0123456789ABCDEF', hx[2*i+1:2*i+1])
+                  + strpos('0123456789ABCDEF', hx[2*i+2:2*i+2]) - 17))::BIGINT
+               AS checksum
+           FROM h
          )
          SELECT kind, count(*) AS n, round(avg(n_bytes), 6) AS avg_bytes,
            round(avg(luma), 6) AS avg_first_byte,
@@ -759,5 +846,72 @@ object SparkEntry {
                THEN current_min - 0.5
              ELSE 'NaN'::DOUBLE END, 6) AS new_minimum
          FROM x ORDER BY user_id""",
+    // The meters dimension is a pure function of user_id (no meters
+    // parquet in the testdata), so the oracle re-derives the same doc
+    // attributes inline.
+    "q35_meter_docs" ->
+      """WITH m AS (SELECT DISTINCT user_id FROM events),
+         d AS (
+           SELECT 'meters/' || user_id AS meterId,
+             (['DSMR5','KASA','TAPO','SDM630','EBUS'])[(user_id % 5 + 1)::INT]
+               AS vendorInfo,
+             (['Electricity','Gas','Water'])[(user_id % 3 + 1)::INT] AS medium,
+             (user_id % 7) * 10.0 AS energyOffset,
+             user_id % 11 <> 0 AS last_poll_ok,
+             user_id % 3 = 0 AS extendRuns
+           FROM m
+         )
+         SELECT meterId, vendorInfo, medium,
+           round(energyOffset, 6) + 0.0 AS energy_offset,
+           last_poll_ok, 2::BIGINT AS n_registers
+         FROM d WHERE medium = 'Electricity' AND extendRuns
+         ORDER BY meterId""",
+    "q36_doc_ts_join" ->
+      """WITH m AS (SELECT DISTINCT user_id FROM events),
+         d AS (
+           SELECT user_id, 'meters/' || user_id AS meterId,
+             (['DSMR5','KASA','TAPO','SDM630','EBUS'])[(user_id % 5 + 1)::INT]
+               AS vendorInfo,
+             (user_id % 7) * 10.0 AS energyOffset
+           FROM m
+         ),
+         le AS (
+           SELECT user_id, max_by(value, ts) AS last_energy
+           FROM events WHERE event_type = 'view' GROUP BY 1
+         )
+         SELECT meterId,
+           round(last_energy + energyOffset, 6) + 0.0 AS stored_energy
+         FROM le JOIN d USING (user_id)
+         WHERE vendorInfo = 'KASA' ORDER BY meterId""",
+    "q37_named_column" ->
+      """SELECT 'meters/' || user_id AS meterId, event_type AS series,
+           date_trunc('hour', ts) AS bucket,
+           round(avg(value / 1000.0), 6) + 0.0 AS avg_value, count(*) AS n
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q38_offset_update" ->
+      """WITH c AS (
+           SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events WHERE event_type = 'view'
+         ),
+         l AS (SELECT user_id, value AS cur, prev FROM c WHERE rn = 1),
+         d AS (SELECT DISTINCT user_id, (user_id % 7) * 10.0 AS energyOffset
+               FROM events)
+         SELECT user_id,
+           round(CASE WHEN prev IS NOT NULL AND cur < prev - 0.01
+             THEN round(prev + energyOffset, 4)
+             ELSE energyOffset END, 6) + 0.0 AS new_offset
+         FROM l JOIN d USING (user_id) ORDER BY user_id""",
+    "q39_sql_view" ->
+      """WITH m AS (SELECT DISTINCT user_id FROM events),
+         d AS (SELECT user_id,
+                 (['Electricity','Gas','Water'])[(user_id % 3 + 1)::INT] AS medium
+               FROM m)
+         SELECT d.medium, count(*) AS n, round(avg(e.value), 6) + 0.0 AS avg_power
+         FROM events e JOIN d USING (user_id)
+         WHERE e.event_type = 'click'
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -20,7 +20,10 @@ object Tables {
     * DuckDB floors ns→µs the same way, so oracle parity holds.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // guard-set: avoid re-mutating session conf on every call (racy when
+    // sessions share a conf); builders should set this up front
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -55,4 +58,37 @@ object Tables {
       col("ts"),
       array(col("value")).as("values"),
       col("props").as("tag"))
+
+  /** readings with multi-entry value arrays — the reference appends
+    * several named columns per timestamp (KasaLogger.cs:45-47 appends
+    * [power, energy+offset, energy]); entry names live in the per-series
+    * registry (Meters.defaultRegistry) and are resolved by
+    * TsQuery.valueColumnNamed.
+    */
+  def readingsWide(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("meters/"), col("user_id")).as("meterId"),
+      col("event_type").as("series"),
+      col("ts"),
+      array(col("value"), col("value") / 1000.0, col("value") * 60.0).as("values"),
+      col("props").as("tag"))
+
+  /** The meters dimension (see graft.Meters). */
+  def meters(spark: SparkSession, dir: String): DataFrame =
+    Meters.fromEvents(events(spark, dir))
+
+  /** S19 — register the engine's tables as temp views so the pure-SQL
+    * endpoint (`spark.sql(...)` ≙ the reference's HTTP RQL endpoint,
+    * Deploy/switchboiler.sh) can query them by name. Together with
+    * GraftExtensions' SQL-registered native functions this makes the
+    * whole surface drivable from SQL text.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    events(spark, dir).createOrReplaceTempView("events")
+    readings(spark, dir).createOrReplaceTempView("readings")
+    readingsWide(spark, dir).createOrReplaceTempView("readings_wide")
+    meters(spark, dir).createOrReplaceTempView("meters")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
 }

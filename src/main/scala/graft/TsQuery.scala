@@ -45,6 +45,26 @@ final case class TsQuery(df: DataFrame) {
   def valueColumn(i: Int): TsQuery =
     copy(df.withColumn("value", value(i)))
 
+  /** Select a value column BY NAME through the per-series registry
+    * (≙ the reference's registered TS column names,
+    * P1/P1Logger.cs:103-127): each series maps the name to its own
+    * position; series without that column yield null. Resolved at plan
+    * time into a when-chain — no join, stays in codegen.
+    */
+  def valueColumnNamed(
+      name: String,
+      registry: Map[String, Seq[String]] = graft.Meters.defaultRegistry): TsQuery = {
+    val cases = registry.toSeq.sortBy(_._1).flatMap { case (s, cols) =>
+      val i = cols.indexOf(name)
+      if (i >= 0) Some((col("series") === s, value(i))) else None
+    }
+    require(cases.nonEmpty, s"value column '$name' is not registered for any series")
+    val resolved = cases.foldRight(lit(null).cast("double")) {
+      case ((cond, v), acc) => when(cond, v).otherwise(acc)
+    }
+    copy(df.withColumn("value", resolved))
+  }
+
   private def valueOrFirst: Column =
     if (df.columns.contains("value")) col("value") else value(0)
 

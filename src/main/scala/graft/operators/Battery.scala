@@ -98,10 +98,15 @@ object Battery {
           private val buf = it.buffered
           def hasNext: Boolean = buf.hasNext
           def next(): Result = {
+            // streaming fold over the contiguous meter run — O(1) memory
+            // regardless of per-meter cardinality
             val m = buf.head.meterId
-            val run = new scala.collection.mutable.ArrayBuffer[Point]()
-            while (buf.hasNext && buf.head.meterId == m) run += buf.next()
-            foldMeter(m, run.iterator, p)
+            var st = initialState
+            while (buf.hasNext && buf.head.meterId == m) {
+              val pt = buf.next()
+              st = step(st, pt.tsMicros, pt.energyKwh, p)
+            }
+            result(m, st, p)
           }
         }
       }

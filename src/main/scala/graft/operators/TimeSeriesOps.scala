@@ -93,15 +93,27 @@ object TimeSeriesOps {
       intervalMillis: Long,
       seriesNames: Seq[String],
       fill: Double = 0.0): DataFrame = {
-    val b = bucket(tsCol, intervalMillis).as("bucket")
-    val pivoted = df
-      .groupBy(b)
-      .pivot(seriesCol, seriesNames)
-      .agg(avg(valueCol))
+    val pivoted = alignSeriesByBucketNullable(
+      df, seriesCol, tsCol, valueCol, intervalMillis, seriesNames)
     seriesNames.foldLeft(pivoted) { (acc, s) =>
       acc.withColumn(s, coalesce(col(s), lit(fill)))
     }
   }
+
+  /** [[alignSeriesByBucket]] with missing ⇒ null (caller decides the
+    * fill policy per column — e.g. keep one series null to test bucket
+    * presence, default the rest).
+    */
+  def alignSeriesByBucketNullable(
+      df: DataFrame,
+      seriesCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      intervalMillis: Long,
+      seriesNames: Seq[String]): DataFrame =
+    df.groupBy(bucket(tsCol, intervalMillis).as("bucket"))
+      .pivot(seriesCol, seriesNames)
+      .agg(avg(valueCol))
 
   // ---------------------------------------------------------------------
   // A6 — percentile over a trailing window

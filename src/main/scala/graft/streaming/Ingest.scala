@@ -145,6 +145,29 @@ object Ingest {
         ()
       }
 
+  /** S6 — meters document upsert sink: each micro-batch carries full
+    * updated docs (the reference's poll cycle mutates the doc — offset,
+    * poll health — then StoreAsync's the whole document,
+    * KasaLogger.cs:44,73; TapoLogger.cs:77,104). Last-wins merge into
+    * the parquet-backed meters snapshot; localCheckpoint materializes
+    * the merge so overwriting the directory being read is safe.
+    */
+  def metersUpsertSink(
+      docUpdates: DataFrame,
+      metersDir: String,
+      checkpointDir: String) =
+    docUpdates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val current = spark.read.parquet(metersDir)
+        graft.Meters.upsert(current, batch.withColumn("_seq", lit(batchId)))
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(metersDir)
+        ()
+      }
+
   /** S18 actuator sink stub: the control loop's side-effect boundary.
     * The callback receives finalized decisions per micro-batch (in
     * production: shell out / HTTP to the device).

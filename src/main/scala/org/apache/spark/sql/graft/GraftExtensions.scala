@@ -17,6 +17,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** A literal-int argument (e.g. shingle n, hash count): require a
+    * foldable expression up front — eval on a non-foldable child throws
+    * an obscure error deep in planning — and accept any integral literal
+    * (SQL integer literals arrive as Int, but a BIGINT literal is Long).
+    */
+  private def literalInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("scanType" ->
+          s"$fn: argument '$arg' must be a literal integer, got: ${e.sql}"))
+    }
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          messageParameters = Map("scanType" ->
+            s"$fn: argument '$arg' must be a literal integer, got: $other"))
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
@@ -30,12 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(tokens, n) - distinct word n-gram hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0),
-        children(1).eval().asInstanceOf[Int])))
+        literalInt(children(1), "shingle_hashes", "n"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingleHashes, k) - k-min MinHash signature"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
-        children(1).eval().asInstanceOf[Int])))
+        literalInt(children(1), "minhash_signature", "k"))))
     ext.injectFunction((
       FunctionIdentifier("simhash_chunks"),
       info("simhash_chunks", "simhash_chunks(tokenHashes) - 64-bit SimHash as 4x16-bit chunks"),
