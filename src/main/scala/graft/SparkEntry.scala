@@ -228,9 +228,11 @@ object SparkEntry {
         .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
-    // Similarity — embedding near-dup pairs (cosine >= 0.4)
+    // Similarity — embedding near-dup pairs (cosine >= 0.4), exact via
+    // the block-partitioned equi-join (scale-distributed all-pairs; see
+    // Similarity.nearDupPairsBlocked for why LSH can't be exact here)
     "q22_embedding_neardup" -> ((s, dir) => {
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.4)
+      Similarity.nearDupPairsBlocked(Tables.embeddings(s, dir), 0.4)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy(col("i"), col("j"))
     }),

@@ -61,10 +61,20 @@ object Dedup {
   def minhashSignatureFromHashes(shh: Column, k: Int): Column =
     org.apache.spark.sql.graft.Signatures.minhash_signature(shh, k)
 
-  /** Exact Jaccard similarity of two array columns (set semantics). */
+  /** Exact Jaccard similarity of two array columns (set semantics) —
+    * generic Column formulation, kept for arbitrary element types.
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Exact Jaccard over pre-hashed shingle sets — the native
+    * sort-merge kernel (one compiled loop per candidate pair; the
+    * interpreted array_intersect/array_union verify dominated the
+    * near-dup queries).
+    */
+  def jaccardHashes(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Signatures.jaccard_longs(a, b)
 
   /** Near-duplicate pairs by MinHash LSH with exact-Jaccard verification.
     *
@@ -104,7 +114,7 @@ object Dedup {
     cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
-      .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
+      .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }
@@ -115,22 +125,32 @@ object Dedup {
     * Native expression: a 64-wide vote fold per token is exactly the
     * kind of loop interpreted lambdas are worst at.
     */
-  def simhashChunksFromHashes(tokenHashes: Column): Column =
-    org.apache.spark.sql.graft.Signatures.simhash_chunks(tokenHashes)
+  def simhashChunksFromHashes(tokenHashes: Column, nChunks: Int = 4): Column =
+    org.apache.spark.sql.graft.Signatures.simhash_chunks(tokenHashes, nChunks)
 
-  def simhashChunks(text: Column): Column =
+  def simhashChunks(text: Column, nChunks: Int = 4): Column =
     simhashChunksFromHashes(
-      org.apache.spark.sql.graft.Signatures.token_hashes(split(text, " ")))
+      org.apache.spark.sql.graft.Signatures.token_hashes(split(text, " ")), nChunks)
 
-  /** Hamming distance between two chunked simhash signatures. */
+  /** Hamming distance between two chunked simhash signatures — the
+    * codegen'd native expression (the interpreted
+    * aggregate+zip_with+bit_count formulation cost ~µs per candidate
+    * pair inside the join condition).
+    */
   def hammingChunks(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Signatures.hamming_distance(a, b)
 
   /** Near-duplicate pairs by SimHash chunk bucketing + exact-Jaccard
-    * verification. Candidates must share ≥1 of the 4 16-bit chunks
-    * (pigeonhole: guaranteed for hamming ≤ 3); verification makes the
-    * output exact w.r.t. the Jaccard threshold among those candidates.
+    * verification — the canonical Manku/Google configuration: 64-bit
+    * signature, 4 chunks of 16 bits, candidate radius hamming ≤ 3.
+    * Pigeonhole makes chunk-equality buckets a COMPLETE candidate
+    * generator up to hamming nChunks−1, so the defaults give an exact
+    * contract: every pair within hamming ≤ 3 is generated, then
+    * Jaccard-verified. 16-bit chunk values also keep buckets sparse
+    * (measured on the driver corpus: max bucket 179 and 0.24M bucket
+    * pairs vs 1,446 and 6.6M for 8-bit chunks — value width, not count,
+    * controls the quadratic bucket blowup). Both the hamming prune and
+    * the Jaccard verify are native codegen kernels.
     */
   def simhashNearDup(
       df: DataFrame,
@@ -138,22 +158,17 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.7,
-      maxHamming: Int = 12): DataFrame = {
+      nChunks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
     val base = df.select(
       col(idCol).as("doc_id"),
       org.apache.spark.sql.graft.Signatures
         .shingle_hashes(split(col(textCol), " "), shingleN).as("shh"),
-      simhashChunks(col(textCol)).as("sig"))
+      simhashChunks(col(textCol), nChunks).as("sig"))
       .filter(size(col("shh")) > 0)
       .cache()
-    val buckets = base.select(
-      col("doc_id"), col("sig"),
+    val buckets = base.select(col("doc_id"), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "chunkval")))
-    // hamming bound inside the join condition: with a small vocabulary
-    // chunk buckets can degenerate (many docs sharing a chunk value), and
-    // the 8-op hamming check prunes those pairs before they ever reach
-    // the candidate set — the expensive set-intersect verification only
-    // sees genuinely close signatures.
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.chunk") === col("b.chunk") &&
@@ -165,7 +180,7 @@ object Dedup {
     cand
       .join(base.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(base.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
-      .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
+      .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }

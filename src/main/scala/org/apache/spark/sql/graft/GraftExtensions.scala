@@ -60,7 +60,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         literalInt(children(1), "minhash_signature", "k"))))
     ext.injectFunction((
       FunctionIdentifier("simhash_chunks"),
-      info("simhash_chunks", "simhash_chunks(tokenHashes) - 64-bit SimHash as 4x16-bit chunks"),
-      (children: Seq[Expression]) => SimHashChunks(children.head)))
+      info("simhash_chunks", "simhash_chunks(tokenHashes[, nChunks]) - 64-bit SimHash as nChunks chunks"),
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          SimHashChunks(children.head, literalInt(children(1), "simhash_chunks", "nChunks"))
+        else SimHashChunks(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      info("hamming_distance", "hamming_distance(a, b) - popcount of XOR over two array<long> signatures"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_longs"),
+      info("jaccard_longs", "jaccard_longs(a, b) - exact Jaccard of two array<long> hash sets"),
+      (children: Seq[Expression]) => JaccardLongs(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bands"),
+      info("hyperplane_bands", "hyperplane_bands(vec, bands, rowsPerBand, seed) - sign-random-projection LSH bands"),
+      (children: Seq[Expression]) => HyperplaneBands(children(0),
+        literalInt(children(1), "hyperplane_bands", "bands"),
+        literalInt(children(2), "hyperplane_bands", "rowsPerBand"),
+        literalInt(children(3), "hyperplane_bands", "seed").toLong)))
   }
 }

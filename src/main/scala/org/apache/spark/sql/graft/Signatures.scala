@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native signature kernels for the dedup operators.
   *
@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * boundary is interpreted.
   */
 
-/** 64-bit SimHash over pre-hashed tokens, returned as 4×16-bit chunk
-  * values (the chunk-bucketing shape). Bit b of the signature is the
-  * sign of Σ_tokens (bit b set ? +1 : −1).
+/** 64-bit SimHash over pre-hashed tokens, returned as `nChunks` equal
+  * chunk values (the chunk-bucketing shape; 64 must divide evenly).
+  * Bit b of the signature is the sign of Σ_tokens (bit b set ? +1 : −1).
+  * Pigeonhole: two signatures within hamming distance nChunks−1 share
+  * at least one identical chunk, so chunk-equality buckets are a
+  * complete candidate generator up to that radius.
   */
-case class SimHashChunks(child: Expression)
+case class SimHashChunks(child: Expression, nChunks: Int = 4)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+  private val chunkBits = 64 / nChunks
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType)
@@ -43,13 +48,13 @@ case class SimHashChunks(child: Expression)
       }
       i += 1
     }
-    val chunks = new Array[Long](4)
+    val chunks = new Array[Long](nChunks)
     var c = 0
-    while (c < 4) {
+    while (c < nChunks) {
       var v = 0L
-      var b = 15
+      var b = chunkBits - 1
       while (b >= 0) {
-        v = v * 2 + (if (votes(c * 16 + b) > 0) 1L else 0L)
+        v = v * 2 + (if (votes(c * chunkBits + b) > 0) 1L else 0L)
         b -= 1
       }
       chunks(c) = v
@@ -59,6 +64,146 @@ case class SimHashChunks(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
+}
+
+/** Codegen'd hamming distance between two `array<long>` signatures
+  * (chunked or packed — chunk boundaries don't change the popcount).
+  * Replaces the interpreted aggregate(zip_with(bit_count(xor)))
+  * HigherOrderFunction that dominated the near-dup join condition.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard similarity of two `array<long>` hash sets via
+  * sort-and-merge — one compiled loop per pair. The Column formulation
+  * (size(array_intersect)/size(array_union)) walks interpreted
+  * collection builders per candidate pair and dominated the near-dup
+  * verify stage. Inputs are treated as sets (ShingleHashes already
+  * emits distinct hashes).
+  */
+case class JaccardLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_longs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane (sign-random-projection) LSH bands over an
+  * `array<double>` vector: bit k is the sign of ⟨v, h_k⟩ where h_k is a
+  * deterministic Rademacher (±1) vector derived from XXH64(seed, k, d).
+  * Returns `bands` values of `rowsPerBand` bits each — the
+  * equi-joinable banding shape (P[bit collision] = 1 − θ/π, the
+  * SimHash/ Charikar scheme over real vectors). The ±1 matrix is built
+  * once per (shape, seed) per executor and cached.
+  */
+case class HyperplaneBands(
+    child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def planes(d: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(d, { _ =>
+      val nBits = bands * rowsPerBand
+      Array.tabulate(nBits, d) { (k, dim) =>
+        if ((XXH64.hashLong(k.toLong * 1000003L + dim, seed) & 1L) == 1L) 1.0 else -1.0
+      }
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val vec = new Array[Double](d)
+    var dim = 0
+    while (dim < d) { vec(dim) = v.getDouble(dim); dim += 1 }
+    val pl = planes(d)
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var value = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val row = pl(band * rowsPerBand + j)
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += row(i) * vec(i); i += 1 }
+        value = value * 2 + (if (s > 0) 1L else 0L)
+        j += 1
+      }
+      out(band) = value
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)
 }
 
@@ -166,8 +311,21 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object Signatures {
-  def simhash_chunks(tokenHashes: Column): Column =
-    ExpressionUtils.column(SimHashChunks(ExpressionUtils.expression(tokenHashes)))
+  def simhash_chunks(tokenHashes: Column, nChunks: Int = 4): Column =
+    ExpressionUtils.column(
+      SimHashChunks(ExpressionUtils.expression(tokenHashes), nChunks))
+
+  def hamming_distance(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      HammingDistance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def jaccard_longs(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaccardLongs(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplane_bands(vec: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      HyperplaneBands(ExpressionUtils.expression(vec), bands, rowsPerBand, seed))
 
   def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
     ExpressionUtils.column(
