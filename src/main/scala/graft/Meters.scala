@@ -45,6 +45,9 @@ object Meters {
       desiredModulation: Double,
       minimumFlowTemperature: Double,
       maximumFlowTemperature: Double,
+      permanentSwitchTemperature: Double,
+      minimumOnMinutes: Long,
+      minimumOffMinutes: Long,
       registers: Seq[RegisterDef],
       switchTimePeriods: Seq[TimeRange])
 
@@ -86,6 +89,9 @@ object Meters {
       lit(5.0).as("desiredModulation"),
       lit(24.0).as("minimumFlowTemperature"),
       lit(30.0).as("maximumFlowTemperature"),
+      lit(5.0).as("permanentSwitchTemperature"), // EbusMeter.cs:21 default
+      lit(45L).as("minimumOnMinutes"), // EbusMeter.cs:22-23 defaults
+      lit(45L).as("minimumOffMinutes"),
       array(
         struct(lit(12).as("register"), lit("Power").as("seriesName"),
           lit("W").as("tag"), lit(0.0).as("offset")),

@@ -463,6 +463,48 @@ object SparkEntry {
         .select(col("user_id"), round(col("new_offset"), 6).as("new_offset"))
         .orderBy(col("user_id"))
     }),
+    // W8 end-to-end — the thermostat switcher pipeline
+    // (EbusThermostatSwitcher.cs:37-81): doc config gate + latest
+    // telemetry + trailing-window all-on/all-off evidence (A11/A12/A13)
+    // + time-of-day off-period (P12) composed into the decision law.
+    // Series mapping into the law's operating ranges: error → outside
+    // temp, purchase → room setpoint-actual diff, click → flow setpoint.
+    "q40_thermostat_e2e" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = ev.agg(max(unix_micros(col("ts"))).as("now_us"))
+      val m = Tables.meters(s, dir)
+        .filter(col("switchThermostat"))
+        .select(col("userId").as("user_id"), col("permanentSwitchTemperature"))
+      val latest = ev.groupBy(col("user_id")).agg(
+        max_by(col("value"), when(col("event_type") === "error", col("ts"))).as("m_err"),
+        max_by(col("value"), when(col("event_type") === "purchase", col("ts"))).as("m_pur"))
+        .select(col("user_id"),
+          (col("m_err") % 30.0 - 10.0).as("outside_temp"),
+          (col("m_pur") % 2.0).as("room_diff"))
+      val win = ev.crossJoin(broadcast(cutoff))
+        .filter(col("event_type") === "click" &&
+          unix_micros(col("ts")) >= col("now_us") - lit(45L * 60L * 1000000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_setpoints"),
+          expr("bool_and(value % 40.0 - 10.0 > 0)").as("all_on"),
+          expr("bool_and(value % 40.0 - 10.0 <= 0)").as("all_off"))
+      val sod = expr("now_us div 1000000") % lit(86400L)
+      val inOffPeriod = !(((sod >= 28800L) && (sod <= 43200L)) ||
+        ((sod >= 50400L) && (sod <= 64800L)))
+      latest.join(broadcast(m), "user_id")
+        .join(win, Seq("user_id"), "left")
+        .crossJoin(broadcast(cutoff))
+        .select(col("user_id"),
+          round(col("outside_temp"), 6).as("outside_temp"),
+          coalesce(col("n_setpoints"), lit(0L)).as("n_setpoints"),
+          ControlLaws.thermostatDecisionColumn(
+            col("outside_temp"), col("room_diff"), inOffPeriod,
+            col("permanentSwitchTemperature"),
+            coalesce(col("n_setpoints"), lit(0L)),
+            coalesce(col("all_on"), lit(false)),
+            coalesce(col("all_off"), lit(false))).as("decision"))
+        .orderBy(col("user_id"))
+    }),
     // S19 — pure-SQL endpoint through registered views (≙ the RQL HTTP
     // endpoint, Deploy/switchboiler.sh): doc ⋈ TS entirely in SQL text.
     "q39_sql_view" -> ((s, dir) => {
@@ -906,6 +948,44 @@ object SparkEntry {
              THEN round(prev + energyOffset, 4)
              ELSE energyOffset END, 6) + 0.0 AS new_offset
          FROM l JOIN d USING (user_id) ORDER BY user_id""",
+    "q40_thermostat_e2e" ->
+      """WITH cut AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         m AS (SELECT DISTINCT user_id FROM events),
+         d AS (SELECT user_id FROM m WHERE user_id % 4 = 0),
+         latest AS (
+           SELECT user_id,
+             max_by(value, CASE WHEN event_type = 'error' THEN ts END)
+               % 30.0 - 10.0 AS outside_temp,
+             max_by(value, CASE WHEN event_type = 'purchase' THEN ts END)
+               % 2.0 AS room_diff
+           FROM events GROUP BY 1),
+         win AS (
+           SELECT user_id, count(*) AS n_setpoints,
+             bool_and(value % 40.0 - 10.0 > 0) AS all_on,
+             bool_and(value % 40.0 - 10.0 <= 0) AS all_off
+           FROM events, cut
+           WHERE event_type = 'click'
+             AND epoch_us(ts) >= now_us - 2700000000::BIGINT
+           GROUP BY 1),
+         x AS (
+           SELECT d.user_id, outside_temp, room_diff,
+             coalesce(n_setpoints, 0) AS n_setpoints,
+             coalesce(all_on, false) AS all_on,
+             coalesce(all_off, false) AS all_off,
+             (SELECT (now_us // 1000000) % 86400 FROM cut) AS sod
+           FROM d JOIN latest USING (user_id)
+                  LEFT JOIN win USING (user_id))
+         SELECT user_id, round(outside_temp, 6) + 0.0 AS outside_temp,
+           n_setpoints,
+           CASE WHEN outside_temp > 5.0 AND
+                     (NOT ((sod BETWEEN 28800 AND 43200) OR
+                           (sod BETWEEN 50400 AND 64800)) OR room_diff < 0.7)
+                  THEN 'thermostat'
+                WHEN n_setpoints < 10 THEN 'no-op'
+                WHEN all_on THEN 'thermostat'
+                WHEN all_off THEN 'modulating'
+                ELSE 'no-op' END AS decision
+         FROM x ORDER BY user_id""",
     "q39_sql_view" ->
       """WITH m AS (SELECT DISTINCT user_id FROM events),
          d AS (SELECT user_id,

@@ -1,5 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, when}
+
 /** Pure control-law functions from the reference's closed-loop services,
   * extracted exactly as its unit tests pin them down (SURVEY.md §2.6
   * W7/W8). Pure ⇒ decision-table testable, and usable either driver-side
@@ -126,24 +129,50 @@ object ControlLaws {
       case n => throw new IllegalArgumentException(s"speed $n")
     }
 
-  /** Thermostat mode decision (ref EbusThermostatSwitcher.cs:37-81):
-    * switch to "permanent" when the trailing-window average outside
-    * temperature is below the threshold AND the setpoint was
-    * continuously >0 ("all on") for the window; switch back on "all
-    * off". Returns Some(newMode) or None for no-op.
+  /** W8 — thermostat mode decision, faithful to
+    * EbusThermostatSwitcher.cs:50-81:
+    *
+    *  - warm outside (> permanentSwitchTemperature) AND (inside an OFF
+    *    period OR the room is within 0.7° of setpoint) → "thermostat"
+    *    (plain on/off control, no insufficient-data guard on this arm);
+    *  - otherwise, over the trailing max(minOn, minOff) window of flow
+    *    setpoints: < 10 points → no-op (A13 guard); all recent
+    *    setpoints > 0 ("long runtime") → "thermostat" to prevent
+    *    overshoot; all recent ≤ 0 ("long offtime") → "modulating" to
+    *    prevent cold floors; else no-op.
+    *
+    * Returns Some(newMode) or None for no-op.
     */
-  def thermostatSwitch(
-      avgOutsideTemp: Double,
+  def thermostatDecision(
+      outsideTemp: Double,
+      roomDiff: Double, // setpoint − actual room temperature
+      inOffPeriod: Boolean,
       permanentSwitchTemperature: Double,
       nSetpoints: Int,
-      allOn: Boolean,
-      allOff: Boolean,
-      currentlyPermanent: Boolean): Option[String] = {
-    if (nSetpoints < 10) None // insufficient data guard (A13)
-    else if (!currentlyPermanent && avgOutsideTemp < permanentSwitchTemperature && allOn)
-      Some("permanent")
-    else if (currentlyPermanent && (avgOutsideTemp >= permanentSwitchTemperature || allOff))
-      Some("schedule")
+      allOnRecent: Boolean,
+      allOffRecent: Boolean): Option[String] =
+    if (outsideTemp > permanentSwitchTemperature && (inOffPeriod || roomDiff < 0.7))
+      Some("thermostat")
+    else if (nSetpoints < 10) None
+    else if (allOnRecent) Some("thermostat")
+    else if (allOffRecent) Some("modulating")
     else None
-  }
+
+  /** Column-expression twin of [[thermostatDecision]] (no-op → the
+    * literal "no-op" so the decision is SQL-comparable end-to-end).
+    */
+  def thermostatDecisionColumn(
+      outsideTemp: Column,
+      roomDiff: Column,
+      inOffPeriod: Column,
+      permanentSwitchTemperature: Column,
+      nSetpoints: Column,
+      allOnRecent: Column,
+      allOffRecent: Column): Column =
+    when(outsideTemp > permanentSwitchTemperature &&
+      (inOffPeriod || roomDiff < 0.7), lit("thermostat"))
+      .when(nSetpoints < 10, lit("no-op"))
+      .when(allOnRecent, lit("thermostat"))
+      .when(allOffRecent, lit("modulating"))
+      .otherwise(lit("no-op"))
 }

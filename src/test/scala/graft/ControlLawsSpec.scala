@@ -75,15 +75,26 @@ class ControlLawsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ventSpeedPercentages(7, table, (0.0, 0.0)))
   }
 
-  test("thermostat switch decision") {
-    import ControlLaws.thermostatSwitch
-    assert(thermostatSwitch(2.0, 4.0, 20, allOn = true, allOff = false,
-      currentlyPermanent = false).contains("permanent"))
-    assert(thermostatSwitch(2.0, 4.0, 5, allOn = true, allOff = false,
-      currentlyPermanent = false).isEmpty) // insufficient data
-    assert(thermostatSwitch(6.0, 4.0, 20, allOn = false, allOff = true,
-      currentlyPermanent = true).contains("schedule"))
-    assert(thermostatSwitch(2.0, 4.0, 20, allOn = false, allOff = false,
-      currentlyPermanent = false).isEmpty)
+  test("thermostat decision follows the switcher's arm order") {
+    import ControlLaws.thermostatDecision
+    // warm + off-period -> thermostat regardless of data volume
+    assert(thermostatDecision(6.0, 2.0, inOffPeriod = true, 5.0, 0,
+      allOnRecent = false, allOffRecent = false).contains("thermostat"))
+    // warm + room satisfied (diff < 0.7) -> thermostat even in an on-period
+    assert(thermostatDecision(6.0, 0.5, inOffPeriod = false, 5.0, 0,
+      allOnRecent = false, allOffRecent = false).contains("thermostat"))
+    // warm but on-period and room wants heat -> falls through to the
+    // trailing-window arms (insufficient data here)
+    assert(thermostatDecision(6.0, 2.0, inOffPeriod = false, 5.0, 5,
+      allOnRecent = true, allOffRecent = false).isEmpty)
+    // cold + long runtime -> thermostat (prevent overshoot)
+    assert(thermostatDecision(2.0, 2.0, inOffPeriod = false, 5.0, 20,
+      allOnRecent = true, allOffRecent = false).contains("thermostat"))
+    // cold + long offtime -> modulating (prevent cold floors)
+    assert(thermostatDecision(2.0, 2.0, inOffPeriod = false, 5.0, 20,
+      allOnRecent = false, allOffRecent = true).contains("modulating"))
+    // cold, mixed recent activity -> no-op
+    assert(thermostatDecision(2.0, 2.0, inOffPeriod = false, 5.0, 20,
+      allOnRecent = false, allOffRecent = false).isEmpty)
   }
 }
