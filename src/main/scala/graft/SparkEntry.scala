@@ -236,13 +236,13 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy(col("i"), col("j"))
     }),
-    // Similarity — IVF cell-probed approximate top-k (deterministic mirror)
+    // Similarity — IVF top-k over a REAL k-means index (deterministic
+    // seeded Lloyd, 2 fixed iterations, 6-dp rounded centroids) with
+    // query-side multiprobe (2 cells); oracle replays the recurrence
     "q23_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
-        e, e.filter(col("vec_id") < 5),
-        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
-        5)
+      Similarity.ivfTopKMultiprobe(
+        e, e.filter(col("vec_id") < 5), k = 5, numCells = 8, iters = 2, probes = 2)
         .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -718,25 +718,68 @@ object SparkEntry {
                FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
          ORDER BY i, j""",
+    // Replays the exact k-means recurrence: seeded centroids, two Lloyd
+    // iterations with 6-dp rounded elementwise means (rounding keeps
+    // both engines' float summation drift below the representation),
+    // single-cell membership, 2-probe query assignment, exact cosine
+    // rank within probed cells. d=64 is fixed by TESTDATA.md.
     "q23_ivf_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                     FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
-         asn AS (SELECT n.vec_id, n.v, n.nrm, cent.cid,
-                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                     list_inner_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
-                     cent.cid) AS rk
-                 FROM n CROSS JOIN cent),
-         cells AS (SELECT vec_id, v, nrm, cid AS cell FROM asn WHERE rk = 1),
-         s AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
-                 list_inner_product(q.v, x.v) / (q.nrm * x.nrm) AS cos
-               FROM cells q JOIN cells x
-                 ON q.vec_id < 5 AND x.vec_id <> q.vec_id AND q.cell = x.cell),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         probes AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c
+             WHERE e.vec_id < 5)
+           WHERE rk <= 2),
+         s AS (
+           SELECT q.vec_id AS qid, x.vec_id AS nid,
+             list_inner_product(q.v, x.v) /
+             (sqrt(list_inner_product(q.v, q.v)) *
+              sqrt(list_inner_product(x.v, x.v))) AS cos
+           FROM probes q JOIN members x ON q.cell = x.cell AND x.vec_id <> q.vec_id),
          r AS (SELECT qid, nid, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
                FROM s)
-         SELECT qid, nid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+         SELECT qid, nid, round(cos, 6) + 0.0 AS cos, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
     "q24_battery_sim" ->
       """WITH RECURSIVE perMin AS (

@@ -139,6 +139,86 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic Lloyd k-means over the embedding column: seed
+    * centroids = the first `numCells` vectors by id, then a FIXED number
+    * of assign/mean iterations (no convergence test — determinism and
+    * an exact SQL mirror beat adaptive stopping here). Assignment is by
+    * max cosine with (cos desc, cid asc) tie order; new centroids are
+    * the elementwise means ROUNDED to 6 decimals so the Spark and
+    * oracle recurrences stay bit-identical despite summation-order
+    * float drift. Centroids stay a tiny frame (cells × dims) — every
+    * iteration is one broadcast join + one narrow aggregation, so the
+    * index build scales with the vector count, not pairs.
+    */
+  def kmeansCentroids(
+      vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var cent = v.filter(col("vec_id") < numCells)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(v, cent, probes = 1)
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+    }
+    cent
+  }
+
+  /** Assign each (vec_id, v) row to its `probes` highest-cosine
+    * centroids (cos desc, cid asc tie order). probes=1 builds the
+    * index; probes>1 is query-side multiprobe.
+    */
+  def assignCells(v: DataFrame, centroids: DataFrame, probes: Int): DataFrame = {
+    val c = centroids.withColumn("cnrm", l2norm(col("cv")))
+    v.withColumn("vnrm", l2norm(col("v")))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", dot_product(col("v"), col("cv")) / (col("vnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rk") <= probes)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"), col("rk").as("probe"))
+  }
+
+  /** IVF top-k with a real k-means index and query-side multiprobe:
+    * vectors live in their single nearest cell; each query probes its
+    * `probes` nearest cells and ranks exact cosine within them. The
+    * search shuffle is keyed by cell id, so a cluster partitions the
+    * index naturally; probes trades recall for scanned fraction
+    * (probes/numCells of the data per query in expectation).
+    * Deterministic end-to-end — the DuckDB oracle replays the identical
+    * recurrence.
+    */
+  def ivfTopKMultiprobe(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCells: Int = 8,
+      iters: Int = 2,
+      probes: Int = 2): DataFrame = {
+    val cent = kmeansCentroids(vectors, numCells, iters)
+    val members = assignCells(
+      vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")), cent, probes = 1)
+      .withColumn("vnrm", l2norm(col("v")))
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vnrm").as("nv_nrm"), col("cell"))
+    val probed = assignCells(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("v")), cent, probes)
+      .withColumn("vnrm", l2norm(col("v")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vnrm").as("qv_nrm"), col("cell"))
+    val scored = members.join(broadcast(probed),
+      members("cell") === probed("cell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot_product(col("qv"), col("nv")) / (col("qv_nrm") * col("nv_nrm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style approximate top-k: coarse-quantize every vector to its
     * nearest centroid (centroids = a small deterministic seed set, e.g.
     * the first C vectors), then search only within the query's cell.

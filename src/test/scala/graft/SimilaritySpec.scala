@@ -56,6 +56,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall (found ${lsh.size} of ${brute.size})")
   }
 
+  test("k-means IVF multiprobe: deterministic index, measured recall vs brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopKMultiprobe(e, q, k = 5, numCells = 8, iters = 2, probes = 2)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 25 && brute.size == 25) // 5 queries x top-5
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // single-probe degenerates on random data; 2-probe over 8 cells must
+    // beat the expected-scan fraction by a wide margin
+    assert(recall >= 0.4, s"recall $recall")
+    // determinism: a second run builds the identical index
+    val again = Similarity.ivfTopKMultiprobe(e, q, k = 5, numCells = 8, iters = 2, probes = 2)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+    // multiprobe dominates single-probe recall
+    val single = Similarity.ivfTopKMultiprobe(e, q, k = 5, numCells = 8, iters = 2, probes = 1)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.intersect(brute).size <= ivf.intersect(brute).size)
+  }
+
   test("native hamming_distance equals the interpreted popcount-of-xor") {
     import spark.implicits._
     val df = Seq(
