@@ -37,6 +37,13 @@ object BinaryDecoders {
       energyLifetimeKwh = math.rint(Parsers.u32be(frame, 95) * 0.1 * 10) / 10))
   }
 
+  /** P11 — the decoded clock bytes assembled into an instant: the
+    * inverter reports site-local wall time (GoodwePoller.cs:84-86
+    * builds a DateTimeKind.Local DateTime from the raw bytes).
+    */
+  def goodweTimestampMicros(t: GoodweTelemetry, zone: java.time.ZoneId): Long =
+    Parsers.goodweClockMicros(t.year, t.month, t.day, t.hour, t.minute, t.second, zone)
+
   /** Build a valid frame from register values — the synthetic-fixture
     * inverse of [[goodweDecode]] (the golden layout has no public
     * sample capture).

@@ -50,6 +50,61 @@ object Parsers {
   }
 
   // -------------------------------------------------------------------
+  // P11 — local-wall-clock → instant conversion. Device clocks report
+  // wall time in the site's zone with no offset: Weewx's lastupdate is
+  // "dd/MM/yy HH:mm:ss" AssumeLocal (WeewxLogger.cs:56), the Goodwe
+  // frame carries raw Y/M/D-H/M/S clock bytes (GoodwePoller.cs:84-86).
+  // Both resolve through an explicit ZoneId — DST-gap times resolve the
+  // way java.time does (shift forward), matching .NET's Local handling.
+  // -------------------------------------------------------------------
+  private val weewxFormat =
+    java.time.format.DateTimeFormatter.ofPattern("dd/MM/yy HH:mm:ss")
+
+  /** Parse the Weewx lastupdate stamp as site-local wall time → epoch
+    * micros.
+    */
+  def weewxLastUpdateMicros(text: String, zone: java.time.ZoneId): Long =
+    localWallClockMicros(
+      java.time.LocalDateTime.parse(text.trim, weewxFormat), zone)
+
+  /** Assemble the Goodwe clock bytes into an instant (clock-byte year
+    * is offset from 2000).
+    */
+  def goodweClockMicros(
+      year: Int, month: Int, day: Int, hour: Int, minute: Int, second: Int,
+      zone: java.time.ZoneId): Long =
+    localWallClockMicros(
+      java.time.LocalDateTime.of(year, month, day, hour, minute, second), zone)
+
+  def localWallClockMicros(dt: java.time.LocalDateTime, zone: java.time.ZoneId): Long = {
+    val instant = dt.atZone(zone).toInstant
+    instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+  }
+
+  /** Column twin for bulk parsing: wall-clock text in `zone` → UTC
+    * timestamp (to_timestamp parses in the session zone — always UTC
+    * here — so the result is reinterpreted from the site zone).
+    */
+  def localTimestamp(
+      text: org.apache.spark.sql.Column,
+      fmt: String,
+      zone: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.to_utc_timestamp(
+      org.apache.spark.sql.functions.to_timestamp(text, fmt), zone)
+
+  // -------------------------------------------------------------------
+  // S15 — Weewx dynamic series discovery (WeewxLogger.cs:37-50): the
+  // scraped current-conditions rows become the series registry at
+  // runtime — one registration (name, description [unit]) per parsed
+  // row, exactly what RegisterAsync receives on first sight of the
+  // station.
+  // -------------------------------------------------------------------
+  def weewxSeriesRegistrations(
+      rows: Seq[(String, String)]): Seq[(String, Seq[String])] =
+    rows.flatMap { case (label, data) => weewxParse(label, data) }
+      .map(item => item.name -> Seq(item.description))
+
+  // -------------------------------------------------------------------
   // S8/DSMR — P1 telegram framing + OBIS line parse
   // (ref P1Logger.cs:45-78 framing, golden P1/p1sample.txt; field map
   //  P1Logger.cs:131-154). The hardware quirk of embedded NUL bytes is
