@@ -152,36 +152,56 @@ object Similarity {
     */
   def kmeansCentroids(
       vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
-    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var cent = v.filter(col("vec_id") < numCells)
-      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // cached across the Lloyd iterations — each step re-scans the full
+    // vector set, and the decoded double arrays are what every
+    // iteration's dot products consume
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    // Centroids are materialized to the driver each iteration (the
+    // MLlib pattern): the collect is k×d doubles — independent of the
+    // vector count — and feeding the next iteration a LITERAL centroid
+    // frame keeps each Lloyd step to one scan + one narrow aggregation
+    // instead of re-deriving the whole centroid lineage per downstream
+    // branch.
+    var cent: Seq[(Long, Seq[Double])] = v.filter(col("vec_id") < numCells)
+      .select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      val assigned = assignCells(v, cent, probes = 1)
-      cent = assigned
+      cent = assignCells(v, cent, probes = 1)
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           s => s.getField("m")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"))
+        .select(col("cell").cast("long"), col("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
-    cent
+    cent.toDF("cid", "cv")
   }
 
   /** Assign each (vec_id, v) row to its `probes` highest-cosine
-    * centroids (cos desc, cid asc tie order). probes=1 builds the
-    * index; probes>1 is query-side multiprobe.
+    * centroids. The centroid set is a driver-side literal, so the
+    * argmax is a pure column expression evaluated INSIDE the scan — no
+    * crossJoin, no window shuffle; at any vector count the assignment
+    * is map-only. Ties on exactly-equal cosines order by cid
+    * descending (measure-zero on continuous embeddings).
     */
-  def assignCells(v: DataFrame, centroids: DataFrame, probes: Int): DataFrame = {
-    val c = centroids.withColumn("cnrm", l2norm(col("cv")))
-    v.withColumn("vnrm", l2norm(col("v")))
-      .crossJoin(broadcast(c))
-      .withColumn("csim", dot_product(col("v"), col("cv")) / (col("vnrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("rk") <= probes)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"), col("rk").as("probe"))
+  def assignCells(
+      v: DataFrame, centroids: Seq[(Long, Seq[Double])], probes: Int): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid set")
+    val sims = centroids.map { case (cid, cv) =>
+      val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        (dot_product(col("v"), typedLit(cv)) / (col("_vnrm") * lit(cnrm))).as("sim"),
+        lit(cid).as("cid"))
+    }
+    v.withColumn("_vnrm", l2norm(col("v")))
+      .withColumn("_top", slice(sort_array(array(sims: _*), asc = false), 1, probes))
+      .select(col("vec_id"), col("v"), posexplode(col("_top")).as(Seq("_p", "_c")))
+      .select(col("vec_id"), col("v"), col("_c.cid").as("cell"),
+        (col("_p") + 1).as("probe"))
   }
 
   /** IVF top-k with a real k-means index and query-side multiprobe:
@@ -200,7 +220,9 @@ object Similarity {
       numCells: Int = 8,
       iters: Int = 2,
       probes: Int = 2): DataFrame = {
+    import vectors.sparkSession.implicits._
     val cent = kmeansCentroids(vectors, numCells, iters)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val members = assignCells(
       vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")), cent, probes = 1)
       .withColumn("vnrm", l2norm(col("v")))
