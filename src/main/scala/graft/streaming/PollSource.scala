@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The device-connector shape shared by every reference logger
+  * (S9 HTTP JSON, S10 subprocess XML, S13 TCP Kasa, S14 subprocess
+  * Tapo, S16 HID CO₂): a poll cycle fires on a cadence, an edge
+  * function fetches one raw payload from the device, a pure decoder
+  * turns it into reading rows, and the rows flow into the normal
+  * streaming pipeline (windowed aggs, last-wins sink, meters upsert).
+  *
+  * Spark-native re-expression: the cadence is a streaming tick source
+  * (`rate` in production, MemoryStream in specs), the edge fetch runs
+  * ON THE EXECUTOR inside flatMap (each tick is a task — a fleet of
+  * devices shards across executors by tick key), and the decoder is
+  * one of the pure functions in graft.functions. The sandbox has no
+  * devices, so the edge function is injected — specs wire
+  * deterministic fakes through the REAL decoders (DSMR telegrams,
+  * Vents frames, Kasa ciphertext), which is everything Spark-side.
+  */
+object PollSource {
+
+  /** Production tick source: one row per `intervalSeconds`. */
+  def rateTicks(spark: SparkSession, intervalSeconds: Int): Dataset[Long] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1)
+      .load()
+      .selectExpr("value")
+      .as[Long]
+      .filter(_ % intervalSeconds.max(1) == 0)
+  }
+
+  /** One poll cycle per tick: fetch a raw payload at the edge, decode
+    * to reading rows. Decode failures drop the cycle (the reference
+    * logs and retries next cycle); pair with Harness.retryOnce inside
+    * `poll` for the reference's one-retry semantics.
+    */
+  def decodePollCycles(
+      ticks: Dataset[Long],
+      poll: Long => Array[Byte],
+      decode: Array[Byte] => Seq[Ingest.Reading]): Dataset[Ingest.Reading] = {
+    import ticks.sparkSession.implicits._
+    ticks.flatMap { tick =>
+      try decode(poll(tick))
+      catch { case _: Exception => Seq.empty }
+    }
+  }
+
+  /** S8/S9 — DSMR P1 pipeline: raw serial/HTTP chunk → telegram frames
+    * → the five reading rows per telegram, stamped with the tick's
+    * timestamp by the caller-provided mapper.
+    */
+  def dsmrReadingRows(
+      meterId: String, raw: String, tsMillis: Long): Seq[Ingest.Reading] =
+    graft.functions.Parsers.dsmrFrames(raw).flatMap { telegram =>
+      graft.functions.Parsers.dsmrReadings(telegram).map {
+        case (series, (values, tag)) =>
+          Ingest.Reading(meterId, series, new java.sql.Timestamp(tsMillis),
+            values.toSeq, tag)
+      }
+    }
+
+  /** S12 — Vents pipeline: framed UDP reply → TLV items → the four
+    * reading rows the logger appends.
+    */
+  def ventsReadingRows(
+      meterId: String, frame: Array[Byte], tsMillis: Long): Seq[Ingest.Reading] =
+    graft.functions.Vents.parseReply(frame) match {
+      case Right(items) =>
+        graft.functions.Vents.pollReadings(items).map { case (series, values, tag) =>
+          Ingest.Reading(meterId, series, new java.sql.Timestamp(tsMillis), values, tag)
+        }
+      case Left(_) => Seq.empty
+    }
+
+  /** S13 — Kasa pipeline: XOR-autokey ciphertext → JSON → the
+    * (power W, energy kWh) reading the logger appends
+    * (KasaLogger.cs:42-47). JSON field extraction is driver-free
+    * (jackson ships with Spark).
+    */
+  def kasaReadingRows(
+      meterId: String, ciphertext: Array[Byte], tsMillis: Long): Seq[Ingest.Reading] = {
+    val json = graft.functions.Parsers.kasaDecrypt(ciphertext)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val node = mapper.readTree(json)
+      val emeter = node.path("emeter").path("get_realtime")
+      if (emeter.isMissingNode) Seq.empty
+      else Seq(Ingest.Reading(meterId, "PowerEnergy",
+        new java.sql.Timestamp(tsMillis),
+        Seq(emeter.path("power_mw").asDouble / 1000.0,
+          emeter.path("total_wh").asDouble / 1000.0),
+        "W;kWh"))
+    } catch { case _: Exception => Seq.empty }
+  }
+}
