@@ -74,6 +74,82 @@ object PollSource {
       case Left(_) => Seq.empty
     }
 
+  /** S11 — Goodwe pipeline: CRC-checked 153-byte UDP frame → the seven
+    * series rows the logger appends (GoodweLogger.cs:74-81), stamped
+    * with the inverter's own clock bytes resolved through the site zone
+    * (P11, GoodwePoller.cs:84-86). The reference tags GridFrequency
+    * "V" — mirrored verbatim.
+    */
+  def goodweReadingRows(
+      meterId: String, frame: Array[Byte],
+      zone: java.time.ZoneId): Seq[Ingest.Reading] =
+    graft.functions.BinaryDecoders.goodweDecode(frame) match {
+      case Right(t) =>
+        val ts = new java.sql.Timestamp(
+          graft.functions.BinaryDecoders.goodweTimestampMicros(t, zone) / 1000L)
+        Seq(
+          Ingest.Reading(meterId, "Power", ts, Seq(t.powerW), "W"),
+          Ingest.Reading(meterId, "MPPT1", ts, Seq(t.ipv, t.vpv), "A,V"),
+          Ingest.Reading(meterId, "Vac", ts, Seq(t.vac), "V"),
+          Ingest.Reading(meterId, "GridFrequency", ts, Seq(t.gridFrequency), "V"),
+          Ingest.Reading(meterId, "InternalTemperature", ts, Seq(t.temperatureC), "°C"),
+          Ingest.Reading(meterId, "EnergyLifetime", ts, Seq(t.energyLifetimeKwh), "kWh"),
+          Ingest.Reading(meterId, "EnergyToday", ts, Seq(t.energyTodayKwh), "kWh"))
+      case Left(_) => Seq.empty
+    }
+
+  /** S10 — M-Bus pipeline: subprocess XML → the six series rows
+    * (MbusLogger.cs:82-95 + derived CalculatedPower).
+    */
+  def mbusReadingRows(
+      meterId: String, xml: String, tsMillis: Long): Seq[Ingest.Reading] =
+    graft.functions.MbusXml.readings(xml).map { r =>
+      Ingest.Reading(meterId, r.series, new java.sql.Timestamp(tsMillis),
+        r.values.toSeq, r.tag)
+    }
+
+  /** S16 — ZyAura CO₂ pipeline: 8-byte encrypted HID report →
+    * decrypt → opcode dispatch → one CO2/RoomTemperature row (or none
+    * for unsupported opcodes, ZGm053Service.cs:129-165).
+    */
+  def zyauraReadingRows(
+      meterId: String, report: Array[Byte], tsMillis: Long): Seq[Ingest.Reading] = {
+    import graft.functions.BinaryDecoders._
+    if (report.length != 8) Seq.empty
+    else zyauraParse(zyauraDecrypt(report)) match {
+      case Co2Ppm(v) =>
+        Seq(Ingest.Reading(meterId, "CO2",
+          new java.sql.Timestamp(tsMillis), Seq(v), "ppm"))
+      case RoomTemperatureC(v) =>
+        Seq(Ingest.Reading(meterId, "RoomTemperature",
+          new java.sql.Timestamp(tsMillis), Seq(v), "°C"))
+      case Unsupported => Seq.empty
+    }
+  }
+
+  /** S17 — GPIO pulse pipeline (GpioLogger.cs:75-100): each debounced
+    * edge appends a step pair — a pre-point 10 ms before the edge
+    * holding the previous count, then the incremented count — so the
+    * counter series renders as a staircase; the first-ever pulse is a
+    * single row with rate 0.
+    */
+  def gpioPulseRows(
+      meterId: String, seriesName: String, qtyPerPulse: Double,
+      last: Option[(Double, Long)], // (count so far, last edge millis)
+      nowMillis: Long): Seq[Ingest.Reading] =
+    last match {
+      case Some((count, lastMillis)) =>
+        val rate = qtyPerPulse / ((nowMillis - lastMillis).toDouble / 1000.0)
+        Seq(
+          Ingest.Reading(meterId, seriesName,
+            new java.sql.Timestamp(nowMillis - 10L), Seq(count, rate), ""),
+          Ingest.Reading(meterId, seriesName,
+            new java.sql.Timestamp(nowMillis), Seq(count + qtyPerPulse, rate), ""))
+      case None =>
+        Seq(Ingest.Reading(meterId, seriesName,
+          new java.sql.Timestamp(nowMillis), Seq(qtyPerPulse, 0.0), ""))
+    }
+
   /** S13 — Kasa pipeline: XOR-autokey ciphertext → JSON → the
     * (power W, energy kWh) reading the logger appends
     * (KasaLogger.cs:42-47). JSON field extraction is driver-free

@@ -118,6 +118,51 @@ class PollSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Goodwe frames map to the seven logger series with device-clock timestamps (S11)") {
+    import graft.functions.BinaryDecoders
+    val t = BinaryDecoders.GoodweTelemetry(
+      year = 2022, month = 4, day = 21, hour = 16, minute = 5, second = 0,
+      vpv = 351.1, ipv = 3.2, vac = 230.1, iac = 2.1, gridFrequency = 50.02,
+      powerW = 740.0, status = 1, temperatureC = 41.3,
+      energyTodayKwh = 5.4, energyLifetimeKwh = 1234.5)
+    val rows = PollSource.goodweReadingRows("meters/aa:bb", BinaryDecoders.goodweEncode(t),
+      java.time.ZoneId.of("Europe/Amsterdam"))
+    assert(rows.map(_.series) == Seq("Power", "MPPT1", "Vac", "GridFrequency",
+      "InternalTemperature", "EnergyLifetime", "EnergyToday"))
+    val byName = rows.map(r => r.series -> r).toMap
+    assert(byName("Power").values == Seq(740.0))
+    assert(byName("MPPT1").values == Seq(3.2, 351.1) && byName("MPPT1").tag == "A,V")
+    // clock bytes are site-local CEST -> 14:05Z
+    assert(byName("Power").ts.getTime ==
+      java.time.Instant.parse("2022-04-21T14:05:00Z").toEpochMilli)
+    // a corrupted frame yields no rows
+    val bad = BinaryDecoders.goodweEncode(t); bad(20) = (bad(20) ^ 1).toByte
+    assert(PollSource.goodweReadingRows("m", bad, java.time.ZoneId.of("UTC")).isEmpty)
+  }
+
+  test("ZyAura reports dispatch by opcode after decrypt (S16)") {
+    import graft.functions.BinaryDecoders
+    def report(op: Char, raw: Int) = BinaryDecoders.zyauraEncrypt(
+      Array(op.toByte, ((raw >> 8) & 0xff).toByte, (raw & 0xff).toByte, 0, 0, 0, 0, 0))
+    val co2 = PollSource.zyauraReadingRows("meters/co2", report('P', 612), 1000L)
+    assert(co2.map(r => (r.series, r.values, r.tag)) ==
+      Seq(("CO2", Seq(612.0), "ppm")))
+    val temp = PollSource.zyauraReadingRows("meters/co2", report('B', 4740), 1000L)
+    assert(temp.head.series == "RoomTemperature")
+    assert(math.abs(temp.head.values.head - (4740 / 16.0 - 273.15)) < 1e-9)
+    assert(PollSource.zyauraReadingRows("meters/co2", report('n', 1), 1000L).isEmpty)
+  }
+
+  test("GPIO pulses append staircase pairs with rates (S17)") {
+    val first = PollSource.gpioPulseRows("meters/gas", "GasPulses", 0.01, None, 10000L)
+    assert(first.map(_.values) == Seq(Seq(0.01, 0.0)))
+    val next = PollSource.gpioPulseRows("meters/gas", "GasPulses", 0.01,
+      Some((0.01, 10000L)), 20000L)
+    // 0.01 qty over 10 s -> rate 0.001/s; pre-point at t-10ms holds old count
+    assert(next.map(_.values) == Seq(Seq(0.01, 0.001), Seq(0.02, 0.001)))
+    assert(next.map(_.ts.getTime) == Seq(19990L, 20000L))
+  }
+
   test("a failing poll cycle drops the batch instead of the stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
