@@ -505,6 +505,26 @@ object SparkEntry {
             coalesce(col("all_off"), lit(false))).as("decision"))
         .orderBy(col("user_id"))
     }),
+    // Training-data op — deterministic stratified sampling: md5-bucket
+    // keyed on content, per-language keep rates (downsample the
+    // dominant language). Map-side predicate, no shuffle, no RNG state.
+    "q41_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("lang", TextOps.langId(col("text")))
+        .withColumn("bucket", TextOps.sampleBucket(col("text")))
+      docs.filter(TextOps.stratifiedKeep(col("lang"), col("text"),
+          rates = Seq("en" -> 30), defaultRate = 80))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // Training-data op — benchmark contamination scan: corpus documents
+    // sharing any word 3-gram with the benchmark set (doc_id < 5),
+    // semi-joined against the broadcast distinct benchmark shingles.
+    "q42_contamination" -> ((s, dir) => {
+      Dedup.contamination(Tables.documents(s, dir), "doc_id", "text",
+        benchPredicate = col("doc_id") < 5)
+        .orderBy(col("doc_id"))
+    }),
     // S19 — pure-SQL endpoint through registered views (≙ the RQL HTTP
     // endpoint, Deploy/switchboiler.sh): doc ⋈ TS entirely in SQL text.
     "q39_sql_view" -> ((s, dir) => {
@@ -1029,6 +1049,49 @@ object SparkEntry {
                 WHEN all_off THEN 'modulating'
                 ELSE 'no-op' END AS decision
          FROM x ORDER BY user_id""",
+    // md5 exists verbatim in both engines (lowercase hex), so the
+    // content-keyed bucket is reproduced bit-for-bit via hex-digit
+    // arithmetic; the language CASE mirrors q16's.
+    "q41_stratified_sample" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, text,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+           len(list_filter(w, t -> list_contains(['the','a','is','and'], t))) AS en,
+           len(list_filter(w, t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(w, t -> list_contains(['el','los','y','que'], t))) AS es,
+           len(list_filter(w, t -> list_contains(['der','die','und','das'], t))) AS de
+           FROM t),
+         l AS (SELECT doc_id, text,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown' END AS lang
+           FROM c),
+         b AS (SELECT doc_id, lang,
+           (4096 * (strpos('0123456789abcdef', md5(text)[1:1]) - 1)
+            + 256 * (strpos('0123456789abcdef', md5(text)[2:2]) - 1)
+            + 16 * (strpos('0123456789abcdef', md5(text)[3:3]) - 1)
+            + (strpos('0123456789abcdef', md5(text)[4:4]) - 1))::BIGINT % 100
+             AS bucket
+           FROM l)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE CASE WHEN lang = 'en' THEN bucket < 30 ELSE bucket < 80 END
+         ORDER BY doc_id""",
+    // String shingles mirror the native shingle hashes exactly (set
+    // semantics; hash collisions ~2^-64 below output granularity).
+    "q42_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 5),
+         x AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 5)
+         SELECT x.doc_id, count(DISTINCT x.g) AS n_shared
+         FROM x JOIN bench ON x.g = bench.g
+         GROUP BY 1 ORDER BY 1""",
     "q39_sql_view" ->
       """WITH m AS (SELECT DISTINCT user_id FROM events),
          d AS (SELECT user_id,

@@ -119,6 +119,30 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Benchmark-contamination check: documents sharing at least one word
+    * n-gram with a benchmark set (the standard eval-leak scan before
+    * training). Shingles are hashed once natively; the benchmark side
+    * collapses to DISTINCT shingle hashes (small — benchmark suites are
+    * tiny next to the corpus) and the corpus side semi-joins against it
+    * broadcast, so the scan stays map-side at any corpus size. Returns
+    * (doc_id, n_shared) for contaminated documents only.
+    */
+  def contamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchPredicate: Column,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), benchPredicate.as("is_bench"),
+      explode(org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col(textCol), " "), shingleN)).as("h"))
+    val bench = sh.filter(col("is_bench")).select(col("h")).distinct()
+    sh.filter(!col("is_bench"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** 64-bit SimHash from pre-hashed tokens: bit b of the signature is
     * the sign of Σ_tokens (bit b of tokenHash ? +1 : −1). Returned as 4
     * 16-bit chunk values — the natural shape for chunk-bucketed search.

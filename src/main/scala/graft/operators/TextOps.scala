@@ -79,4 +79,27 @@ object TextOps {
       lit(7L),
       (h, t) => pmod(h * lit(31L) + length(t).cast("long") * lit(17L) + ascii(t).cast("long"),
         lit(1000000007L)))
+
+  /** Deterministic content-keyed sampling bucket in [0, 100): the first
+    * four hex digits of md5(text) as an integer mod 100. Content-keyed
+    * (not id-keyed) so resampled corpora stay consistent across
+    * re-shards, and md5 exists verbatim in every engine — the oracle
+    * reproduces the bucket bit-for-bit. Keep-if `bucket < rate`
+    * implements per-stratum downsampling without a shuffle or RNG
+    * state (the standard rehash-based sampling for training corpora).
+    */
+  def sampleBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 4), 16, 10).cast("long") % 100
+
+  /** Stratified sampling filter: per-stratum keep-rates (percent),
+    * default rate for unlisted strata. Pure map-side predicate.
+    */
+  def stratifiedKeep(
+      stratum: Column, text: Column,
+      rates: Seq[(String, Int)], defaultRate: Int): Column = {
+    val b = sampleBucket(text)
+    rates.foldRight(b < defaultRate) { case ((s, r), acc) =>
+      when(stratum === s, b < r).otherwise(acc)
+    }
+  }
 }
