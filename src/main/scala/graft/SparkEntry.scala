@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ControlLaws
-import graft.operators.{Battery, Dedup, Multimodal, Similarity, TextOps, TimeSeriesOps}
+import graft.operators.{Battery, Dedup, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -523,6 +523,19 @@ object SparkEntry {
     "q42_contamination" -> ((s, dir) => {
       Dedup.contamination(Tables.documents(s, dir), "doc_id", "text",
         benchPredicate = col("doc_id") < 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Training-data op — sequence packing: greedy first-fit of docs
+    // into 512-token bins, folded per deterministic shard (ordered
+    // non-commutative fold like the battery sim; recursive-CTE oracle).
+    "q43_sequence_packing" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Packing.pack(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        budgetTokens = 512, numShards = 8)
+        .toDF()
+        .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
     // S19 — pure-SQL endpoint through registered views (≙ the RQL HTTP
@@ -1092,6 +1105,30 @@ object SparkEntry {
          SELECT x.doc_id, count(DISTINCT x.g) AS n_shared
          FROM x JOIN bench ON x.g = bench.g
          GROUP BY 1 ORDER BY 1""",
+    // Recursive CTE replays the greedy first-fit recurrence per shard
+    // (rn → rn+1 carrying (bin, fill)); the first document of a shard
+    // never splits, oversized documents take a bin alone then reset.
+    "q43_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n FROM documents
+         ), p AS (
+           SELECT doc_id, n, doc_id % 8 AS shard,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+           FROM t
+         ), sim AS (
+           SELECT shard, 0::BIGINT AS rn, 0::BIGINT AS bin, 0::BIGINT AS fill
+           FROM (SELECT DISTINCT shard FROM p)
+           UNION ALL
+           SELECT p.shard, p.rn,
+             CASE WHEN s.rn > 0 AND s.fill + p.n > 512
+               THEN s.bin + 1 ELSE s.bin END,
+             CASE WHEN s.rn > 0 AND s.fill + p.n > 512
+               THEN p.n ELSE s.fill + p.n END
+           FROM sim s JOIN p ON p.shard = s.shard AND p.rn = s.rn + 1
+         )
+         SELECT p.doc_id, p.shard, s.bin, p.n AS n_tokens
+         FROM p JOIN sim s ON p.shard = s.shard AND p.rn = s.rn
+         ORDER BY p.doc_id""",
     "q39_sql_view" ->
       """WITH m AS (SELECT DISTINCT user_id FROM events),
          d AS (SELECT user_id,

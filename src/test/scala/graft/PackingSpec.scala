@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Packing
+
+/** Sequence packing: the greedy first-fit fold and its distributed
+  * shard layout.
+  */
+class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("greedy first-fit fold: splits, oversize bins, first-doc law") {
+    val docs = Iterator((1L, 300L), (2L, 300L), (3L, 100L), (4L, 600L), (5L, 10L))
+    val out = Packing.packShard(0L, docs, budgetTokens = 512).toSeq
+    // 300 fits; +300 > 512 -> new bin; +100 fits; 600 oversize -> own bin;
+    // 10 starts the next bin after the oversize one
+    assert(out.map(p => (p.doc_id, p.bin)) ==
+      Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L)))
+    // an oversized FIRST document never splits an empty bin
+    val single = Packing.packShard(0L, Iterator((9L, 9999L)), 512).toSeq
+    assert(single.map(p => (p.doc_id, p.bin)) == Seq((9L, 0L)))
+  }
+
+  test("distributed packing shards deterministically and folds in doc order") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = (0L until 40L).map(i => (i, 200L)).toDF("doc_id", "n_tokens")
+    val out = Packing.pack(docs, budgetTokens = 512, numShards = 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.forall(p => p.shard == p.doc_id % 4))
+    // within a shard, 200-token docs pack 2 per 512-bin in doc order
+    val shard0 = out.filter(_.shard == 0).map(_.bin).toSeq
+    assert(shard0 == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+    // re-running produces identical bins
+    val again = Packing.pack(docs, budgetTokens = 512, numShards = 4)
+      .collect().sortBy(_.doc_id)
+    assert(again.toSeq == out.toSeq)
+  }
+}
