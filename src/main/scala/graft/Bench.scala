@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Methodology (recorded in BASELINE.md): each query is executed
+  * SPARK_GRAFT_REPEAT times (default 3) in-session and the reported
+  * time is the MEDIAN — the round-2 verdict showed single-shot timings
+  * on this shared host swing 2-7x run-to-run on unchanged plans, so a
+  * per-query median is the only comparable statistic. r1/r2 artifacts
+  * were single-shot; the per-round table in BASELINE.md notes this.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR  data directory (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS    local[N] cores = shuffle partitions (default 4)
+  *   SPARK_GRAFT_REPEAT  executions per query, median reported (default 3)
+  *   SPARK_GRAFT_ONLY    comma-separated query-name filter (debugging)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,10 +35,15 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // deterministic (sorted) execution order so per-query timings are
     // comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = names.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

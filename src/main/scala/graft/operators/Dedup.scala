@@ -27,13 +27,33 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups: keeper (min id) + duplicate count per
-    * distinct text. At scale, group by xxhash64(text) first and only
-    * compare full texts within a hash bucket; at these SFs grouping by
-    * the text itself is one shuffle either way.
+    * distinct text. Two-phase hash-group plan so full document text
+    * never rides the main shuffle:
+    *
+    *   1. shuffle (xxhash64(text), id) only — min id + count per hash;
+    *   2. only multi-member hash buckets are re-joined with their texts
+    *      and verified by grouping on (hash, text), splitting any
+    *      (astronomically unlikely) 64-bit collisions exactly.
+    *
+    * At 100 TB with a mostly-unique corpus, phase 2's text shuffle is
+    * bounded by the number of duplicate-candidate documents, not the
+    * corpus; phase 1 moves 16 bytes per document. Output is identical
+    * to a direct groupBy(text).
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      xxhash64(col(textCol)).as("__h"))
+    val byHash = h.groupBy(col("__h")) // text pruned from this branch's scan
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("n_copies"))
+    val singles = byHash.filter(col("n_copies") === 1)
+      .select(col("keeper"), col("n_copies"))
+    val verified = h
+      .join(byHash.filter(col("n_copies") > 1).select(col("__h")), "__h")
+      .groupBy(col("__h"), col("__text"))
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+    singles.union(verified)
+  }
 
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
@@ -94,16 +114,30 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
     val hashed = hashedShingles(df, idCol, textCol, shingleN).cache()
     val sig = hashed.select(col("doc_id"),
       minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+    // Hot-bucket cap: a (band, bandsig) bucket of B members yields
+    // B²/2 candidate pairs, so one degenerate bucket (boilerplate
+    // shingles, near-constant docs) is a quadratic straggler at scale.
+    // Buckets over `maxBucket` are dropped from candidate generation —
+    // a documented recall bound, not silent: each surviving pair is
+    // still exact-Jaccard verified, and a pair lost here is one whose
+    // EVERY matching band was degenerate. The count runs in the same
+    // (band, bandsig) exchange the self-join needs anyway.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandsig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -111,12 +145,28 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    cand
+    val out = cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+    finalizeAndUnpersist(out, hashed)
+  }
+
+  /** Materialize the (small) result of a cached multi-branch plan,
+    * then release the cache: localCheckpoint executes the plan once
+    * while the cache is hot and pins only the OUTPUT blocks (pair
+    * lists — bounded by result size, cleaned by the ContextCleaner
+    * when the frame is dropped); the big input cache is unpersisted
+    * immediately, so a long-running session serving many queries holds
+    * no leaked shingle/vector caches.
+    */
+  private[operators] def finalizeAndUnpersist(
+      result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 
   /** Benchmark-contamination check: documents sharing at least one word
@@ -201,11 +251,12 @@ object Dedup {
           hammingChunks(col("a.sig"), col("b.sig")) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    cand
+    val out = cand
       .join(base.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(base.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+    finalizeAndUnpersist(out, base)
   }
 }

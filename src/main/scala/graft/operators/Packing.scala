@@ -8,21 +8,23 @@ import org.apache.spark.sql.functions._
   * tokenization and batching in an LLM data pipeline.
   *
   * Packing is an ordered, non-commutative fold (each bin assignment
-  * depends on the running fill), so — like the battery simulation — it
-  * runs as a per-shard ordered fold: documents are sharded by a
-  * deterministic key, sorted by id within the shard, and each shard
-  * folds independently. Shards are the parallelism unit: at 100 TB
-  * packing is embarrassingly parallel across shards while staying
-  * byte-deterministic, and a document never moves across shards so
-  * re-runs produce identical bins. Oversized documents (> budget) get
-  * a bin of their own, then the running fill resets.
+  * depends on the running fill), so — like the battery simulation
+  * (graft.operators.Battery.simulate) — it runs as a per-shard ordered
+  * fold: documents are sharded by a deterministic key, sorted by
+  * (shard, doc_id) *within partitions* after a shuffle keyed on the
+  * shard, and each contiguous shard run folds as a streaming iterator.
+  * Nothing is ever materialized per shard: memory is O(1) per task no
+  * matter how large a shard grows, so the same plan holds at 100 TB.
+  * Shards are the parallelism unit; a document never moves across
+  * shards, so re-runs produce identical bins. Oversized documents
+  * (> budget) get a bin of their own, then the running fill resets.
   */
 object Packing {
 
   case class PackedDoc(doc_id: Long, shard: Long, bin: Long, n_tokens: Long)
 
   /** Greedy first-fit fold over one shard's (doc_id, n_tokens),
-    * pre-sorted by doc_id.
+    * pre-sorted by doc_id. Pure streaming map over the iterator.
     */
   def packShard(
       shard: Long, docs: Iterator[(Long, Long)], budgetTokens: Long): Iterator[PackedDoc] = {
@@ -37,19 +39,69 @@ object Packing {
     }
   }
 
-  /** Distributed packing: shard by doc_id mod `numShards`, order by
-    * doc_id inside the shard, fold. One shuffle on the shard key.
+  /** Streaming fold over one partition of (shard, doc_id, n_tokens)
+    * rows sorted by (shard, doc_id): contiguous shard runs are handed
+    * to packShard one at a time through a bounded-lookahead iterator —
+    * a shard is never collected into memory. Exposed (not private) so
+    * the spec can assert the no-materialization law directly.
+    */
+  def packPartition(
+      rows: Iterator[(Long, Long, Long)], budgetTokens: Long): Iterator[PackedDoc] = {
+    val buf = rows.buffered
+    new Iterator[Iterator[PackedDoc]] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): Iterator[PackedDoc] = {
+        val sh = buf.head._1
+        packShard(sh, new Iterator[(Long, Long)] {
+          def hasNext: Boolean = buf.hasNext && buf.head._1 == sh
+          def next(): (Long, Long) = { val r = buf.next(); (r._2, r._3) }
+        }, budgetTokens)
+      }
+    }.flatten // flatten drains each run before asking for the next, so order holds
+  }
+
+  /** Distributed packing: shuffle keyed by doc_id mod `numShards`,
+    * sort (shard, doc_id) within partitions, streaming fold per
+    * contiguous shard run. One shuffle; O(1) task memory.
+    *
+    * `numShards` is part of the operator's OUTPUT CONTRACT (it decides
+    * which documents share a bin), so callers that need byte-stable
+    * re-runs must pin it. Use `defaultNumShards` to size it from the
+    * input when the grouping itself may vary run-to-run.
     */
   def pack(
       docs: DataFrame, // (doc_id, n_tokens)
       budgetTokens: Long,
       numShards: Int)(implicit spark: SparkSession): Dataset[PackedDoc] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
-      .as[(Long, Long)]
-      .groupByKey(_._1 % numShards)
-      .flatMapGroups { (shard, it) =>
-        packShard(shard, it.toSeq.sortBy(_._1).iterator, budgetTokens)
-      }
+    docs.select(
+        pmod(col("doc_id").cast("long"), lit(numShards.toLong)).as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(packPartition(_, budgetTokens))
   }
+
+  /** Shard count sized from the input's optimizer statistics: one shard
+    * per ~`targetShardBytes` of (doc_id, n_tokens) rows, floored at the
+    * cluster's parallelism so small inputs still use every core. At
+    * 100 TB this scales the fold's parallelism with the data instead of
+    * pinning it to a constant.
+    */
+  def defaultNumShards(
+      docs: DataFrame,
+      spark: SparkSession,
+      targetShardBytes: Long = 64L << 20): Int = {
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byStats =
+      if (bytes.isValidLong) (bytes.toLong / targetShardBytes).toInt else Int.MaxValue
+    math.max(spark.sparkContext.defaultParallelism, byStats)
+  }
+
+  /** Packing with input-sized shard count (see defaultNumShards). */
+  def pack(docs: DataFrame, budgetTokens: Long)(
+      implicit spark: SparkSession): Dataset[PackedDoc] =
+    pack(docs, budgetTokens, defaultNumShards(docs, spark))
 }

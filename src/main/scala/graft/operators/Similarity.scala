@@ -131,12 +131,13 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    cand
+    val out = cand
       .join(v.select(col("id").as("i"), col("v").as("va"), col("v_nrm").as("va_nrm")), "i")
       .join(v.select(col("id").as("j"), col("v").as("vb"), col("v_nrm").as("vb_nrm")), "j")
       .select(col("i"), col("j"),
         (dot_product(col("va"), col("vb")) / (col("va_nrm") * col("vb_nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+    Dedup.finalizeAndUnpersist(out, v)
   }
 
   /** Deterministic Lloyd k-means over the embedding column: seed
@@ -178,6 +179,9 @@ object Similarity {
         .select(col("cell").cast("long"), col("cv"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
+    // the Lloyd loop is the only consumer of the cached decode — the
+    // returned centroid frame is driver-side literals
+    v.unpersist(false)
     cent.toDF("cid", "cv")
   }
 

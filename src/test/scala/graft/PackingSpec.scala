@@ -32,6 +32,25 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.map(p => (p.doc_id, p.bin)) == Seq((9L, 0L)))
   }
 
+  test("packPartition streams: never materializes a shard") {
+    // a partition holding ONE giant shard, consumed through a counter:
+    // taking k outputs must pull at most k+1 inputs (one lookahead for
+    // the buffered run-boundary check) — proof the fold is O(1) memory.
+    var pulled = 0
+    val rows = Iterator.tabulate(1000000) { i =>
+      pulled += 1; (0L, i.toLong, 200L)
+    }
+    val out = Packing.packPartition(rows, budgetTokens = 512)
+    val firstThree = out.take(3).toSeq
+    assert(firstThree.map(p => (p.doc_id, p.bin)) ==
+      Seq((0L, 0L), (1L, 0L), (2L, 1L)))
+    assert(pulled <= 4, s"streaming fold pulled $pulled rows for 3 outputs")
+    // shard boundaries reset the fold state
+    val two = Packing.packPartition(
+      Iterator((0L, 1L, 400L), (0L, 2L, 400L), (7L, 3L, 400L)), 512).toSeq
+    assert(two.map(p => (p.shard, p.bin)) == Seq((0L, 0L), (0L, 1L), (7L, 0L)))
+  }
+
   test("distributed packing shards deterministically and folds in doc order") {
     implicit val s: SparkSession = spark
     import s.implicits._
