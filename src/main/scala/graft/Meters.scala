@@ -130,6 +130,35 @@ object Meters {
     *
     * counterEvents: (user_id, ts, value) raw cumulative readings.
     */
+  /** The Tapo monthly-reset variant (TapoLogger.cs:88-107): the raw
+    * counter is month-to-date energy, so it legitimately resets at
+    * every month boundary; on reset (current rounded to 1 decimal <
+    * last rounded to 3 then 1) the last raw reading is ACCUMULATED
+    * into the offset (`offset += last`) rather than replacing it —
+    * the offset carries the sum of all completed months. Same
+    * single-shuffle lag shape as energyOffsetUpdate; broadcast doc
+    * side.
+    */
+  def tapoOffsetUpdate(
+      meters: DataFrame,
+      counterEvents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val latest = counterEvents
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").desc)))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("value").as("cur"),
+        round(col("prev"), 3).as("last_raw"))
+    broadcast(meters.select(col("userId").as("user_id"), col("energyOffset")))
+      .join(latest, "user_id")
+      .select(col("user_id"),
+        when(col("last_raw").isNotNull &&
+            round(col("cur"), 1) < round(col("last_raw"), 1),
+          col("energyOffset") + col("last_raw"))
+          .otherwise(col("energyOffset")).as("new_offset"))
+  }
+
   def energyOffsetUpdate(
       meters: DataFrame,
       counterEvents: DataFrame,

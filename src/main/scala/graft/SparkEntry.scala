@@ -538,6 +538,46 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // J4 — device-discovery identity join (KasaLogger.cs:114-121,
+    // TapoLogger.cs:56-62): broadcast-subnet-scan results matched to
+    // configured meter docs on canonical MAC ('-'→':' , lowercase).
+    // Semi-join = plugs whose doc exists (poll proceeds); anti-join =
+    // devices answering on the subnet with no configured doc. The
+    // config side is tiny → broadcast; discovered readings never
+    // shuffle for the match at any scale.
+    "q44_mac_discovery" -> ((s, dir) => {
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+      val hi = expr("(user_id div 256) % 256")
+      val lo = expr("user_id % 256")
+      // configured docs store colon-lowercase MACs (Kasa style)
+      val conf = u.select(
+        format_string("28:6c:%02x:%02x", hi, lo).as("mac_conf"))
+      // the scan reports Windows-style hyphen-uppercase (Tapo style);
+      // a second population answers that was never configured
+      val disc = u.filter(col("user_id") % 4 =!= 1)
+        .select(format_string("28-6C-%02X-%02X", hi, lo).as("mac"))
+        .union(u.filter(col("user_id") % 5 === 0)
+          .select(format_string("AA-BB-%02X-%02X", hi, lo).as("mac")))
+        .select(lower(translate(col("mac"), "-", ":")).as("mac"))
+      val configured = disc.join(broadcast(conf),
+          disc("mac") === conf("mac_conf"), "left_semi")
+        .select(col("mac"), lit("configured").as("status"))
+      val unknown = disc.join(broadcast(conf),
+          disc("mac") === conf("mac_conf"), "left_anti")
+        .select(col("mac"), lit("unknown").as("status"))
+      configured.union(unknown).orderBy(col("mac"))
+    }),
+    // S14 companion — the Tapo monthly-reset offset fold
+    // (TapoLogger.cs:88-107): offset += last stored raw reading when
+    // the month-to-date counter resets, computed as a query.
+    "q45_tapo_offset" -> ((s, dir) => {
+      Meters.tapoOffsetUpdate(
+        Tables.meters(s, dir),
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")))
+        .select(col("user_id"), round(col("new_offset"), 6).as("new_offset"))
+        .orderBy(col("user_id"))
+    }),
     // S19 — pure-SQL endpoint through registered views (≙ the RQL HTTP
     // endpoint, Deploy/switchboiler.sh): doc ⋈ TS entirely in SQL text.
     "q39_sql_view" -> ((s, dir) => {
@@ -1129,6 +1169,41 @@ object SparkEntry {
          SELECT p.doc_id, p.shard, s.bin, p.n AS n_tokens
          FROM p JOIN sim s ON p.shard = s.shard AND p.rn = s.rn
          ORDER BY p.doc_id""",
+    "q44_mac_discovery" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         conf AS (SELECT printf('28:6c:%02x:%02x',
+                    (user_id // 256) % 256, user_id % 256) AS mac_conf FROM u),
+         disc AS (
+           SELECT printf('28-6C-%02X-%02X',
+                    (user_id // 256) % 256, user_id % 256) AS mac
+           FROM u WHERE user_id % 4 <> 1
+           UNION ALL
+           SELECT printf('AA-BB-%02X-%02X',
+                    (user_id // 256) % 256, user_id % 256)
+           FROM u WHERE user_id % 5 = 0),
+         d AS (SELECT lower(replace(mac, '-', ':')) AS mac FROM disc)
+         SELECT mac, 'configured' AS status FROM d
+         WHERE mac IN (SELECT mac_conf FROM conf)
+         UNION ALL
+         SELECT mac, 'unknown' AS status FROM d
+         WHERE mac NOT IN (SELECT mac_conf FROM conf)
+         ORDER BY mac""",
+    "q45_tapo_offset" ->
+      """WITH m AS (SELECT DISTINCT user_id FROM events),
+         d AS (SELECT user_id, (user_id % 7) * 10.0 AS energyOffset FROM m),
+         c AS (SELECT user_id, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+               FROM events WHERE event_type = 'purchase'),
+         l AS (SELECT user_id, value AS cur, round(prev, 3) AS last_raw
+               FROM c WHERE rn = 1)
+         SELECT d.user_id,
+           round(CASE WHEN l.last_raw IS NOT NULL
+                       AND round(l.cur, 1) < round(l.last_raw, 1)
+             THEN d.energyOffset + l.last_raw
+             ELSE d.energyOffset END, 6) + 0.0 AS new_offset
+         FROM d JOIN l USING (user_id)
+         ORDER BY d.user_id""",
     "q39_sql_view" ->
       """WITH m AS (SELECT DISTINCT user_id FROM events),
          d AS (SELECT user_id,

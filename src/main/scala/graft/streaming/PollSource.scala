@@ -150,6 +150,167 @@ object PollSource {
           new java.sql.Timestamp(nowMillis), Seq(qtyPerPulse, 0.0), ""))
     }
 
+  /** S15 — Weewx pipeline: report-page HTML → `#current_widget`
+    * label/data rows → the value grammar (F1) → one reading per
+    * current-conditions row, all stamped with the page's `.lastupdate`
+    * wall-clock resolved through the site zone (P11)
+    * (WeewxLogger.cs:37-64). The ragged `Wind` row lands as a
+    * 2-element values array [speed, direction°] with a `;`-joined
+    * unit, exactly like the reference's variable-arity append.
+    */
+  def weewxReadingRows(
+      meterId: String, html: String,
+      zone: java.time.ZoneId): Seq[Ingest.Reading] = {
+    import graft.functions.{Html, Parsers}
+    Html.firstTextByClass(html, "lastupdate").toSeq.flatMap { stamp =>
+      val ts = new java.sql.Timestamp(
+        Parsers.weewxLastUpdateMicros(stamp, zone) / 1000L)
+      Html.widgetRows(html, "current_widget")
+        .flatMap { case (label, data) => Parsers.weewxParse(label, data) }
+        .map(i => Ingest.Reading(meterId, i.name, ts, i.values.toSeq, i.unit))
+    }
+  }
+
+  /** S15 — the station's doc mutation (WeewxLogger.cs:33-55):
+    * VendorInfo from the about-widget's Hardware row, Medium =
+    * "Weewx" + version.
+    */
+  def weewxStationInfo(html: String): Option[(String, String)] = {
+    val about = graft.functions.Html.widgetRows(html, "about_widget").toMap
+    for {
+      hw <- about.get("Hardware")
+      ver <- about.get("WeeWX version")
+    } yield (hw, "Weewx" + ver)
+  }
+
+  /** S14 — Tapo device_info identity (TapoLogger.cs:223-246):
+    * model/ip/mac plus the base64-encoded nickname decoded to UTF-8.
+    */
+  case class TapoInfo(model: String, ip: String, mac: String, nick: String)
+
+  def tapoDeviceInfo(json: String): Option[TapoInfo] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val r = mapper.readTree(json).path("device_info").path("result")
+      if (r.isMissingNode) None
+      else Some(TapoInfo(
+        r.path("model").asText,
+        r.path("ip").asText,
+        r.path("mac").asText,
+        graft.functions.Parsers.base64Utf8(r.path("nickname").asText)))
+    } catch { case _: Exception => None }
+  }
+
+  /** S14 — Tapo pipeline: subprocess JSON (device_info + energy_usage)
+    * → the PowerEnergy row the logger appends (TapoLogger.cs:64-85):
+    * [power_W, corrected_kWh, raw_kWh] with mW→W and Wh→kWh scaling,
+    * tag "W;kWh", timestamp truncated to seconds. `energyOffset` is
+    * the meter doc's rolling offset.
+    */
+  def tapoReadingRows(
+      meterId: String, json: String, tsMillis: Long,
+      energyOffset: Double): Seq[Ingest.Reading] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val e = mapper.readTree(json).path("energy_usage").path("result")
+      if (e.isMissingNode) Seq.empty
+      else {
+        val energyKwh = e.path("month_energy").asDouble / 1000.0
+        Seq(Ingest.Reading(meterId, "PowerEnergy",
+          new java.sql.Timestamp(tsMillis - tsMillis % 1000L),
+          Seq(e.path("current_power").asDouble / 1000.0,
+            energyKwh + energyOffset,
+            energyKwh),
+          "W;kWh"))
+      }
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  /** S14 — the Tapo monthly-reset offset law (TapoLogger.cs:88-107):
+    * month_energy resets to 0 at month start, so when the current
+    * reading dropped below the last stored RAW reading (both compared
+    * at 1 decimal; the last raw is first rounded to 3 like the
+    * reference's `Math.Round(..., 3)`), the last raw reading is FOLDED
+    * INTO the offset (`offset += last`) — unlike Kasa's `offset =
+    * last` lifetime-counter variant (Meters.energyOffsetUpdate).
+    * .NET Math.Round is banker's rounding → HALF_EVEN.
+    */
+  def tapoNewEnergyOffset(
+      lastRawKwh: Double, currentKwh: Double, offset: Double): Double = {
+    def r(x: Double, d: Int) =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val lastEnergyReading = r(lastRawKwh, 3)
+    if (r(currentKwh, 1) < r(lastEnergyReading, 1)) offset + lastEnergyReading
+    else offset
+  }
+
+  /** S9 — ebus pipeline: whole-tree JSON → the fixed heat-pump series
+    * map; each item carries the DEVICE's own lastup stamp, not the
+    * poll tick (EbusLogger.cs:70-87). Items whose path is absent are
+    * skipped (the reference logs and continues).
+    */
+  def ebusReadingRows(
+      meterId: String, json: String,
+      specs: Seq[graft.functions.EbusJson.ItemSpec] =
+        graft.functions.EbusJson.standardItems): Seq[Ingest.Reading] = {
+    import graft.functions.EbusJson
+    val tree = try EbusJson.parse(json) catch { case _: Exception => return Seq.empty }
+    specs.flatMap { spec =>
+      EbusJson.extract(tree, spec).map { case (tsMillis, value) =>
+        Ingest.Reading(meterId, spec.series,
+          new java.sql.Timestamp(tsMillis), Seq(value), spec.tag)
+      }
+    }
+  }
+
+  /** S9 — the per-item extra poll (EbusLogger.cs:89-101): of a meter's
+    * configured LogItems, only those due under the cadence law (W10)
+    * are fetched (`fetch` receives the maxage-bearing URL), and each
+    * reply is addressed at `path.Replace("/", ".messages.")`.
+    */
+  def ebusLogItemRows(
+      meterId: String, baseUrl: String,
+      items: Seq[(graft.functions.EbusJson.ItemSpec, Long)], // (spec with RAW path, readIntervalMillis)
+      lastRead: Map[String, Long],
+      nowMillis: Long,
+      fetch: String => String): Seq[Ingest.Reading] = {
+    import graft.functions.EbusJson
+    val due = Harness.dueItems(
+      items.map { case (s, interval) => (s.path, interval) }, lastRead, nowMillis).toSet
+    items.collect {
+      case (spec, intervalMillis) if due(spec.path) =>
+        val url = EbusJson.logItemUrl(baseUrl, spec.path, intervalMillis / 1000.0)
+        try {
+          ebusReadingRows(meterId, fetch(url),
+            Seq(EbusJson.logItemSpec(spec.path, spec.series, spec.childPath, spec.tag)))
+        } catch { case _: Exception => Seq.empty }
+    }.flatten
+  }
+
+  /** SDM Modbus pipeline (SdmLogger.cs:79-96): each configured
+    * register definition reads a 2-register pair, decodes the IEEE-754
+    * float (P7), rounds to 4 decimals (banker's, like .NET
+    * Math.Round), adds the per-register offset, and appends under the
+    * definition's series/tag with a seconds-truncated timestamp.
+    * `readPair` is the edge fetch (register → (hi, lo)); a failed read
+    * skips that register.
+    */
+  def sdmReadingRows(
+      meterId: String,
+      registers: Seq[graft.Meters.RegisterDef],
+      readPair: Int => Option[(Int, Int)],
+      tsMillis: Long): Seq[Ingest.Reading] = {
+    val ts = new java.sql.Timestamp(tsMillis - tsMillis % 1000L)
+    registers.flatMap { d =>
+      readPair(d.register).map { case (hi, lo) =>
+        val value = graft.functions.Parsers.registerPairToFloat(hi, lo)
+        val rounded = BigDecimal(value.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+        Ingest.Reading(meterId, d.seriesName, ts, Seq(rounded + d.offset), d.tag)
+      }
+    }
+  }
+
   /** S13 — Kasa pipeline: XOR-autokey ciphertext → JSON → the
     * (power W, energy kWh) reading the logger appends
     * (KasaLogger.cs:42-47). JSON field extraction is driver-free

@@ -163,6 +163,144 @@ class PollSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(next.map(_.ts.getTime) == Seq(19990L, 20000L))
   }
 
+  test("Weewx golden index.html drives the full table-scrape pipeline (S15)") {
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/TelemetryToRaven/Weewx/index.html"))
+    val zone = java.time.ZoneId.of("Europe/Amsterdam")
+    val rows = PollSource.weewxReadingRows("meters/WeatherStation", html, zone)
+    // the golden current-conditions table has 13 rows, all parseable
+    assert(rows.length == 13)
+    assert(rows.map(_.series) == Seq(
+      "OutsideTemperature", "HeatIndex", "WindChill", "DewPoint",
+      "OutsideHumidity", "Barometer", "Wind", "RainToday", "RainRate",
+      "UVIndex", "Radiation", "InsideTemperature", "InsideHumidity"))
+    // every reading carries the page's .lastupdate resolved as site-
+    // local wall time (22/04/22 08:23:00 CEST = 06:23:00Z)
+    val expectedTs = java.time.ZonedDateTime
+      .of(2022, 4, 22, 8, 23, 0, 0, zone).toInstant.toEpochMilli
+    assert(rows.map(_.ts.getTime).distinct == Seq(expectedTs))
+    val byName = rows.map(r => r.series -> r).toMap
+    // the ragged Wind row: 2-element values, ;-joined unit
+    assert(byName("Wind").values == Seq(0.9, 110.0))
+    assert(byName("Wind").tag == "m/s;°")
+    // Barometer's "(   N/A)" tail is rejected by the recursive grammar
+    assert(byName("Barometer").values == Seq(1010.5))
+    assert(byName("Barometer").tag == "mbar")
+    // a bare numeric row parses with empty unit
+    assert(byName("UVIndex").values == Seq(0.0) && byName("UVIndex").tag == "")
+    assert(byName("OutsideTemperature").values == Seq(10.2))
+    assert(byName("OutsideTemperature").tag == "°C")
+    // doc mutation from the about widget (WeewxLogger.cs:53-54)
+    assert(PollSource.weewxStationInfo(html)
+      .contains(("Renkforce WH2315", "Weewx4.7.0")))
+    // dynamic first-sight registration (name → description [unit])
+    val regs = Parsers.weewxSeriesRegistrations(
+      graft.functions.Html.widgetRows(html, "current_widget")).toMap
+    assert(regs("Wind") == Seq("Wind [m/s;°]"))
+    assert(regs("OutsideTemperature") == Seq("Outside Temperature [°C]"))
+  }
+
+  test("Tapo golden tapo.json drives device info + PowerEnergy append (S14)") {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/TelemetryTests/tapo.json"))
+    val info = PollSource.tapoDeviceInfo(json).get
+    assert(info.model == "P115")
+    assert(info.mac == "34-60-F9-3A-41-17")
+    assert(Parsers.canonicalMac(info.mac) == "34:60:f9:3a:41:17")
+    assert(info.nick == "Test") // base64 "VGVzdA=="
+    val rows = PollSource.tapoReadingRows("meters/fridge", json,
+      tsMillis = 1666036462789L, energyOffset = 100.0)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.series == "PowerEnergy" && r.tag == "W;kWh")
+    // month_energy 26 Wh → 0.026 kWh; current_power 0 mW → 0 W;
+    // values = [power_W, corrected_kWh, raw_kWh] (TapoLogger.cs:78-82)
+    assert(r.values == Seq(0.0, 100.026, 0.026))
+    assert(r.ts.getTime == 1666036462000L) // truncated to seconds
+  }
+
+  test("Tapo monthly-reset offset law folds the last raw reading in (S14)") {
+    // month rolled over: counter dropped 52.41667 → 0.3 ⇒ offset += round(last, 3)
+    assert(PollSource.tapoNewEnergyOffset(52.41667, 0.3, 10.0) == 10.0 + 52.417)
+    // no reset: counter still climbing ⇒ offset unchanged
+    assert(PollSource.tapoNewEnergyOffset(52.41667, 52.5, 10.0) == 10.0)
+    // comparison at 1 decimal: a sub-0.05 dip is not a reset
+    assert(PollSource.tapoNewEnergyOffset(1.24, 1.21, 0.0) == 0.0)
+    // .NET Math.Round is banker's: 1.25 → 1.2 at 1 decimal, so a
+    // current of 1.24 (→1.2) is NOT below it
+    assert(PollSource.tapoNewEnergyOffset(1.25, 1.24, 0.0) == 0.0)
+  }
+
+  test("ebus whole-tree poll maps present paths through the series map (S9)") {
+    val tree =
+      """{"broadcast":{"messages":{"outsidetemp":
+        |   {"lastup":1650000000.0,"fields":{"temp2":{"value":11.188}}}}},
+        | "hmu":{"messages":{
+        |   "FlowTemp":{"lastup":1650000010,"fields":{"0":{"value":27.5}}},
+        |   "State":{"lastup":1650000020,"fields":{
+        |     "0":{"value":30},"1":{"value":5},"2":{"value":1},"3":{"value":2}}}}},
+        | "720":{"messages":{
+        |   "z1RoomTemp":{"lastup":1650000030,"fields":{"tempv":{"value":20.62}}}}}}
+        |""".stripMargin
+    val rows = PollSource.ebusReadingRows("meters/ebus", tree)
+    // only the paths present in the tree land; absent items skip
+    assert(rows.map(_.series) == Seq("OutsideTemp", "FlowTemperature",
+      "Modulation", "ThermalEnergyToday", "onoff", "State", "RoomTemperature"))
+    val byName = rows.map(r => r.series -> r).toMap
+    // each record carries the DEVICE's lastup stamp, not a poll tick
+    assert(byName("OutsideTemp").ts.getTime == 1650000000000L)
+    assert(byName("OutsideTemp").values == Seq(11.188))
+    assert(byName("OutsideTemp").tag == "°C")
+    // State fans out into four series off distinct field indices
+    assert(byName("Modulation").values == Seq(30.0))
+    assert(byName("ThermalEnergyToday").values == Seq(5.0))
+    assert(byName("ThermalEnergyToday").tag == "*100W")
+    assert(byName("onoff").tag == null) // reference appends a null tag
+    assert(byName("RoomTemperature").ts.getTime == 1650000030000L)
+  }
+
+  test("ebus extra LogItems poll through the cadence law and maxage URL (S9/W10)") {
+    import graft.functions.EbusJson
+    val fanJson =
+      """{"hmu":{"messages":{"Fan1":
+        |  {"lastup":1650000040,"fields":{"0":{"value":1450.0}}}}}}""".stripMargin
+    var fetched = Vector.empty[String]
+    val items = Seq(
+      (EbusJson.ItemSpec("hmu/Fan1", "Fan", "fields.0.value", ""), 300000L),
+      (EbusJson.ItemSpec("hmu/Yield", "Yield", "fields.0.value", "kWh"), 3600000L))
+    val now = 1650000100000L
+    val rows = PollSource.ebusLogItemRows("meters/ebus",
+      "http://localhost:8889/data", items,
+      // Fan1 never read → due; Yield read 10 min ago < 0.8·1h → not due
+      lastRead = Map("hmu/Yield" -> (now - 600000L)),
+      nowMillis = now,
+      fetch = url => { fetched :+= url; fanJson })
+    // maxage = 80% of the item's own interval (EbusLogger.cs:92)
+    assert(fetched == Vector("http://localhost:8889/data/hmu/Fan1?maxage=240"))
+    assert(rows.map(r => (r.series, r.values, r.ts.getTime)) ==
+      Seq(("Fan", Seq(1450.0), 1650000040000L)))
+  }
+
+  test("SDM register pipeline decodes float pairs with offset and rounding") {
+    def bits(f: Float): (Int, Int) = {
+      val b = java.lang.Float.floatToIntBits(f)
+      ((b >>> 16) & 0xffff, b & 0xffff)
+    }
+    val image = Map(12 -> bits(230.25f), 72 -> bits(1234.5678f))
+    val regs = Seq(
+      graft.Meters.RegisterDef(12, "Power", "W", 0.0),
+      graft.Meters.RegisterDef(72, "Energy", "kWh", 10.0),
+      graft.Meters.RegisterDef(99, "Missing", "", 0.0)) // failed read skips
+    val rows = PollSource.sdmReadingRows("meters/sdm", regs, image.get, 1650000123456L)
+    assert(rows.map(_.series) == Seq("Power", "Energy"))
+    val byName = rows.map(r => r.series -> r).toMap
+    assert(byName("Power").values == Seq(230.25))
+    assert(byName("Power").tag == "W")
+    // float 1234.5678f widens to 1234.5677490234375 → round4 → + offset
+    assert(byName("Energy").values == Seq(1234.5677 + 10.0))
+    assert(rows.map(_.ts.getTime).distinct == Seq(1650000123000L))
+  }
+
   test("a failing poll cycle drops the batch instead of the stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
