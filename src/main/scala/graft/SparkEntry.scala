@@ -183,6 +183,18 @@ object SparkEntry {
           round(TextOps.avgTokenLength(col("text")), 6).as("avg_token_len"))
         .orderBy(col("doc_id"))
     }),
+    // Text analysis — subword-ish token counting (BPE pretokenizer
+    // shape): the cheap no-vocabulary proxy for tokenizer emission
+    // counts, plus the chars-per-token compression ratio.
+    "q46_subword_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_subword"),
+          round(length(col("text")).cast("double") /
+            TextOps.bpeTokenCount(col("text")), 6).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
     // Text analysis — quality scoring (stopword / punctuation ratios)
     "q15_quality" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -716,6 +728,14 @@ object SparkEntry {
            round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
            round(list_sum(list_transform(w, t -> length(t)::BIGINT))::DOUBLE / len(w), 6)
              AS avg_token_len
+         FROM t ORDER BY doc_id""",
+    "q46_subword_tokens" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT AS n_sub
+           FROM documents)
+         SELECT doc_id, len(w) AS n_ws_tokens, n_sub AS n_subword,
+           round(length(text)::DOUBLE / n_sub, 6) + 0.0 AS chars_per_token
          FROM t ORDER BY doc_id""",
     "q15_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

@@ -16,6 +16,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pretokenizer count: the GPT-2 pretokenizer's shape
+    * reduced to three portable alternations — letter runs, digit runs,
+    * and punctuation runs, each absorbing one leading space. Counts
+    * subword-ish units without a vocabulary (the standard cheap proxy
+    * for "how many tokens will the tokenizer emit"), as a single
+    * codegen'd regexp_count — scan speed, no shuffle, and the same
+    * pattern runs verbatim in the DuckDB oracle.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
   /** Distinct-token ratio — low values indicate repetitive/spammy text. */
   def distinctTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))

@@ -219,6 +219,30 @@ class PollSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.ts.getTime == 1666036462000L) // truncated to seconds
   }
 
+  test("poll cycles stream through the Tapo JSON decoder (S14 connector shape)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/TelemetryTests/tapo.json"))
+    val ticks = MemoryStream[Long]
+    val readings = PollSource.decodePollCycles(
+      ticks.toDS(),
+      poll = _ => json.getBytes("UTF-8"), // fake subprocess edge
+      decode = raw => PollSource.tapoReadingRows(
+        "meters/fridge", new String(raw, "UTF-8"), 60000L, 0.5))
+    val q = readings.writeStream.format("memory").queryName("tapo_rows")
+      .outputMode("append").start()
+    try {
+      ticks.addData(0L, 1L, 2L)
+      q.processAllAvailable()
+      val rows = spark.table("tapo_rows").collect()
+      assert(rows.length == 3) // one PowerEnergy row per cycle
+      assert(rows.forall(_.getAs[String]("series") == "PowerEnergy"))
+      assert(rows.forall(_.getAs[scala.collection.Seq[Double]]("values") ==
+        Seq(0.0, 0.526, 0.026)))
+    } finally q.stop()
+  }
+
   test("Tapo monthly-reset offset law folds the last raw reading in (S14)") {
     // month rolled over: counter dropped 52.41667 → 0.3 ⇒ offset += round(last, 3)
     assert(PollSource.tapoNewEnergyOffset(52.41667, 0.3, 10.0) == 10.0 + 52.417)
