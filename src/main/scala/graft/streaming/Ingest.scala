@@ -74,6 +74,11 @@ object Ingest {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (meterId: String, rows: Iterator[Reading], state: GroupState[InterpState]) =>
           var st = state.getOption.getOrElse(InterpState(Long.MinValue, Double.NaN, 0.0))
+          // toSeq.sortBy buffers ONE (micro-batch × key) group — bounded
+          // by trigger size for a rate-limited source (maxFilesPerTrigger
+          // / maxOffsetsPerTrigger), NOT by the stream; an unthrottled
+          // replay of deep history must set a trigger limit or this
+          // buffer grows with the batch.
           val out = rows.toSeq.sortBy(_.ts.getTime).iterator.map { r =>
             val tsMicros = r.ts.getTime * 1000L
             val p = r.values.head
@@ -109,6 +114,8 @@ object Ingest {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (meterId: Long, rows: Iterator[Battery.Point], state: GroupState[Battery.State]) =>
           var st = state.getOption.getOrElse(Battery.initialState)
+          // bounded by (micro-batch × key) under a trigger limit — see
+          // the interpolateEnergy note above
           val out = rows.toSeq.sortBy(_.tsMicros).map { pt =>
             st = Battery.step(st, pt.tsMicros, pt.energyKwh, params)
             BatterySnapshot(meterId, pt.tsMicros, st.socKwh,
