@@ -258,6 +258,14 @@ object SparkEntry {
         .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // Training-data op — corpus clustering readout: the deterministic
+    // k-means index summarized per cell (member count, mean/min cosine
+    // to centroid) — the curation view that flags modality gaps and
+    // outlier documents before training.
+    "q47_embedding_clusters" -> ((s, dir) => {
+      Similarity.clusterSummary(Tables.embeddings(s, dir), numCells = 8, iters = 2)
+        .orderBy(col("cell"))
+    }),
     // W1/W2 — battery zero-export simulation (ZeroExport.cs:34-73): an
     // ordered non-commutative fold per meter. The oracle replays the
     // same recurrence as a DuckDB recursive CTE stepping rn→rn+1.
@@ -874,6 +882,56 @@ object SparkEntry {
                FROM s)
          SELECT qid, nid, round(cos, 6) + 0.0 AS cos, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+    // Identical Lloyd recurrence as q23 (seed = first 8 vectors, two
+    // assign/mean steps with 6-decimal centroid rounding), summarized
+    // per final cell instead of searched.
+    "q47_embedding_clusters" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         scored AS (
+           SELECT m.cell,
+             list_inner_product(m.v, c.cv) /
+             (sqrt(list_inner_product(m.v, m.v)) *
+              sqrt(list_inner_product(c.cv, c.cv))) AS cos
+           FROM members m JOIN cent2 c ON m.cell = c.cid)
+         SELECT cell, count(*) AS n_members,
+           round(avg(cos), 6) + 0.0 AS avg_cos,
+           round(min(cos), 6) + 0.0 AS min_cos
+         FROM scored GROUP BY cell ORDER BY cell""",
     "q24_battery_sim" ->
       """WITH RECURSIVE perMin AS (
            SELECT user_id, date_trunc('minute', ts) AS bucket,

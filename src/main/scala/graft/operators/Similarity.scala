@@ -208,6 +208,35 @@ object Similarity {
         (col("_p") + 1).as("probe"))
   }
 
+  /** Corpus-clustering readout over the embedding column: the k-means
+    * index (same deterministic Lloyd recurrence the IVF search builds)
+    * summarized per cluster — member count, mean and minimum cosine to
+    * the centroid. The standard curation view for a training corpus:
+    * undersized cells flag modality gaps, low min-cosine flags
+    * outliers/noise documents. Assignment is map-only against literal
+    * centroids; the summary is one narrow aggregation keyed by cell,
+    * so the readout scales with the vector count at any corpus size.
+    */
+  def clusterSummary(
+      vectors: DataFrame, numCells: Int = 8, iters: Int = 2): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val cent = kmeansCentroids(vectors, numCells, iters)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val centDf = cent.toDF("cell", "cv")
+      .withColumn("c_nrm", l2norm(col("cv")))
+    assignCells(
+        vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        cent, probes = 1)
+      .withColumn("v_nrm", l2norm(col("v")))
+      .join(broadcast(centDf), "cell")
+      .select(col("cell"),
+        (dot_product(col("v"), col("cv")) / (col("v_nrm") * col("c_nrm"))).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos")), 6).as("avg_cos"),
+        round(min(col("cos")), 6).as("min_cos"))
+  }
+
   /** IVF top-k with a real k-means index and query-side multiprobe:
     * vectors live in their single nearest cell; each query probes its
     * `probes` nearest cells and ranks exact cosine within them. The
