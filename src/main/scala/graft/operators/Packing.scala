@@ -95,8 +95,14 @@ object Packing {
       spark: SparkSession,
       targetShardBytes: Long = 64L << 20): Int = {
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    // unknown stats (sizeInBytes = 2^63 sentinel overflowing Long) fall
+    // back to the cluster's parallelism — never to a degenerate huge
+    // shard count (one-doc shards would put every document in bin 0);
+    // known sizes cap at 1e6 shards.
     val byStats =
-      if (bytes.isValidLong) (bytes.toLong / targetShardBytes).toInt else Int.MaxValue
+      if (bytes.isValidLong)
+        math.min(bytes.toLong / targetShardBytes, 1000000L).toInt
+      else 0
     math.max(spark.sparkContext.defaultParallelism, byStats)
   }
 

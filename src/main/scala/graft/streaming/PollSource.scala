@@ -215,10 +215,16 @@ object PollSource {
       val e = mapper.readTree(json).path("energy_usage").path("result")
       if (e.isMissingNode) Seq.empty
       else {
-        val energyKwh = e.path("month_energy").asDouble / 1000.0
+        // absent fields are NaN like the reference's `?? double.NaN`
+        // (TapoLogger.cs:232-233), not silently 0
+        def d(field: String): Double = {
+          val n = e.path(field)
+          if (n.isNumber) n.asDouble else Double.NaN
+        }
+        val energyKwh = d("month_energy") / 1000.0
         Seq(Ingest.Reading(meterId, "PowerEnergy",
           new java.sql.Timestamp(tsMillis - tsMillis % 1000L),
-          Seq(e.path("current_power").asDouble / 1000.0,
+          Seq(d("current_power") / 1000.0,
             energyKwh + energyOffset,
             energyKwh),
           "W;kWh"))
