@@ -138,6 +138,13 @@ object Meters {
     * the offset carries the sum of all completed months. Same
     * single-shuffle lag shape as energyOffsetUpdate; broadcast doc
     * side.
+    *
+    * Rounding: Spark/DuckDB `round` is half-away-from-zero, .NET
+    * Math.Round is banker's — this batch twin keeps the engines'
+    * native mode so the oracle stays bit-exact, and diverges from the
+    * reference (and from the .NET-faithful streaming law
+    * PollSource.tapoNewEnergyOffset) only at exact decimal midpoints,
+    * measure-zero on real meter readings.
     */
   def tapoOffsetUpdate(
       meters: DataFrame,

@@ -18,17 +18,23 @@ object Html {
     "apos" -> "'", "nbsp" -> " ", "deg" -> "°",
     "diams" -> "♦", "sup2" -> "²", "sup3" -> "³")
 
-  private val entityRegex: Regex = """&(#x?[0-9a-fA-F]+|[a-zA-Z]+);""".r
+  private val entityRegex: Regex = """&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);""".r
 
+  /** Entity decode that never throws: malformed or out-of-range
+    * references (overflow digits, invalid code points) pass through
+    * verbatim instead of aborting the whole page scrape.
+    */
   def decodeEntities(s: String): String =
     entityRegex.replaceAllIn(s, m => {
       val body = m.group(1)
       val out =
-        if (body.startsWith("#x") || body.startsWith("#X"))
-          Character.toString(Integer.parseInt(body.drop(2), 16))
-        else if (body.startsWith("#"))
-          Character.toString(body.drop(1).toInt)
-        else namedEntities.getOrElse(body, m.matched)
+        try {
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            Character.toString(Integer.parseInt(body.drop(2), 16))
+          else if (body.startsWith("#"))
+            Character.toString(body.drop(1).toInt)
+          else namedEntities.getOrElse(body, m.matched)
+        } catch { case _: IllegalArgumentException => m.matched }
       Regex.quoteReplacement(out)
     })
 

@@ -47,8 +47,15 @@ object Dedup {
       .agg(min(col("__id")).as("keeper"), count(lit(1)).as("n_copies"))
     val singles = byHash.filter(col("n_copies") === 1)
       .select(col("keeper"), col("n_copies"))
+    // broadcast the candidate-hash list so the text-bearing side stays
+    // map-side: without the hint a planner mis-estimate could pick a
+    // sort-merge join and shuffle ALL text — the exact thing this plan
+    // exists to avoid. The broadcast is 8 bytes per DUPLICATED distinct
+    // text; a corpus degenerate enough to overflow it (billions of
+    // distinct duplicated texts) should use the one-phase
+    // groupBy(text) instead, which that data shape makes optimal.
     val verified = h
-      .join(byHash.filter(col("n_copies") > 1).select(col("__h")), "__h")
+      .join(broadcast(byHash.filter(col("n_copies") > 1).select(col("__h"))), "__h")
       .groupBy(col("__h"), col("__text"))
       .agg(min(col("__id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"))
@@ -117,7 +124,13 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 100000): DataFrame = {
     val rows = numHashes / bands
-    val hashed = hashedShingles(df, idCol, textCol, shingleN).cache()
+    // deliberately NOT cached: the hashed-shingle frame feeds three
+    // branches, and recomputing a codegen'd hash projection per branch
+    // is the scale-correct trade — a stateless lazy plan keeps full
+    // lineage fault tolerance, leaks nothing into a shared session,
+    // and at 100 TB the shingle set would never fit a cache anyway
+    // (round-2 shipped cache()+eager checkpoint here; both reverted).
+    val hashed = hashedShingles(df, idCol, textCol, shingleN)
     val sig = hashed.select(col("doc_id"),
       minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
     // Hot-bucket cap: a (band, bandsig) bucket of B members yields
@@ -145,28 +158,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val out = cand
+    cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
-    finalizeAndUnpersist(out, hashed)
-  }
-
-  /** Materialize the (small) result of a cached multi-branch plan,
-    * then release the cache: localCheckpoint executes the plan once
-    * while the cache is hot and pins only the OUTPUT blocks (pair
-    * lists — bounded by result size, cleaned by the ContextCleaner
-    * when the frame is dropped); the big input cache is unpersisted
-    * immediately, so a long-running session serving many queries holds
-    * no leaked shingle/vector caches.
-    */
-  private[operators] def finalizeAndUnpersist(
-      result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist(false))
-    out
   }
 
   /** Benchmark-contamination check: documents sharing at least one word
@@ -239,8 +236,7 @@ object Dedup {
       org.apache.spark.sql.graft.Signatures
         .shingle_hashes(split(col(textCol), " "), shingleN).as("shh"),
       simhashChunks(col(textCol), nChunks).as("sig"))
-      .filter(size(col("shh")) > 0)
-      .cache()
+      .filter(size(col("shh")) > 0) // multi-branch, uncached on purpose — see minhashLsh
     val buckets = base.select(col("doc_id"), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "chunkval")))
     val cand = buckets.as("a")
@@ -251,12 +247,11 @@ object Dedup {
           hammingChunks(col("a.sig"), col("b.sig")) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val out = cand
+    cand
       .join(base.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
       .join(base.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
       .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
-    finalizeAndUnpersist(out, base)
   }
 }

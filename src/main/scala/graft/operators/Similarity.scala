@@ -120,7 +120,8 @@ object Similarity {
       rowsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graft.Signatures.hyperplane_bands
-    val v = normed(vectors, "id", "v").cache()
+    // uncached multi-branch plan on purpose — see Dedup.minhashLsh
+    val v = normed(vectors, "id", "v")
     val banded = v.select(col("id"),
       posexplode(hyperplane_bands(col("v"), bands, rowsPerBand, seed))
         .as(Seq("band", "bandval")))
@@ -137,7 +138,7 @@ object Similarity {
       .select(col("i"), col("j"),
         (dot_product(col("va"), col("vb")) / (col("va_nrm") * col("vb_nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
-    Dedup.finalizeAndUnpersist(out, v)
+    out
   }
 
   /** Deterministic Lloyd k-means over the embedding column: seed
@@ -153,6 +154,17 @@ object Similarity {
     */
   def kmeansCentroids(
       vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    kmeansCentroidSeq(vectors, numCells, iters).toDF("cid", "cv")
+  }
+
+  /** The centroid set as the driver-side Seq the Lloyd loop already
+    * holds — what the search/summary callers consume directly (no
+    * round-trip through a literal DataFrame and back).
+    */
+  def kmeansCentroidSeq(
+      vectors: DataFrame, numCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // cached across the Lloyd iterations — each step re-scans the full
@@ -180,9 +192,9 @@ object Similarity {
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
     // the Lloyd loop is the only consumer of the cached decode — the
-    // returned centroid frame is driver-side literals
+    // returned centroids are driver-side literals
     v.unpersist(false)
-    cent.toDF("cid", "cv")
+    cent
   }
 
   /** Assign each (vec_id, v) row to its `probes` highest-cosine
@@ -220,8 +232,7 @@ object Similarity {
   def clusterSummary(
       vectors: DataFrame, numCells: Int = 8, iters: Int = 2): DataFrame = {
     import vectors.sparkSession.implicits._
-    val cent = kmeansCentroids(vectors, numCells, iters)
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cent = kmeansCentroidSeq(vectors, numCells, iters)
     val centDf = cent.toDF("cell", "cv")
       .withColumn("c_nrm", l2norm(col("cv")))
     assignCells(
@@ -254,8 +265,7 @@ object Similarity {
       iters: Int = 2,
       probes: Int = 2): DataFrame = {
     import vectors.sparkSession.implicits._
-    val cent = kmeansCentroids(vectors, numCells, iters)
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cent = kmeansCentroidSeq(vectors, numCells, iters)
     val members = assignCells(
       vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")), cent, probes = 1)
       .withColumn("vnrm", l2norm(col("v")))

@@ -188,8 +188,11 @@ object PollSource {
     */
   case class TapoInfo(model: String, ip: String, mac: String, nick: String)
 
+  // one mapper per JVM — ObjectMapper construction is Jackson's most
+  // expensive operation and these decoders run once per poll tick
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def tapoDeviceInfo(json: String): Option[TapoInfo] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
       val r = mapper.readTree(json).path("device_info").path("result")
       if (r.isMissingNode) None
@@ -210,7 +213,6 @@ object PollSource {
   def tapoReadingRows(
       meterId: String, json: String, tsMillis: Long,
       energyOffset: Double): Seq[Ingest.Reading] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
       val e = mapper.readTree(json).path("energy_usage").path("result")
       if (e.isMissingNode) Seq.empty
@@ -325,7 +327,6 @@ object PollSource {
   def kasaReadingRows(
       meterId: String, ciphertext: Array[Byte], tsMillis: Long): Seq[Ingest.Reading] = {
     val json = graft.functions.Parsers.kasaDecrypt(ciphertext)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
       val node = mapper.readTree(json)
       val emeter = node.path("emeter").path("get_realtime")

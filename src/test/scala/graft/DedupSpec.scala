@@ -45,11 +45,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val plan = Dedup.exactDedup(docs, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
-    // the singles branch aggregates on the 8-byte hash only; __text may
-    // appear solely in the duplicate-verify branch (join + regroup)
-    val singlesBranch = plan.split("(?m)^Union").head
-    assert(!singlesBranch.contains("__text"), plan.take(3000))
+      .queryExecution.executedPlan.toString
+    // phase 1 must show a map-side partial aggregate keyed on the
+    // 8-byte hash ALONE whose node (incl. its output= list, i.e. what
+    // the exchange carries) never mentions the text column — the
+    // verify branch's regroup keys on (__h, __text) and would not
+    // match this predicate
+    val phase1 = plan.linesIterator.find(l =>
+      l.contains("partial_min") && l.contains("keys=[__h#") &&
+        !l.contains("__text"))
+    assert(phase1.nonEmpty, plan.take(3000))
   }
 
   test("LSH hot-bucket cap drops degenerate buckets, keeps distinct near-dups") {
