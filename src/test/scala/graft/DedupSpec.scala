@@ -57,6 +57,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(phase1.nonEmpty, plan.take(3000))
   }
 
+  test("similarity/dedup queries leave no cached RDDs in a shared session") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q19_minhash_lsh", "q20_simhash_neardup",
+        "q22_embedding_neardup", "q23_ivf_topk", "q47_embedding_clusters")) {
+      SparkEntry.queries(q)(spark, sf).count()
+    }
+    // a long-running session serving many queries must not accumulate
+    // cache: the LSH plans are stateless, and the k-means Lloyd loop
+    // unpersists its scoped cache before returning
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
+  }
+
   test("LSH hot-bucket cap drops degenerate buckets, keeps distinct near-dups") {
     val s = spark; import s.implicits._
     // 40 byte-identical boilerplate docs: every band is a hot bucket of
