@@ -126,14 +126,18 @@ object SparkEntry {
         .select(col("event_id"), round(col("corrected"), 6).as("corrected"))
         .orderBy(col("event_id"))
     }),
-    // TPC-H Q1 shape — multi-agg scan (engine bread and butter)
+    // TPC-H Q1 shape — multi-agg scan (engine bread and butter).
+    // Money/quantity SUMS round to 2 decimals (TPC-H answer precision):
+    // 6 decimals on a 5e9-magnitude sum asks for 16 significant digits,
+    // past IEEE-754 double precision, so cross-engine summation order
+    // flips the last rounded digit at sf >= 0.1.
     "q10_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 6).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -148,7 +152,7 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -161,7 +165,7 @@ object SparkEntry {
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .orderBy(col("rev").desc, col("l_partkey"))
         .limit(10)
-        .select(col("l_partkey"), col("p_name"), round(col("rev"), 6).as("revenue"))
+        .select(col("l_partkey"), col("p_name"), round(col("rev"), 2).as("revenue"))
     }),
     // As-of join — latest purchase value at-or-before each click, per user
     "q13_asof" -> ((s, dir) => {
@@ -700,15 +704,15 @@ object SparkEntry {
          FROM r ORDER BY event_id""",
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 6) AS sum_qty,
-         round(sum(l_extendedprice), 6) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
          round(avg(l_quantity), 6) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q11_revenue_by_nation" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -720,7 +724,7 @@ object SparkEntry {
            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
            FROM lineitem GROUP BY 1
          )
-         SELECT l_partkey, p_name, round(rev, 6) AS revenue
+         SELECT l_partkey, p_name, round(rev, 2) AS revenue
          FROM r JOIN part ON l_partkey = p_partkey
          ORDER BY rev DESC, l_partkey LIMIT 10""",
     "q13_asof" ->
