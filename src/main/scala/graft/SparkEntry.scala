@@ -376,6 +376,19 @@ object SparkEntry {
           sum(col("checksum")).as("total_checksum"))
         .orderBy(col("kind"))
     }),
+    // Multimodal — aspect-preserving resize: integer-only target
+    // geometry + per-partition batched payload compaction (thumbnails
+    // shuffle, originals never do).
+    "q48_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("kind"), col("payload"),
+          ((col("media_id") % 8 + 1) * 64).cast("long").as("w"),
+          ((col("media_id") % 5 + 1) * 48).cast("long").as("h"))
+      Multimodal.resizeToFit(media, maxDim = 128)(s).toDF()
+        .select(col("media_id"), col("kind"), col("out_w"), col("out_h"),
+          col("n_bytes_out"))
+        .orderBy(col("media_id"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -1040,6 +1053,25 @@ object SparkEntry {
            round(avg(luma), 6) AS avg_first_byte,
            sum(checksum)::BIGINT AS total_checksum
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q48_multimodal_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+             octet_length(encode(text))::BIGINT AS nb,
+             ((doc_id % 8 + 1) * 64)::BIGINT AS w,
+             ((doc_id % 5 + 1) * 48)::BIGINT AS h
+           FROM documents),
+         g AS (
+           SELECT media_id, kind, nb, w, h,
+             CASE WHEN greatest(w, h) <= 128 THEN w
+                  ELSE w * 128 // greatest(w, h) END AS out_w,
+             CASE WHEN greatest(w, h) <= 128 THEN h
+                  ELSE h * 128 // greatest(w, h) END AS out_h
+           FROM m)
+         SELECT media_id, kind, out_w, out_h,
+           CASE WHEN w * h = 0 THEN 0
+                ELSE nb * (out_w * out_h) // (w * h) END AS n_bytes_out
+         FROM g ORDER BY media_id""",
     "q33_topk_per_group" ->
       """WITH r AS (
            SELECT user_id, event_id, value,

@@ -91,4 +91,44 @@ object Multimodal {
     */
   def sampleFrameIndexes(nFrames: Int, stride: Int): Seq[Int] =
     0 until nFrames by stride
+
+  case class SizedMediaRow(
+      media_id: Long, kind: String, payload: Array[Byte], w: Long, h: Long)
+
+  case class ResizedMedia(
+      media_id: Long, kind: String, out_w: Long, out_h: Long,
+      n_bytes_out: Long, payload_out: Array[Byte])
+
+  /** Aspect-preserving fit-within-`maxDim` resize: the target geometry
+    * is INTEGER-ONLY metadata math (`w·maxDim div max(w,h)`), evaluated
+    * as column expressions so the planning side runs at scan speed and
+    * mirrors bit-exactly in SQL; the pixel work is the per-partition
+    * batched stub (here: a proportional byte slice standing in for a
+    * real scaler — same signature, same batch shape). Payload bytes
+    * are sliced before anything shuffles, so downstream stages move
+    * thumbnails, not originals — at 100 TB the resize is the payload
+    * COMPACTION step and must come before the first exchange.
+    */
+  def resizeToFit(
+      media: DataFrame, // (media_id, kind, payload, w, h)
+      maxDim: Int, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[SizedMediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real scaler would process `batch` as one codec call
+        batch.iterator.map { r =>
+          val longest = math.max(r.w, r.h)
+          val (ow, oh) =
+            if (longest <= maxDim) (r.w, r.h)
+            else (r.w * maxDim / longest, r.h * maxDim / longest)
+          val nOut =
+            if (r.w * r.h == 0) 0L
+            else r.payload.length.toLong * (ow * oh) / (r.w * r.h)
+          ResizedMedia(r.media_id, r.kind, ow, oh, nOut,
+            r.payload.take(nOut.toInt))
+        }
+      }
+    }
+  }
 }
