@@ -38,20 +38,25 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = names.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      // only successful executions count toward the median; a query
+      // that throws must surface as -1, not as a near-zero time that
+      // LOWERS the total (a broken query would read as a speedup)
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }.sorted
       // true median (mean of middle two when the repeat count is even)
       val median =
-        if (times.size % 2 == 1) times(times.size / 2)
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries (-1 markers) are excluded from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

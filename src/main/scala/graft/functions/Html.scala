@@ -18,7 +18,9 @@ object Html {
     "apos" -> "'", "nbsp" -> " ", "deg" -> "°",
     "diams" -> "♦", "sup2" -> "²", "sup3" -> "³")
 
-  private val entityRegex: Regex = """&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);""".r
+  // named entities may carry trailing digits (&sup2; &sup3; &frac12;)
+  private val entityRegex: Regex =
+    """&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);""".r
 
   /** Entity decode that never throws: malformed or out-of-range
     * references (overflow digits, invalid code points) pass through

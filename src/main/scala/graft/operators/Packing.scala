@@ -95,12 +95,15 @@ object Packing {
       spark: SparkSession,
       targetShardBytes: Long = 64L << 20): Int = {
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    // unknown stats (sizeInBytes = 2^63 sentinel overflowing Long) fall
-    // back to the cluster's parallelism — never to a degenerate huge
-    // shard count (one-doc shards would put every document in bin 0);
-    // known sizes cap at 1e6 shards.
+    // Unknown stats fall back to the cluster's parallelism — never to
+    // a degenerate huge shard count (one-doc shards would put every
+    // document alone in bin 0). "Unknown" includes Spark's
+    // spark.sql.defaultSizeInBytes sentinel, which is Long.MaxValue
+    // EXACTLY (a valid Long — isValidLong alone does not catch it);
+    // anything at or above 2^60 bytes (an exabyte) is treated as a
+    // sentinel, not a measurement. Known sizes cap at 1e6 shards.
     val byStats =
-      if (bytes.isValidLong)
+      if (bytes.isValidLong && bytes.toLong < (1L << 60))
         math.min(bytes.toLong / targetShardBytes, 1000000L).toInt
       else 0
     math.max(spark.sparkContext.defaultParallelism, byStats)

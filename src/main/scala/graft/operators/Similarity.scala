@@ -152,17 +152,6 @@ object Similarity {
     * iteration is one broadcast join + one narrow aggregation, so the
     * index build scales with the vector count, not pairs.
     */
-  def kmeansCentroids(
-      vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    kmeansCentroidSeq(vectors, numCells, iters).toDF("cid", "cv")
-  }
-
-  /** The centroid set as the driver-side Seq the Lloyd loop already
-    * holds — what the search/summary callers consume directly (no
-    * round-trip through a literal DataFrame and back).
-    */
   def kmeansCentroidSeq(
       vectors: DataFrame, numCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = vectors.sparkSession
@@ -198,11 +187,14 @@ object Similarity {
   }
 
   /** Assign each (vec_id, v) row to its `probes` highest-cosine
-    * centroids. The centroid set is a driver-side literal, so the
-    * argmax is a pure column expression evaluated INSIDE the scan — no
-    * crossJoin, no window shuffle; at any vector count the assignment
-    * is map-only. Ties on exactly-equal cosines order by cid
-    * descending (measure-zero on continuous embeddings).
+    * centroids, carrying the winning cosine as `sim`. The centroid set
+    * is a driver-side literal, so the argmax is a pure column
+    * expression evaluated INSIDE the scan — no crossJoin, no window
+    * shuffle; at any vector count the assignment is map-only. Ties on
+    * exactly-equal cosines (possible only with duplicate centroids)
+    * break toward the LOWER cid — the order every DuckDB oracle's
+    * `ORDER BY cos DESC, cid` mirror encodes — via a negated-cid sort
+    * field.
     */
   def assignCells(
       v: DataFrame, centroids: Seq[(Long, Seq[Double])], probes: Int): DataFrame = {
@@ -211,13 +203,14 @@ object Similarity {
       val cnrm = math.sqrt(cv.map(x => x * x).sum)
       struct(
         (dot_product(col("v"), typedLit(cv)) / (col("_vnrm") * lit(cnrm))).as("sim"),
+        lit(-cid).as("nc"), // desc sort on -cid = cid ascending
         lit(cid).as("cid"))
     }
     v.withColumn("_vnrm", l2norm(col("v")))
       .withColumn("_top", slice(sort_array(array(sims: _*), asc = false), 1, probes))
       .select(col("vec_id"), col("v"), posexplode(col("_top")).as(Seq("_p", "_c")))
       .select(col("vec_id"), col("v"), col("_c.cid").as("cell"),
-        (col("_p") + 1).as("probe"))
+        col("_c.sim").as("sim"), (col("_p") + 1).as("probe"))
   }
 
   /** Corpus-clustering readout over the embedding column: the k-means
@@ -231,21 +224,17 @@ object Similarity {
     */
   def clusterSummary(
       vectors: DataFrame, numCells: Int = 8, iters: Int = 2): DataFrame = {
-    import vectors.sparkSession.implicits._
     val cent = kmeansCentroidSeq(vectors, numCells, iters)
-    val centDf = cent.toDF("cell", "cv")
-      .withColumn("c_nrm", l2norm(col("cv")))
+    // assignCells already carries each vector's cosine to its winning
+    // centroid — the summary is a pure groupBy, no join, no second
+    // kernel pass over the embeddings
     assignCells(
         vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")),
         cent, probes = 1)
-      .withColumn("v_nrm", l2norm(col("v")))
-      .join(broadcast(centDf), "cell")
-      .select(col("cell"),
-        (dot_product(col("v"), col("cv")) / (col("v_nrm") * col("c_nrm"))).as("cos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("cos")), 6).as("avg_cos"),
-        round(min(col("cos")), 6).as("min_cos"))
+        round(avg(col("sim")), 6).as("avg_cos"),
+        round(min(col("sim")), 6).as("min_cos"))
   }
 
   /** IVF top-k with a real k-means index and query-side multiprobe:

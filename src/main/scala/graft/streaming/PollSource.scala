@@ -218,10 +218,15 @@ object PollSource {
       if (e.isMissingNode) Seq.empty
       else {
         // absent fields are NaN like the reference's `?? double.NaN`
-        // (TapoLogger.cs:232-233), not silently 0
+        // (TapoLogger.cs:232-233); a present but WRONG-TYPED field
+        // aborts the reading — System.Text.Json's GetValue<double> on
+        // a string node throws, which the reference catches as a
+        // failed poll (no append), so mirror that with an empty batch
         def d(field: String): Double = {
           val n = e.path(field)
-          if (n.isNumber) n.asDouble else Double.NaN
+          if (n.isMissingNode || n.isNull) Double.NaN
+          else if (n.isNumber) n.asDouble
+          else throw new IllegalArgumentException(s"non-numeric $field")
         }
         val energyKwh = d("month_energy") / 1000.0
         Seq(Ingest.Reading(meterId, "PowerEnergy",
