@@ -219,6 +219,31 @@ class PollSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.ts.getTime == 1666036462000L) // truncated to seconds
   }
 
+  test("poll cycles stream through the Weewx HTML scrape (S15 connector shape)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/TelemetryToRaven/Weewx/index.html"))
+    val ticks = MemoryStream[Long]
+    val readings = PollSource.decodePollCycles(
+      ticks.toDS(),
+      poll = _ => html.getBytes("UTF-8"), // fake page fetch
+      decode = raw => PollSource.weewxReadingRows(
+        "meters/WeatherStation", new String(raw, "UTF-8"),
+        java.time.ZoneId.of("Europe/Amsterdam")))
+    val q = readings.writeStream.format("memory").queryName("weewx_rows")
+      .outputMode("append").start()
+    try {
+      ticks.addData(0L, 1L)
+      q.processAllAvailable()
+      val rows = spark.table("weewx_rows").collect()
+      assert(rows.length == 26) // 2 cycles x 13 current-conditions rows
+      val wind = rows.filter(_.getAs[String]("series") == "Wind")
+      assert(wind.forall(_.getAs[scala.collection.Seq[Double]]("values") ==
+        Seq(0.9, 110.0)))
+    } finally q.stop()
+  }
+
   test("poll cycles stream through the Tapo JSON decoder (S14 connector shape)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
