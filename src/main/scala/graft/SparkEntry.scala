@@ -237,6 +237,16 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy(col("i"), col("j"))
     }),
+    // Dedup — near-dup CLUSTERS: LSH pairs closed under transitivity
+    // (alternating large-star/small-star connected components), every
+    // document labeled with its cluster rep (min doc id; singletons
+    // label themselves) and the cluster size — the actual keep/drop
+    // decision surface of a dedup pass.
+    "q49_dedup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("cluster"), col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
     // Similarity — brute-force cosine top-k for 5 query vectors
     "q21_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -811,6 +821,31 @@ object SparkEntry {
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
          ORDER BY i, j""",
+    // The oracle closes the brute-force Jaccard≥τ pair graph (same pair
+    // set q19 proves the LSH reproduces) under transitivity with a
+    // recursive CTE, labels every node with its min reachable id, and
+    // left-joins the corpus so singletons label themselves.
+    "q49_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+           count(*) OVER (PARTITION BY coalesce(l.cluster, d.doc_id)) AS n_members
+         FROM documents d LEFT JOIN lab l USING (doc_id)
+         ORDER BY doc_id""",
     // q20_simhash_neardup intentionally has NO oracle: SimHash chunk
     // banding is probabilistic-recall by design (a hamming-7 pair can
     // miss all 4 chunk buckets), so no SQL query reproduces its output

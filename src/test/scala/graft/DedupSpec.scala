@@ -70,6 +70,50 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
   }
 
+  test("connectedComponents labels chains, stars, and multi-component graphs") {
+    val s = spark; import s.implicits._
+    // worst case for naive propagation: a long chain (9-8-7-...-1),
+    // plus a separate triangle with a redundant edge, plus a 2-cycleish
+    // duplicate edge; node 100 appears only via one edge
+    val edges = ((1L to 8L).map(i => (i + 1, i)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 20L), (100L, 50L))).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (n <- 1L to 9L) assert(got(n) == 1L, s"chain node $n")
+    for (n <- Seq(20L, 21L, 22L)) assert(got(n) == 20L, s"triangle node $n")
+    assert(got(50L) == 50L && got(100L) == 50L)
+    assert(got.size == 14) // every edge endpoint labeled, nothing else
+  }
+
+  test("nearDupClusters equals union-find closure of the LSH pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs; test is vacuous")
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((i, j) <- pairs) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).map { id =>
+      id -> (if (parent.contains(id)) find(id) else id)
+    }.toMap
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .select("doc_id", "cluster", "n_members")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    assert(got.map(_._1).toSet == want.keySet)
+    for ((id, (cluster, n)) <- got) {
+      assert(cluster == want(id), s"doc $id: cluster $cluster != ${want(id)}")
+      assert(n == want.values.count(_ == want(id)).toLong, s"doc $id size")
+    }
+  }
+
   test("LSH hot-bucket cap drops degenerate buckets, keeps distinct near-dups") {
     val s = spark; import s.implicits._
     // 40 byte-identical boilerplate docs: every band is a hot bucket of
