@@ -206,31 +206,29 @@ object Dedup {
     * lower), so the 100 TB cost profile is: rounds × shuffles of the
     * PAIR set — which LSH already bounded — never of the corpus.
     *
-    * Deliberately no per-round persist/checkpoint: the lineage is a few
-    * window passes deep per round and the loop typically ends after 2-4
-    * rounds (a 25-round guard catches pathology); stateless lazy plans
-    * keep the shared-session contract (no cached RDDs left behind) that
-    * round 3 measured as the faster trade anyway.
+    * Materialization: the convergence loop iterates over eagerly
+    * localCheckpoint-ed edge sets (each round's checkpoint replaces the
+    * previous, which is unpersisted immediately) so the expensive
+    * upstream plan — for near-dup clustering, the whole MinHash-LSH
+    * pipeline — runs ONCE, not once per convergence probe; the
+    * fully-stateless variant measured 11 s vs ~1 s at sf0.01 because
+    * every round's signature() action re-derived LSH from the corpus.
+    * Once the round count R is known, all checkpoints are dropped and
+    * the RETURNED frame is a stateless lazy replay of exactly R rounds
+    * (exchange reuse dedupes the repeated subtrees within the one
+    * consuming job), preserving the shared-session contract: no
+    * persistent RDDs survive the call.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = pairs.sparkSession
     // normalize to (u < v), drop self-loops and duplicates
-    var edges = pairs.toDF("i", "j").filter(col("i") =!= col("j"))
+    val edges0 = pairs.toDF("i", "j").filter(col("i") =!= col("j"))
       .select(least(col("i"), col("j")).as("u"),
         greatest(col("i"), col("j")).as("v"))
       .distinct()
 
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    }
-
-    var sig = signature(edges)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
+    // one alternating large-star/small-star round (Kiveris et al.)
+    def oneRound(edges: DataFrame): DataFrame = {
       // large-star: for each node u (both directions), m = min(Γ(u)∪{u});
       // connect every LARGER neighbor to m
       val nbrs = edges.select(col("u"), col("v"))
@@ -248,19 +246,47 @@ object Dedup {
       val wC = Window.partitionBy(col("c"))
       val directed = large.select(col("v").as("c"), col("u").as("n")) // c > n
         .withColumn("m", min(col("n")).over(wC))
-      val small = directed.select(col("c").as("v"), col("m").as("u"))
+      directed.select(col("c").as("v"), col("m").as("u"))
         .union(directed.filter(col("n") =!= col("m"))
           .select(col("n").as("v"), col("m").as("u")))
         .filter(col("u") =!= col("v"))
         .select(col("u"), col("v"))
         .distinct()
-      edges = small
-      val next = signature(edges)
-      converged = next == sig
-      sig = next
-      rounds += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // XOR-fold, not sum: order-independent over the distinct edge set
+      // and immune to ANSI-mode long overflow (summing 64-bit hashes
+      // overflows after a handful of edges under spark.sql.ansi.enabled)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // convergence loop over checkpointed edge sets: the upstream plan
+    // (LSH) materializes exactly once, each round shuffles only the
+    // ever-shrinking PAIR set
+    var ck = edges0.localCheckpoint()
+    var sig = signature(ck)
+    var rounds = 0
+    var converged = false
+    try {
+      while (!converged && rounds < maxRounds) {
+        val next = oneRound(ck).localCheckpoint()
+        ck.unpersist()
+        ck = next
+        val nsig = signature(ck)
+        converged = nsig == sig
+        sig = nsig
+        rounds += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    } finally ck.unpersist()
+    // stateless replay of the discovered round count — the returned
+    // frame carries no checkpoint dependency
+    var edges = edges0
+    for (_ <- 1 to rounds) edges = oneRound(edges)
     // at the fixpoint every edge is (rep, member): stars centered at the
     // component minimum. Roots label themselves.
     edges.select(col("v").as("node"), col("u").as("rep"))
