@@ -219,6 +219,30 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    // Text analysis — TF-IDF top-3 terms per document (explode →
+    // partial-agg tf → broadcast df + corpus count → windowed top-k)
+    "q50_tfidf_topk" -> ((s, dir) => {
+      TextOps.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+    // Text analysis — Gopher-style within-document repetition signals
+    // (duplicate-word / top-token / duplicate-3-gram fractions), pure
+    // scan-speed expressions
+    "q51_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextOps.dupWordFrac(col("text")), 6).as("dup_word_frac"),
+          round(TextOps.topTokenFrac(col("text")), 6).as("top_token_frac"),
+          round(TextOps.dupNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+    // Text analysis — global vocabulary top-20 by occurrence count,
+    // with document frequency (TakeOrdered top-k, no full sort)
+    "q52_vocab_topk" -> ((s, dir) => {
+      TextOps.vocabTopK(Tables.documents(s, dir), "doc_id", "text", 20)
+    }),
     // Dedup — exact duplicate groups
     "q18_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
@@ -246,6 +270,15 @@ object SparkEntry {
       Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("cluster"), col("n_members"))
         .orderBy(col("doc_id"))
+    }),
+    // Dedup — EXACT n-gram Jaccard join via inverted-index posting
+    // lists (no sketch, no banding miss probability): the auditable
+    // counterpart to q19, at a lower threshold the LSH curve would
+    // start missing
+    "q53_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
     }),
     // Similarity — brute-force cosine top-k for 5 query vectors
     "q21_cosine_topk" -> ((s, dir) => {
@@ -781,6 +814,38 @@ object SparkEntry {
            round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
              / length(text), 6) AS punct_ratio
          FROM t ORDER BY doc_id""",
+    "q50_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS rnk
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         SELECT doc_id, term, round(tfidf, 6) + 0.0 AS tfidf, rnk
+         FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // list-comprehension 3-grams keep repeats (bag semantics): repeats
+    // are exactly the repetition signal being measured
+    "q51_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, w,
+                 [w[i]||' '||w[i+1]||' '||w[i+2]
+                  for i in range(1, len(w)-1)] AS g3 FROM t)
+         SELECT doc_id,
+           round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6) + 0.0
+             AS dup_word_frac,
+           round(list_max(list_transform(list_distinct(w),
+             u -> len(list_filter(w, x -> x = u))))::DOUBLE / len(w), 6)
+             AS top_token_frac,
+           round(CASE WHEN len(g3) <= 0 THEN 0.0
+             ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END, 6) + 0.0
+             AS dup_3gram_frac
+         FROM g ORDER BY doc_id""",
+    "q52_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT term, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+         FROM tok GROUP BY term ORDER BY n_occur DESC, term LIMIT 20""",
     "q16_langid" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          c AS (SELECT doc_id,
@@ -820,6 +885,20 @@ object SparkEntry {
                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
+         ORDER BY i, j""",
+    // brute-force pairs at τ=0.5 — the posting-list join is EXACT, so
+    // unlike q19 no banding argument is needed for this to be the oracle
+    "q53_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5
          ORDER BY i, j""",
     // The oracle closes the brute-force Jaccard≥τ pair graph (same pair
     // set q19 proves the LSH reproduces) under transitivity with a

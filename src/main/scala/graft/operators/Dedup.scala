@@ -190,6 +190,56 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** EXACT n-gram Jaccard similarity join via inverted-index posting
+    * lists — the exact counterpart to minhashLsh: instead of banding a
+    * sketch, explode each document's distinct shingle hashes, group the
+    * corpus by shingle (posting lists), pair documents within each
+    * posting list, and count shared shingles per pair. Jaccard then
+    * falls out of |A∩B| and the two set sizes (|A∪B| = |A|+|B|−|A∩B|),
+    * so NO candidate is ever verified against raw text and the result
+    * equals brute-force Jaccard ≥ τ exactly (no banding miss
+    * probability) — use it when the dedup policy must be auditable;
+    * use minhashLsh when τ is high and corpus-scale wins matter.
+    *
+    * Plan shape: one exchange on shingle hash (posting build + pairing
+    * in the same partition), one exchange on (i, j) for the
+    * intersection count, two broadcast-sized joins for set sizes.
+    * Scale guard: a shingle shared by P documents yields P²/2 pairs, so
+    * stop-shingle posting lists are a quadratic straggler; lists over
+    * `maxPosting` are dropped — a documented recall bound on pairs
+    * whose EVERY shared shingle is that hot (the published exact fix
+    * is prefix/position filtering, PPJoin — Xiao et al., WWW'08 — which
+    * replaces the cap when exactness must survive hot vocabularies).
+    */
+  def ngramJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxPosting: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = hashedShingles(df, idCol, textCol, shingleN)
+    val sizes = hashed.select(col("doc_id"), size(col("shh")).as("sz"))
+    val posts = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
+    val w = Window.partitionBy(col("h"))
+    val capped = posts
+      .withColumn("__pn", count(lit(1)).over(w))
+      .filter(col("__pn") <= maxPosting)
+      .drop("__pn")
+    val co = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("co"))
+    co.join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("jac",
+        col("co").cast("double") / (col("sz_i") + col("sz_j") - col("co")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (transitively: if A~B and
     * B~C, all three are one duplicate group even when A~C itself missed
@@ -227,12 +277,21 @@ object Dedup {
         greatest(col("i"), col("j")).as("v"))
       .distinct()
 
-    // one alternating large-star/small-star round (Kiveris et al.)
+    // One alternating large-star/small-star round (Kiveris et al.).
+    // CRITICAL plan-shape constraint: the input frame is referenced
+    // EXACTLY ONCE (both fan-outs go through explode, not union) so
+    // the stateless replay below has plan size LINEAR in the round
+    // count — the union formulation duplicates the input subtree ~4×
+    // per round and Catalyst then chokes exponentially on any graph
+    // needing more than a few rounds (a 300-node path hung the
+    // analyzer before this was reshaped).
     def oneRound(edges: DataFrame): DataFrame = {
       // large-star: for each node u (both directions), m = min(Γ(u)∪{u});
       // connect every LARGER neighbor to m
-      val nbrs = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val nbrs = edges.select(explode(array(
+          struct(col("u").as("u"), col("v").as("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       val wU = Window.partitionBy(col("u"))
       val large = nbrs
         .withColumn("m", least(col("u"), min(col("v")).over(wU)))
@@ -242,15 +301,17 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star: direct each edge (larger → smaller); for each center
-      // u, m = min(Γ⁻(u)); connect u and every smaller neighbor to m
+      // c, m = min(Γ⁻(c) ∪ {c}); connect c and every smaller neighbor
+      // to m. Emit (m→c) always and (m→n) when n ≠ m — one filtered
+      // 2-element array explode, so `directed` is referenced once.
       val wC = Window.partitionBy(col("c"))
       val directed = large.select(col("v").as("c"), col("u").as("n")) // c > n
         .withColumn("m", min(col("n")).over(wC))
-      directed.select(col("c").as("v"), col("m").as("u"))
-        .union(directed.filter(col("n") =!= col("m"))
-          .select(col("n").as("v"), col("m").as("u")))
-        .filter(col("u") =!= col("v"))
-        .select(col("u"), col("v"))
+      directed.select(col("m"), explode(filter(array(
+          struct(col("m").as("u"), col("c").as("v")),
+          struct(col("m").as("u"), col("n").as("v"))),
+          x => x.getField("v") =!= col("m"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
     }
 
@@ -264,19 +325,24 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    // convergence loop over checkpointed edge sets: the upstream plan
+    // Convergence loop over persisted edge sets: the upstream plan
     // (LSH) materializes exactly once, each round shuffles only the
-    // ever-shrinking PAIR set
-    var ck = edges0.localCheckpoint()
-    var sig = signature(ck)
+    // ever-shrinking PAIR set. persist() + CacheManager — NOT
+    // localCheckpoint — because Dataset.unpersist() only releases
+    // CacheManager entries; a localCheckpoint's persisted RDD lingers
+    // until GC and breaks the shared-session no-cached-RDDs contract.
+    // Lineage stays un-truncated, but oneRound references its input
+    // once, so round R's plan is O(R) nodes — analysis stays linear.
+    var ck = edges0.persist()
+    var sig = signature(ck) // materializes the cache
     var rounds = 0
     var converged = false
     try {
       while (!converged && rounds < maxRounds) {
-        val next = oneRound(ck).localCheckpoint()
+        val next = oneRound(ck).persist()
+        val nsig = signature(next) // materializes next BEFORE dropping ck
         ck.unpersist()
         ck = next
-        val nsig = signature(ck)
         converged = nsig == sig
         sig = nsig
         rounds += 1

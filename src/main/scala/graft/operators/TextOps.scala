@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -114,5 +114,97 @@ object TextOps {
     rates.foldRight(b < defaultRate) { case ((s, r), acc) =>
       when(stratum === s, b < r).otherwise(acc)
     }
+  }
+
+  /** Token n-grams WITH repeats (bag semantics) — the unit for
+    * within-document repetition measurement, where repeats are exactly
+    * the signal (contrast shingle_hashes, which dedupes for Jaccard).
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    // guard the short-document case: sequence(0, size-n) with size < n
+    // would DESCEND (Spark defaults step to -1 when start > stop) and
+    // element_at would then throw under ANSI mode
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*)))
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021
+    * §A1.1 use duplicate-line and duplicate-n-gram fractions as removal
+    * filters):
+    *   dup_word_frac  — fraction of token occurrences that are repeats
+    *   top_token_frac — share of the single most frequent token
+    *   dup_3gram_frac — fraction of token 3-gram occurrences that are
+    *                    repeats (boilerplate/spam detector)
+    * Pure Column expressions, scan speed, no shuffle. The per-token
+    * frequency scan is O(tokens·distinct) per document — bounded by
+    * document length, not corpus size, so it stays map-side at any SF.
+    */
+  def dupWordFrac(text: Column): Column = {
+    val w = tokens(text)
+    (size(w) - size(array_distinct(w))).cast("double") / size(w)
+  }
+
+  def topTokenFrac(text: Column): Column = {
+    val w = tokens(text)
+    array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t)))).cast("double") / size(w)
+  }
+
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = tokenNgrams(text, n)
+    when(size(g) <= 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
+  }
+
+  /** TF-IDF top-k terms per document. Plan shape (linear in corpus):
+    *   1. explode tokens → (doc, term) partial-agg counts (map-side
+    *      combine before the shuffle: the exchange carries one row per
+    *      distinct (doc, term), not one per token)
+    *   2. document frequency = second agg over the tf frame — vocab-
+    *      sized, broadcast back (a vocabulary is ≪ corpus at any SF;
+    *      for open-ended web vocab add a min-df cutoff before the
+    *      broadcast)
+    *   3. corpus size joined as a broadcast 1-row frame — no driver
+    *      action, the count stays inside the lazy plan
+    *   4. top-k per doc via row_number over the doc-partitioned window
+    *      (ties broken by term so the result is deterministic and
+    *      oracle-comparable)
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Global vocabulary top-k: occurrence count + document frequency per
+    * term, largest first. Two partial-aggregated shuffles over (term)
+    * and a TakeOrdered top-k — no full sort, no driver materialization
+    * beyond the k rows.
+    */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("term"))
+      .limit(k)
   }
 }

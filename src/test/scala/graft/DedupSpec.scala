@@ -60,7 +60,8 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("similarity/dedup queries leave no cached RDDs in a shared session") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q19_minhash_lsh", "q20_simhash_neardup",
-        "q22_embedding_neardup", "q23_ivf_topk", "q47_embedding_clusters")) {
+        "q22_embedding_neardup", "q23_ivf_topk", "q47_embedding_clusters",
+        "q49_dedup_clusters", "q53_ngram_jaccard")) {
       SparkEntry.queries(q)(spark, sf).count()
     }
     // a long-running session serving many queries must not accumulate
@@ -137,5 +138,67 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count { case (i, j) => i <= 40L && j <= 40L } == 40 * 39 / 2)
     assert(uncapped.contains((101L, 102L)))
+  }
+
+  test("ngramJaccardJoin equals brute-force Jaccard on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // driver-side brute force over distinct 3-shingle STRING sets —
+    // independent of the hashed-shingle kernel the operator uses
+    val sets = docs.select("doc_id", "text").collect().map { r =>
+      val w = r.getString(1).split(" ")
+      r.getLong(0) -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter) if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    assert(got.nonEmpty, "no pairs at τ=0.5; test is vacuous")
+    assert(got == want)
+  }
+
+  test("hot-posting cap drops only pairs whose every shared shingle is hot") {
+    val s = spark; import s.implicits._
+    // 30 identical boilerplate docs: every shingle's posting list has
+    // 30 members; one distinct pair shares only rare shingles
+    val boiler = (1L to 30L).map(i => (i, "all rights reserved by the site operator"))
+    val pairA = (101L, "battery charged eleven kilowatt hours overnight at low tariff rates")
+    val pairB = (102L, "battery charged eleven kilowatt hours overnight at low tariff costs")
+    val docs = (boiler :+ pairA :+ pairB).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        threshold = 0.3, maxPosting = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)), s"got $capped")
+    val uncapped = Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (i, j) => i <= 30L && j <= 30L } == 30 * 29 / 2)
+    assert(uncapped.contains((101L, 102L)))
+  }
+
+  test("connectedComponents survives many-edge graphs (ANSI sum-overflow regression)") {
+    val s = spark; import s.implicits._
+    // the round-4 signature summed xxhash64 values: ~25 random 64-bit
+    // hashes overflow Long and ANSI mode aborts the job. 300 edges over
+    // interleaved chains makes the old formulation fail deterministically
+    // while exercising multi-round convergence.
+    val edges = (0L until 300L).map(k => (k * 7919 % 1000 + 1000, (k + 1) * 7919 % 1000 + 1000))
+      .filter { case (a, b) => a != b }.toDF("i", "j")
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((i, j) <- pairs) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(got.keySet == nodes)
+    for (n <- nodes) assert(got(n) == find(n), s"node $n")
   }
 }

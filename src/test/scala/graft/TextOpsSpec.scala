@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.TextOps
+
+/** New-in-round-5 text-analysis operators: repetition signals (Gopher
+  * filters), TF-IDF top-k, and vocabulary top-k. The oracle queries
+  * (q50–q52) prove corpus-level parity; these specs pin the hand-
+  * computable math and the short-document edge cases the corpus never
+  * exercises.
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("repetition signals match hand math; short docs never throw") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),       // 5 tokens, 2 distinct; 3-grams: aba,bab,aba
+      (2L, "x y z"),           // all unique, exactly one 3-gram
+      (3L, "w w"),             // shorter than the n-gram window (ANSI guard)
+      (4L, "solo")             // single token
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextOps.dupWordFrac(col("text")).as("dw"),
+      TextOps.topTokenFrac(col("text")).as("tt"),
+      TextOps.dupNgramFrac(col("text"), 3).as("dg"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3.0 / 5, 3.0 / 5, 1.0 / 3)))
+    assert(got(2L) == ((0.0, 1.0 / 3, 0.0)))
+    assert(got(3L) == ((0.5, 1.0, 0.0))) // ngram array empty, frac 0
+    assert(got(4L) == ((0.0, 1.0, 0.0)))
+  }
+
+  test("tfIdfTopK: scores match ln(N/df) hand math, ties break by term") {
+    val s = spark; import s.implicits._
+    // N=4; "common" in all docs (idf 0), "rare" only in doc 1,
+    // "pair" in docs 1-2; doc 1 repeats "rare" twice
+    val docs = Seq(
+      (1L, "common rare rare pair"),
+      (2L, "common pair"),
+      (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val ln2 = math.log(2.0)
+    // doc 1: rare tf=2 idf=ln(4/1) beats pair tf=1 idf=ln(4/2)
+    assert(got.take(2).toSeq == Seq(
+      (1L, "rare", 2 * math.log(4.0), 1), (1L, "pair", ln2, 2)))
+    // doc 2: pair wins; common has tfidf exactly 0
+    assert(got(2) == ((2L, "pair", ln2, 1)))
+    assert(got(3) == ((2L, "common", 0.0, 2)))
+    // docs 3/4: single term, rank 1, score 0 — and the tie between
+    // equal-score terms elsewhere is broken by term name (asc), which
+    // is what makes the oracle comparison deterministic
+    assert(got.count(_._1 == 3L) == 1 && got.count(_._1 == 4L) == 1)
+  }
+
+  test("vocabTopK counts occurrences and document frequency, k-bounded") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b c c")).toDF("doc_id", "text")
+    val got = TextOps.vocabTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 3 occurrences in 2 docs; c: 3 occurrences in 2 docs — tie on
+    // count broken by term asc; b (2 occurrences) is cut by k=2
+    assert(got.toSeq == Seq(("a", 3L, 2L), ("c", 3L, 2L)))
+  }
+}
