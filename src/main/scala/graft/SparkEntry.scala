@@ -313,6 +313,24 @@ object SparkEntry {
       Similarity.clusterSummary(Tables.embeddings(s, dir), numCells = 8, iters = 2)
         .orderBy(col("cell"))
     }),
+    // Training-data op — embedding-space dedup clusters: exact cosine
+    // pairs (q22's operator) closed under transitivity via the same
+    // connected-components kernel as q49, labeling every vector with
+    // its keep/drop cluster representative.
+    "q54_embedding_dedup_clusters" -> ((s, dir) => {
+      Similarity.embeddingDedupClusters(Tables.embeddings(s, dir), 0.4)
+        .select(col("vec_id"), col("cluster"), col("n_members"))
+        .orderBy(col("vec_id"))
+    }),
+    // Training-data op — tokenizer-coverage readout: per-document
+    // out-of-vocabulary rate against the corpus's own top-10 vocabulary
+    // (q52's operator broadcast back over the corpus).
+    "q55_oov_rate" -> ((s, dir) => {
+      TextOps.oovRate(Tables.documents(s, dir), "doc_id", "text", vocabK = 10)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
     // W1/W2 — battery zero-export simulation (ZeroExport.cs:34-73): an
     // ordered non-commutative fold per meter. The oracle replays the
     // same recurrence as a DuckDB recursive CTE stepping rn→rn+1.
@@ -925,6 +943,34 @@ object SparkEntry {
            count(*) OVER (PARTITION BY coalesce(l.cluster, d.doc_id)) AS n_members
          FROM documents d LEFT JOIN lab l USING (doc_id)
          ORDER BY doc_id""",
+    // Same transitive-closure shape as q49, over brute-force cosine
+    // pairs at τ=0.4 (the pair set q22 proves the blocked join equals).
+    "q54_embedding_dedup_clusters" ->
+      """WITH RECURSIVE ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                               FROM embeddings),
+         nv AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ev),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j
+               FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+               WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         ed AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM ed
+           UNION
+           SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u),
+         lab AS (SELECT u AS vec_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)
+         SELECT em.vec_id, coalesce(l.cluster, em.vec_id) AS cluster,
+           count(*) OVER (PARTITION BY coalesce(l.cluster, em.vec_id)) AS n_members
+         FROM embeddings em LEFT JOIN lab l USING (vec_id)
+         ORDER BY vec_id""",
+    "q55_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         v AS (SELECT term FROM tok GROUP BY term
+               ORDER BY count(*) DESC, term LIMIT 10)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(CASE WHEN term IN (SELECT term FROM v)
+             THEN 0.0 ELSE 1.0 END), 6) + 0.0 AS oov_rate
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
     // q20_simhash_neardup intentionally has NO oracle: SimHash chunk
     // banding is probabilistic-recall by design (a hamming-7 pair can
     // miss all 4 chunk buckets), so no SQL query reproduces its output

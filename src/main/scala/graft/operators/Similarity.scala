@@ -306,4 +306,26 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Embedding-space dedup clusters: exact cosine near-dup pairs
+    * (nearDupPairsBlocked) closed under transitivity with the same
+    * alternating-star connected components the text path uses
+    * (Dedup.connectedComponents) — A≈B and B≈C collapse to one keep
+    * decision even when cos(A,C) itself misses the threshold. Every
+    * vector is labeled with its cluster representative (min vec_id;
+    * singletons label themselves) and cluster size. The CC input is
+    * the PAIR set, already bounded by the near-dup rate, so the
+    * clustering cost never scales with the corpus — only the pair
+    * generation does (see nearDupPairsBlocked for that plan).
+    */
+  def embeddingDedupClusters(vectors: DataFrame, threshold: Double): DataFrame = {
+    val pairs = nearDupPairsBlocked(vectors, threshold).select(col("i"), col("j"))
+    val cc = Dedup.connectedComponents(pairs)
+    vectors.select(col("vec_id"))
+      .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("cluster"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+  }
 }

@@ -207,4 +207,23 @@ object TextOps {
       .orderBy(col("n_occur").desc, col("term"))
       .limit(k)
   }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-K vocabulary — the tokenizer-coverage readout run before
+    * committing to a vocab size. Composition of vocabTopK (a k-row
+    * frame, broadcast) with a map-side left join over exploded tokens:
+    * the corpus shuffles once for the per-doc aggregation, never for
+    * the vocabulary membership test.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val vocab = vocabTopK(docs, idCol, textCol, vocabK)
+      .select(col("term")).withColumn("__in", lit(1))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(when(col("__in").isNull, 1.0).otherwise(0.0)).as("oov_rate"))
+  }
 }

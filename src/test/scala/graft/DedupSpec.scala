@@ -61,7 +61,8 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q19_minhash_lsh", "q20_simhash_neardup",
         "q22_embedding_neardup", "q23_ivf_topk", "q47_embedding_clusters",
-        "q49_dedup_clusters", "q53_ngram_jaccard")) {
+        "q49_dedup_clusters", "q53_ngram_jaccard",
+        "q54_embedding_dedup_clusters")) {
       SparkEntry.queries(q)(spark, sf).count()
     }
     // a long-running session serving many queries must not accumulate

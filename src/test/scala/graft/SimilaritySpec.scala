@@ -126,4 +126,30 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pack(sig4(1L), 16) == pack(sig8(1L), 8))
     assert(pack(sig4(3L), 16) == pack(sig8(3L), 8))
   }
+
+  test("embeddingDedupClusters equals union-find closure of the cosine pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = Similarity.nearDupPairsBlocked(emb, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no cosine pairs at τ=0.4; test is vacuous")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((i, j) <- pairs) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).map { id =>
+      id -> (if (parent.contains(id)) find(id) else id)
+    }.toMap
+    val got = Similarity.embeddingDedupClusters(emb, 0.4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    assert(got.map(_._1).toSet == want.keySet)
+    for ((id, (cluster, n)) <- got) {
+      assert(cluster == want(id), s"vec $id: cluster $cluster != ${want(id)}")
+      assert(n == want.values.count(_ == want(id)).toLong, s"vec $id size")
+    }
+  }
 }

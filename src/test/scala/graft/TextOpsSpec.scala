@@ -78,4 +78,18 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // count broken by term asc; b (2 occurrences) is cut by k=2
     assert(got.toSeq == Seq(("a", 3L, 2L), ("c", 3L, 2L)))
   }
+
+  test("oovRate measures coverage against the corpus's own top-K vocab") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b c c"), (4L, "q r a")
+    ).toDF("doc_id", "text")
+    // top-2 vocab = {a, c} (ties broken by term); doc 1: b OOV (1/3),
+    // doc 2: full coverage, doc 3: b OOV (1/3), doc 4: q r OOV (2/3)
+    val got = TextOps.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1.0 / 3), (2L, 2L, 0.0), (3L, 3L, 1.0 / 3), (4L, 3L, 2.0 / 3)))
+  }
 }
