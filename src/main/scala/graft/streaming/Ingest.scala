@@ -38,6 +38,24 @@ object Ingest {
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(readingSchema).json(dir)
 
+  /** The dedup family's streaming twin (batch: Dedup.exactDedup):
+    * admit a document only if its CONTENT FINGERPRINT hasn't been seen
+    * within the watermark horizon. dropDuplicatesWithinWatermark keys
+    * state on the 64-bit content hash and expires entries as event
+    * time advances, so state is bounded by the dedup horizon × distinct
+    * rate, not by stream length — the property that makes streaming
+    * dedup viable on an unbounded crawl feed. Only the 8-byte hash
+    * (plus the projected row) rides the dedup exchange; raw text never
+    * becomes the shuffle key, matching the batch operator's two-phase
+    * hash discipline. Hash collisions (~2⁻⁶⁴) trade a lost document
+    * for bounded state — the standard call at crawl scale.
+    */
+  def dedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** A1's streaming twin: tumbling averages with a watermark; emits
     * finalized windows only (append mode compatible).
     */

@@ -26,6 +26,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def reading(meter: String, sec: Long, v: Double): Reading =
     Reading(meter, "Power", new java.sql.Timestamp(sec * 1000L), Seq(v), "W")
 
+  case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  test("streaming dedup admits first occurrence only, keyed by content hash") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.dedupStream(mem.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String, sec: Long) =
+        DocEvent(id, text, new java.sql.Timestamp(sec * 1000L))
+      // batch 1: two distinct texts, one in-batch duplicate
+      mem.addData(doc(1, "alpha beta", 0), doc(2, "gamma delta", 1),
+        doc(3, "alpha beta", 2))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate within the horizon + one new doc
+      mem.addData(doc(4, "alpha beta", 30), doc(5, "epsilon zeta", 31))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // one representative per content (which in-batch twin survives is
+      // partition-order arbitrary), and the cross-batch duplicate (doc
+      // 4) is dropped by the hash-keyed state
+      assert(kept.size == 3 && (kept & Set(1L, 3L)).size == 1 &&
+        kept.contains(2L) && kept.contains(5L) && !kept.contains(4L),
+        s"kept $kept")
+      // the state key is the 8-byte content hash, not raw text: the
+      // output carries it for downstream audit
+      val cols = spark.table("dedup_stream").columns.toSet
+      assert(cols.contains("content_hash"))
+    } finally q.stop()
+  }
+
   test("windowed averages finalize per watermark (A1 streaming twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
