@@ -293,13 +293,16 @@ object Dedup {
           struct(col("v").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
       val wU = Window.partitionBy(col("u"))
+      // no distinct here: duplicate edges are idempotent for both star
+      // min-computations, and the small-star output below dedupes —
+      // dropping it saves one full shuffle per round (the per-round
+      // fixed cost dominates CC latency on short-round graphs)
       val large = nbrs
         .withColumn("m", least(col("u"), min(col("v")).over(wU)))
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: direct each edge (larger → smaller); for each center
       // c, m = min(Γ⁻(c) ∪ {c}); connect c and every smaller neighbor
       // to m. Emit (m→c) always and (m→n) when n ≠ m — one filtered
@@ -349,10 +352,14 @@ object Dedup {
       }
       require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     } finally ck.unpersist()
-    // stateless replay of the discovered round count — the returned
-    // frame carries no checkpoint dependency
+    // Stateless replay — the returned frame carries no cache
+    // dependency. The loop's FINAL round is by construction a no-op
+    // (that unchanged round is what proved convergence), so the
+    // fixpoint is already reached after rounds−1 replayed iterations;
+    // replaying one round fewer saves that round's three shuffles in
+    // every consumption of the result.
     var edges = edges0
-    for (_ <- 1 to rounds) edges = oneRound(edges)
+    for (_ <- 1 until rounds) edges = oneRound(edges)
     // at the fixpoint every edge is (rep, member): stars centered at the
     // component minimum. Roots label themselves.
     edges.select(col("v").as("node"), col("u").as("rep"))
