@@ -68,6 +68,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("TF-IDF and OOV broadcast their vocabulary-sized sides (q50/q55)") {
+    // the document-frequency table and the corpus-count row are both
+    // ≪ corpus: they must come back as broadcasts, never as a
+    // sort-merge join that would re-shuffle the exploded token stream
+    val p50 = plan("q50_tfidf_topk")
+    assert(p50.contains("BroadcastHashJoin"), p50.take(3000))
+    assert(!p50.contains("SortMergeJoin"), p50.take(3000))
+    val p55 = plan("q55_oov_rate")
+    assert(p55.contains("BroadcastHashJoin"), p55.take(3000))
+    assert(!p55.contains("SortMergeJoin"), p55.take(3000))
+  }
+
+  test("posting-list join shuffles hashes and ids, never document text (q53)") {
+    val p = plan("q53_ngram_jaccard")
+    // every exchange's output column list must be hash/id-shaped; the
+    // text column feeding shingle_hashes is consumed map-side
+    val badExchange = p.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(badExchange.isEmpty, s"text rides an exchange: $badExchange")
+  }
+
   test("no unbounded cartesian anywhere in the query surface") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
