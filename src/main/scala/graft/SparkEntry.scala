@@ -450,6 +450,14 @@ object SparkEntry {
           col("n_bytes_out"))
         .orderBy(col("media_id"))
     }),
+    // Multimodal — frame sampling: every 7th frame of each video
+    // payload as a byte window + first-byte probe; column-only plan,
+    // payload consumed map-side (the fan-out a batched decoder needs)
+    "q56_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)), stride = 7)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -963,6 +971,24 @@ object SparkEntry {
            count(*) OVER (PARTITION BY coalesce(l.cluster, em.vec_id)) AS n_members
          FROM embeddings em LEFT JOIN lab l USING (vec_id)
          ORDER BY vec_id""",
+    // kind 'video' ⇔ doc_id % 3 = 2 (the third element of the cycling
+    // kind list); frame geometry is integer math mirrored exactly
+    "q56_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+             (doc_id % 8 + 2) * 5 AS n_frames,
+             greatest(octet_length(encode(text)) // ((doc_id % 8 + 2) * 5), 1)
+               AS frame_bytes
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT media_id, n_frames, frame_bytes,
+                 unnest(range(0, n_frames, 7)) AS frame_idx, text FROM v)
+         SELECT media_id, n_frames, frame_idx,
+           frame_idx * frame_bytes AS off_bytes,
+           octet_length(encode(substr(text,
+             (frame_idx * frame_bytes + 1)::INT, frame_bytes::INT)))
+             AS n_bytes_frame,
+           ascii(substr(text, (frame_idx * frame_bytes + 1)::INT, 1))
+             AS first_byte
+         FROM f ORDER BY media_id, frame_idx""",
     "q55_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          v AS (SELECT term FROM tok GROUP BY term

@@ -92,6 +92,37 @@ object Multimodal {
   def sampleFrameIndexes(nFrames: Int, stride: Int): Seq[Int] =
     0 until nFrames by stride
 
+  /** Frame sampling as a column-only operator: one output row per
+    * sampled frame of each video payload, carrying the frame's byte
+    * window [off, off+frame_bytes) and a first-byte probe proving the
+    * slice touched real payload bytes. The frame count comes from
+    * metadata (a real pipeline reads it from the container header; here
+    * it is derived deterministically from media_id) and the byte
+    * geometry is integer-only, so the whole plan is scan-speed Column
+    * math — sequence + explode + substring — with NO payload shuffle:
+    * the blob is consumed map-side and only ~32-byte frame-window rows
+    * reach the exchange. At 100 TB this is the fan-out step that hands
+    * per-frame byte ranges to a batched decoder (decode itself stays
+    * stubbed: no codecs in this environment).
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 7): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("n_frames", (col("media_id") % 8 + 2) * 5)
+      .withColumn("frame_bytes",
+        expr("greatest(length(payload) div n_frames, 1L)"))
+      .select(col("media_id"), col("payload"), col("n_frames"),
+        col("frame_bytes"),
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1,
+          lit(stride.toLong))).as("frame_idx"))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * col("frame_bytes")).as("off_bytes"),
+        expr("""cast(length(substring(payload,
+          cast(frame_idx * frame_bytes + 1 as int),
+          cast(frame_bytes as int))) as bigint)""").as("n_bytes_frame"),
+        expr("""cast(ascii(cast(substring(payload,
+          cast(frame_idx * frame_bytes + 1 as int), 1) as string)) as bigint)""")
+          .as("first_byte"))
+
   case class SizedMediaRow(
       media_id: Long, kind: String, payload: Array[Byte], w: Long, h: Long)
 

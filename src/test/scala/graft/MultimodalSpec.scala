@@ -41,4 +41,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the stub actually compacts the payload to that budget
     out.foreach(r => assert(r.payload_out.length.toLong == r.n_bytes_out))
   }
+
+  test("sampleFrames windows tile the payload: stride law, bounds, first-byte probe") {
+    val s = spark; import s.implicits._
+    // media_id 9 -> n_frames (9%8+2)*5 = 15, payload 47 bytes ->
+    // frame_bytes 47 div 15 = 3; stride 7 samples frames 0, 7, 14
+    val payload = (0 until 47).map(i => ('a' + i % 26).toByte).toArray
+    val media = Seq((9L, "video", payload), (10L, "image", payload))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.sampleFrames(media, stride = 7)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // non-video rows never sample
+    assert(rows.forall(_._1 == 9L))
+    assert(rows.map(_._2).toSeq == Seq(0L, 7L, 14L))
+    for ((_, idx, off, n, first) <- rows) {
+      assert(off == idx * 3 && n == 3, s"frame $idx window ($off, $n)")
+      // every window starts strictly inside the payload
+      assert(off < payload.length)
+      assert(first == payload(off.toInt).toLong, s"frame $idx probe")
+    }
+  }
 }
