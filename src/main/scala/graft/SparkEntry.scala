@@ -458,6 +458,31 @@ object SparkEntry {
           Multimodal.mediaFromDocuments(Tables.documents(s, dir)), stride = 7)
         .orderBy(col("media_id"), col("frame_idx"))
     }),
+    // Interval join — events matched into per-meter maintenance
+    // windows (3 per meter, derived deterministically from each
+    // meter's first reading) via the BUCKETED range join: one shuffled
+    // equi-join on (user, time-bucket) + in-join refinement, instead
+    // of the BroadcastNestedLoopJoin Spark plans for a bare BETWEEN.
+    // Left-outer from the window side: empty windows report n=0.
+    "q57_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t0 = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+      val windows = t0.select(col("user_id"), col("t0"),
+          explode(sequence(lit(0L), lit(2L))).as("win_id"))
+        .select(col("user_id"), col("win_id"),
+          (col("t0") + col("win_id") * lit(8L * 3600L * 1000000L)).as("start_us"),
+          (col("t0") + col("win_id") * lit(8L * 3600L * 1000000L) +
+            (col("win_id") + 1L) * lit(3600L * 1000000L)).as("end_us"))
+      TimeSeriesOps.bucketedRangeJoin(
+          ev.select(col("user_id"), col("ts"), col("value")),
+          windows, Seq("user_id"),
+          unix_micros(col("ts")), bucketMicros = 3L * 3600L * 1000000L)
+        .groupBy(col("user_id"), col("win_id"))
+        .agg(count(col("value")).as("n_events"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("user_id"), col("win_id"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -971,6 +996,24 @@ object SparkEntry {
            count(*) OVER (PARTITION BY coalesce(l.cluster, em.vec_id)) AS n_members
          FROM embeddings em LEFT JOIN lab l USING (vec_id)
          ORDER BY vec_id""",
+    // plain BETWEEN range join — DuckDB plans this fine at oracle
+    // scale; the Spark side's bucketed strategy must produce the same
+    // rows
+    "q57_range_join" ->
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                     FROM events GROUP BY user_id),
+         w AS (SELECT user_id, i AS win_id,
+                 t0 + i * 28800000000 AS start_us,
+                 t0 + i * 28800000000 + (i + 1) * 3600000000 AS end_us
+               FROM t0, unnest(range(0, 3)) AS u(i)),
+         j AS (SELECT w.user_id, w.win_id, e.value
+               FROM w LEFT JOIN events e
+                 ON e.user_id = w.user_id
+                AND epoch_us(e.ts) >= w.start_us
+                AND epoch_us(e.ts) < w.end_us)
+         SELECT user_id, win_id, count(value) AS n_events,
+           round(avg(value), 6) + 0.0 AS avg_value
+         FROM j GROUP BY user_id, win_id ORDER BY user_id, win_id""",
     // kind 'video' ⇔ doc_id % 3 = 2 (the third element of the cycling
     // kind list); frame geometry is integer math mirrored exactly
     "q56_frame_sample" ->

@@ -296,4 +296,44 @@ object TimeSeriesOps {
     withPayload.select(
       left.columns.map(col) ++ Seq(col("asof_ts")) ++ rPayload.map(p => col(p + "_asof")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Interval (range) join, bucketed. Spark plans a bare
+  // `ts BETWEEN start AND end` join as BroadcastNestedLoopJoin — O(N·W)
+  // comparisons and a broadcast of one whole side, both scale-killers.
+  // The standard fix: quantize time into buckets at least as wide as
+  // the longest window, explode each window onto every bucket it
+  // overlaps, equi-join on (keys, bucket) — each event carries exactly
+  // one bucket so no output dedup is needed — then refine with the
+  // precise range predicate inside the join. One shuffled equi-join,
+  // replication factor bounded by ceil(maxWindowLen/bucket)+1 window
+  // rows (windows are the small side by construction).
+  // ---------------------------------------------------------------------
+
+  /** Events-in-windows join: `left` rows (keys, tsMicros) matched into
+    * `windows` rows (keys, start_us, end_us half-open) via the bucketed
+    * strategy above. Left-outer from the WINDOW side so empty windows
+    * survive (their event columns null). `bucketMicros` must be ≥ the
+    * longest window; callers derive it from the window spec.
+    */
+  def bucketedRangeJoin(
+      left: DataFrame, windows: DataFrame, keys: Seq[String],
+      tsMicros: Column, bucketMicros: Long): DataFrame = {
+    // rename the event-side keys to reserved names BEFORE the join:
+    // windows frames are routinely DERIVED from the event frame (min-ts
+    // anchors etc.), so dataframe-tagged columns (wb(k)/ev(k)) share
+    // expression ids and resolve ambiguously — a left join that then
+    // drops "the event copy" can silently keep the null-bearing side
+    val ev = keys.foldLeft(left.withColumn("__ts_us", tsMicros))(
+        (d, k) => d.withColumnRenamed(k, "__l_" + k))
+      .withColumn("__lb", expr(s"__ts_us div ${bucketMicros}L"))
+    val wb = windows.withColumn("__wb",
+      explode(sequence(expr(s"start_us div ${bucketMicros}L"),
+        expr(s"(end_us - 1) div ${bucketMicros}L"))))
+    val cond = keys.map(k => col(k) === col("__l_" + k)).reduce(_ && _) &&
+      col("__wb") === col("__lb") &&
+      col("__ts_us") >= col("start_us") && col("__ts_us") < col("end_us")
+    wb.join(ev, cond, "left")
+      .drop("__wb" +: "__lb" +: "__ts_us" +: keys.map("__l_" + _): _*)
+  }
 }

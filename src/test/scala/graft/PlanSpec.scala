@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p55.contains("SortMergeJoin"), p55.take(3000))
   }
 
+  test("range join is a bucketed equi-join, not a nested-loop scan (q57)") {
+    val p = plan("q57_range_join")
+    // the bare BETWEEN formulation plans BroadcastNestedLoopJoin —
+    // O(events × windows) comparisons; the bucketed strategy must keep
+    // it an equi-join with the range refinement inside
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("posting-list join shuffles hashes and ids, never document text (q53)") {
     val p = plan("q53_ngram_jaccard")
     // every exchange's output column list must be hash/id-shaped; the

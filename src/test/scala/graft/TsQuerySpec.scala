@@ -80,4 +80,38 @@ class TsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("m1") == 200.0)
     assert(out("m2") == 50.0)
   }
+
+  test("bucketedRangeJoin equals the naive BETWEEN join, keeps empty windows") {
+    val s = spark; import s.implicits._
+    val H = 3600L * 1000000L // one hour in µs
+    // events for two meters; m2's second window will be empty, and one
+    // window spans multiple coarse buckets
+    val events = Seq(
+      ("m1", 0L * H + 5L, 1.0), ("m1", 1L * H, 2.0), ("m1", 5L * H, 3.0),
+      ("m2", 0L * H + 10L, 10.0), ("m2", 9L * H, 20.0)
+    ).toDF("meter", "ts_us", "value")
+    val windows = Seq(
+      ("m1", 0L, 0L, 2L * H),       // 2 events
+      ("m1", 1L, 4L * H, 7L * H),   // 3h window crossing bucket edges
+      ("m2", 0L, 0L, 1L),           // half-open: only ts 0 would match → empty
+      ("m2", 1L, 8L * H, 10L * H)   // 1 event
+    ).toDF("meter", "win_id", "start_us", "end_us")
+    val got = graft.operators.TimeSeriesOps.bucketedRangeJoin(
+        events, windows, Seq("meter"), col("ts_us"), bucketMicros = 3L * H)
+      .groupBy(col("meter"), col("win_id"))
+      .agg(count(col("value")).as("n"), sum(col("value")).as("sv"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val want = windows.as("w").join(events.as("e"),
+        col("w.meter") === col("e.meter") &&
+          col("e.ts_us") >= col("start_us") && col("e.ts_us") < col("end_us"),
+        "left")
+      .groupBy(col("w.meter"), col("win_id"))
+      .agg(count(col("value")).as("n"), sum(col("value")).as("sv"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(("m2", 0L)) == ((0L, None))) // empty window survived
+    assert(got(("m1", 1L)) == ((1L, Some(3.0)))) // multi-bucket window deduped
+  }
 }
