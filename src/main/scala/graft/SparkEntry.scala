@@ -483,6 +483,42 @@ object SparkEntry {
           round(avg(col("value")), 6).as("avg_value"))
         .orderBy(col("user_id"), col("win_id"))
     }),
+    // hierarchical totals — ROLLUP subtotal rows computed in the same
+    // single aggregation pass (Catalyst Expand), not one query per
+    // level; null group keys mark the subtotal rows in both engines
+    "q58_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    // W2 generalized — gap-based sessionization: a >30 min silence
+    // starts a new session; one windowed lag + a running sum of
+    // session-start flags assigns ids, then per-user session stats.
+    // Two exchanges total (both keyed by user), no iteration.
+    "q59_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapUs = 30L * 60L * 1000000L
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          round(avg(col("duration_us")) / 1e6, 6).as("avg_duration_s"))
+        .orderBy(col("user_id"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -996,6 +1032,33 @@ object SparkEntry {
            count(*) OVER (PARTITION BY coalesce(l.cluster, em.vec_id)) AS n_members
          FROM embeddings em LEFT JOIN lab l USING (vec_id)
          ORDER BY vec_id""",
+    // NULLS FIRST pins the subtotal rows to the same positions Spark's
+    // asc_nulls_first produces (DuckDB defaults to NULLS LAST)
+    "q58_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q59_sessionize" ->
+      """WITH f AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM f),
+         sess AS (
+           SELECT user_id, sess_id, count(*) AS n_events,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+           FROM g GROUP BY user_id, sess_id)
+         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+           round(avg(duration_us) / 1e6, 6) + 0.0 AS avg_duration_s
+         FROM sess GROUP BY user_id ORDER BY user_id""",
     // plain BETWEEN range join — DuckDB plans this fine at oracle
     // scale; the Spark side's bucketed strategy must produce the same
     // rows
