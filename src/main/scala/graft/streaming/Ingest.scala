@@ -56,6 +56,30 @@ object Ingest {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** The text-curation pipeline's streaming twin: the same scan-speed
+    * Column expressions the batch queries use (q14-q16, q51 operators)
+    * applied to a document stream — language ID, quality signals, and
+    * the keep/drop verdict computed per micro-batch with NO state and
+    * NO shuffle, so an ingest crawl can be scored and filtered at wire
+    * speed before anything is persisted. Stateless by construction:
+    * every signal is per-document, which is exactly why this runs as a
+    * stream without watermarks (contrast dedupStream, whose cross-
+    * document semantics need keyed state).
+    */
+  def curationStream(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxDupWordFrac: Double = 0.9): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .withColumn("dup_word_frac", TextOps.dupWordFrac(col("text")))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens &&
+          col("dup_word_frac") <= maxDupWordFrac)
+  }
+
   /** A1's streaming twin: tumbling averages with a watermark; emits
     * finalized windows only (append mode compatible).
     */

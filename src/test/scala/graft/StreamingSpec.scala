@@ -11,6 +11,8 @@ import graft.streaming.Ingest.Reading
 /** Streaming twins vs their batch kernels: windowed averages with
   * watermark and the per-meter trapezoid interpolation state.
   */
+case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
@@ -25,8 +27,6 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def reading(meter: String, sec: Long, v: Double): Reading =
     Reading(meter, "Power", new java.sql.Timestamp(sec * 1000L), Seq(v), "W")
-
-  case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   test("streaming dedup admits first occurrence only, keyed by content hash") {
     implicit val sq = spark.sqlContext
@@ -57,6 +57,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // output carries it for downstream audit
       val cols = spark.table("dedup_stream").columns.toSet
       assert(cols.contains("content_hash"))
+    } finally q.stop()
+  }
+
+  test("curation stream scores and filters documents statelessly, matching batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.curationStream(mem.toDF(), minTokens = 3)
+      .writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      mem.addData(
+        doc(1, "the quick brown fox jumps"), // keeps: 5 tokens, en markers
+        doc(2, "hi"),                        // drops: under min tokens
+        doc(3, "spam spam spam spam spam spam spam spam spam spam spam")) // drops: 10/11 dup
+      q.processAllAvailable()
+      val rows = spark.table("curation")
+        .select("doc_id", "pred_lang", "keep")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(rows(1L) == (("en", true)))
+      assert(rows(2L)._2 == false)
+      assert(rows(3L)._2 == false) // dup_word_frac 10/11 > 0.9
+      // batch twin must agree row-for-row on the same inputs
+      val batch = Ingest.curationStream(Seq(
+          doc(1, "the quick brown fox jumps"), doc(2, "hi"),
+          doc(3, "spam spam spam spam spam spam spam spam spam spam spam")).toDF(),
+          minTokens = 3)
+        .select("doc_id", "pred_lang", "keep")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(rows == batch)
     } finally q.stop()
   }
 
