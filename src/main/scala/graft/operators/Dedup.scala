@@ -336,22 +336,26 @@ object Dedup {
     // until GC and breaks the shared-session no-cached-RDDs contract.
     // Lineage stays un-truncated, but oneRound references its input
     // once, so round R's plan is O(R) nodes — analysis stays linear.
-    var ck = edges0.persist()
-    var sig = signature(ck) // materializes the cache
+    // every persist is tracked so the finally releases ALL of them even
+    // when an action throws mid-round (otherwise the round's fresh
+    // persist leaks into the shared session on the error path)
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var rounds = 0
-    var converged = false
     try {
+      var ck = edges0.persist(); live += ck
+      var sig = signature(ck) // materializes the cache
+      var converged = false
       while (!converged && rounds < maxRounds) {
-        val next = oneRound(ck).persist()
+        val next = oneRound(ck).persist(); live += next
         val nsig = signature(next) // materializes next BEFORE dropping ck
-        ck.unpersist()
+        ck.unpersist(); live -= ck
         ck = next
         converged = nsig == sig
         sig = nsig
         rounds += 1
       }
       require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    } finally ck.unpersist()
+    } finally live.foreach(_.unpersist())
     // Stateless replay — the returned frame carries no cache
     // dependency. The loop's FINAL round is by construction a no-op
     // (that unchanged round is what proved convergence), so the
