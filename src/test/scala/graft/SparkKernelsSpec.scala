@@ -246,4 +246,32 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("documented scale swaps hold: approx percentile and distinct within tolerance") {
+    // q05 and q34 ship exact kernels with comments prescribing the
+    // sketch-based swap at 100 TB (percentile_approx / HLL++). This
+    // pins the swap's accuracy contract on real data so the advice
+    // stays true as the queries evolve.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val agg = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
+        countDistinct(col("user_id")).as("nd_exact"),
+        expr("approx_count_distinct(user_id, 0.02)").as("nd_approx"))
+      .collect()
+    assert(agg.nonEmpty)
+    for (r <- agg) {
+      val (pe, pa) = (r.getDouble(1), r.getDouble(2))
+      // percentile_approx with 1000 buckets: well under 5% of the
+      // value range on this distribution
+      assert(math.abs(pe - pa) <= math.max(1.0, math.abs(pe)) * 0.05,
+        s"${r.getString(0)}: exact $pe approx $pa")
+      val (ne, na) = (r.getLong(3), r.getLong(4))
+      // HLL++ at rsd=0.02: allow 3 sigma
+      assert(math.abs(ne - na) <= math.max(3.0, ne * 0.06),
+        s"${r.getString(0)}: exact $ne approx $na")
+    }
+  }
 }
