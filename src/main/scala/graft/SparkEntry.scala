@@ -1078,22 +1078,29 @@ object SparkEntry {
            round(avg(value), 6) + 0.0 AS avg_value
          FROM j GROUP BY user_id, win_id ORDER BY user_id, win_id""",
     // kind 'video' ⇔ doc_id % 3 = 2 (the third element of the cycling
-    // kind list); frame geometry is integer math mirrored exactly
+    // kind list); frame geometry is integer math mirrored exactly.
+    // Byte-accurate on BOTH sides: the payload is sliced by BYTES in
+    // Spark, so the oracle slices the hex encoding (2 chars per byte)
+    // rather than substr-by-characters — parity holds for any UTF-8
+    // text, not just an ASCII corpus; first_byte is the true unsigned
+    // byte value via a 0x-prefixed hex cast, NULL past payload end
     "q56_frame_sample" ->
-      """WITH v AS (SELECT doc_id AS media_id, text,
+      """WITH v AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
              (doc_id % 8 + 2) * 5 AS n_frames,
              greatest(octet_length(encode(text)) // ((doc_id % 8 + 2) * 5), 1)
                AS frame_bytes
            FROM documents WHERE doc_id % 3 = 2),
          f AS (SELECT media_id, n_frames, frame_bytes,
-                 unnest(range(0, n_frames, 7)) AS frame_idx, text FROM v)
+                 unnest(range(0, n_frames, 7)) AS frame_idx, hx FROM v)
          SELECT media_id, n_frames, frame_idx,
            frame_idx * frame_bytes AS off_bytes,
-           octet_length(encode(substr(text,
-             (frame_idx * frame_bytes + 1)::INT, frame_bytes::INT)))
-             AS n_bytes_frame,
-           ascii(substr(text, (frame_idx * frame_bytes + 1)::INT, 1))
-             AS first_byte
+           length(substr(hx, (frame_idx * frame_bytes * 2 + 1)::INT,
+             (frame_bytes * 2)::INT)) // 2 AS n_bytes_frame,
+           CASE WHEN length(substr(hx,
+               (frame_idx * frame_bytes * 2 + 1)::INT, 2)) = 2
+             THEN ('0x' || substr(hx,
+               (frame_idx * frame_bytes * 2 + 1)::INT, 2))::BIGINT
+           END AS first_byte
          FROM f ORDER BY media_id, frame_idx""",
     "q55_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

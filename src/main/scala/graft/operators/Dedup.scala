@@ -193,23 +193,28 @@ object Dedup {
   /** EXACT n-gram Jaccard similarity join via inverted-index posting
     * lists — the exact counterpart to minhashLsh: instead of banding a
     * sketch, explode each document's distinct shingle hashes, group the
-    * corpus by shingle (posting lists), pair documents within each
-    * posting list, and count shared shingles per pair. Jaccard then
-    * falls out of |A∩B| and the two set sizes (|A∪B| = |A|+|B|−|A∩B|),
-    * so NO candidate is ever verified against raw text and the result
-    * equals brute-force Jaccard ≥ τ exactly (no banding miss
-    * probability) — use it when the dedup policy must be auditable;
-    * use minhashLsh when τ is high and corpus-scale wins matter.
+    * corpus by shingle (posting lists), and pair documents within each
+    * posting list. Every candidate pair is then verified with the
+    * exact sorted-merge Jaccard kernel over the two FULL hashed-shingle
+    * sets, so NO candidate is ever verified against raw text, every
+    * emitted `jac` is the true Jaccard, and the result equals
+    * brute-force Jaccard ≥ τ exactly (no banding miss probability) —
+    * use it when the dedup policy must be auditable; use minhashLsh
+    * when τ is high and corpus-scale wins matter.
     *
     * Plan shape: one exchange on shingle hash (posting build + pairing
-    * in the same partition), one exchange on (i, j) for the
-    * intersection count, two broadcast-sized joins for set sizes.
+    * in the same partition), one exchange on (i, j) for candidate
+    * dedup, two id-keyed joins to fetch the shingle sets for the
+    * verification kernel (candidate-set-sized, not corpus-sized).
     * Scale guard: a shingle shared by P documents yields P²/2 pairs, so
     * stop-shingle posting lists are a quadratic straggler; lists over
-    * `maxPosting` are dropped — a documented recall bound on pairs
-    * whose EVERY shared shingle is that hot (the published exact fix
-    * is prefix/position filtering, PPJoin — Xiao et al., WWW'08 — which
-    * replaces the cap when exactness must survive hot vocabularies).
+    * `maxPosting` are dropped from CANDIDATE GENERATION only — because
+    * verification always runs on the full shingle sets, a pair can be
+    * lost only when EVERY shingle it shares is that hot (one surviving
+    * shared shingle makes it a candidate, and the kernel then scores it
+    * exactly). The published fix when exactness must survive hot
+    * vocabularies is prefix/position filtering (PPJoin — Xiao et al.,
+    * WWW'08), which replaces the cap.
     */
   def ngramJaccardJoin(
       df: DataFrame,
@@ -220,22 +225,26 @@ object Dedup {
       maxPosting: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = hashedShingles(df, idCol, textCol, shingleN)
-    val sizes = hashed.select(col("doc_id"), size(col("shh")).as("sz"))
     val posts = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
     val w = Window.partitionBy(col("h"))
     val capped = posts
       .withColumn("__pn", count(lit(1)).over(w))
       .filter(col("__pn") <= maxPosting)
       .drop("__pn")
-    val co = capped.as("a")
+    // Candidates only — the capped posting lists must NOT feed the
+    // intersection count: a pair sharing a mix of hot and rare shingles
+    // would get a truncated numerator over a full-size denominator,
+    // silently understating Jaccard. One surviving shared shingle is
+    // enough to make the pair a candidate; the kernel scores it exactly.
+    val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("co"))
-    co.join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
-      .withColumn("jac",
-        col("co").cast("double") / (col("sz_i") + col("sz_j") - col("co")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("i"), col("shh").as("__shh_i")), "i")
+      .join(hashed.select(col("doc_id").as("j"), col("shh").as("__shh_j")), "j")
+      .withColumn("jac", jaccardHashes(col("__shh_i"), col("__shh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }
@@ -383,14 +392,25 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashLsh(df, idCol, textCol, shingleN = shingleN,
       threshold = threshold)
     val cc = connectedComponents(pairs.select(col("i"), col("j")))
-    df.select(col(idCol).as("doc_id"))
-      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("rep"), col("doc_id")).as("cluster"))
+    labelClusters(df.select(col(idCol).as("doc_id")), "doc_id", cc)
+  }
+
+  /** Label every id with its connected-component representative and
+    * component size: ids LEFT JOIN cc (nodes in no edge stay their own
+    * singleton cluster), n_members via a cluster-partitioned window
+    * count. The one place label/tie/size semantics live — shared by
+    * text near-dup clustering above and embedding dedup clustering
+    * (`Similarity.embeddingDedupClusters`) so the two cannot diverge.
+    */
+  def labelClusters(ids: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ids.select(col(idCol))
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("rep"), col(idCol)).as("cluster"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
   }

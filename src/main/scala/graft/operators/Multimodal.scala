@@ -119,9 +119,15 @@ object Multimodal {
         expr("""cast(length(substring(payload,
           cast(frame_idx * frame_bytes + 1 as int),
           cast(frame_bytes as int))) as bigint)""").as("n_bytes_frame"),
-        expr("""cast(ascii(cast(substring(payload,
-          cast(frame_idx * frame_bytes + 1 as int), 1) as string)) as bigint)""")
-          .as("first_byte"))
+        // true unsigned BYTE value (hex → int), not ascii(cast(binary
+        // as string)): the cast decodes UTF-8, so any byte ≥ 0x80 in a
+        // real media payload would collapse to U+FFFD (65533); NULL for
+        // a frame window past the payload's end
+        expr("""case when length(substring(payload,
+            cast(frame_idx * frame_bytes + 1 as int), 1)) = 1
+          then cast(conv(hex(substring(payload,
+            cast(frame_idx * frame_bytes + 1 as int), 1)), 16, 10) as bigint)
+          end""").as("first_byte"))
 
   case class SizedMediaRow(
       media_id: Long, kind: String, payload: Array[Byte], w: Long, h: Long)

@@ -321,11 +321,6 @@ object Similarity {
   def embeddingDedupClusters(vectors: DataFrame, threshold: Double): DataFrame = {
     val pairs = nearDupPairsBlocked(vectors, threshold).select(col("i"), col("j"))
     val cc = Dedup.connectedComponents(pairs)
-    vectors.select(col("vec_id"))
-      .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("rep"), col("vec_id")).as("cluster"))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
 }

@@ -158,16 +158,22 @@ object TextOps {
       .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
   }
 
-  /** TF-IDF top-k terms per document. Plan shape (linear in corpus):
+  /** TF-IDF top-k terms per document. Plan shape (linear in corpus,
+    * ONE pass over the token stream):
     *   1. explode tokens → (doc, term) partial-agg counts (map-side
     *      combine before the shuffle: the exchange carries one row per
     *      distinct (doc, term), not one per token)
-    *   2. document frequency = second agg over the tf frame — vocab-
-    *      sized, broadcast back (a vocabulary is ≪ corpus at any SF;
-    *      for open-ended web vocab add a min-df cutoff before the
-    *      broadcast)
+    *   2. document frequency = count over a term-partitioned window ON
+    *      the tf frame (tf has one row per (doc, term), so the count IS
+    *      df). A broadcast-back of a separately aggregated df table
+    *      would (a) re-run the corpus scan + token explode as a second
+    *      job — broadcast sides share no exchange reuse — and (b)
+    *      broadcast an open-ended web VOCABULARY, which at 100 TB is
+    *      billions of terms and not broadcastable; the window is one
+    *      extra exchange of the already-aggregated tf rows instead
     *   3. corpus size joined as a broadcast 1-row frame — no driver
-    *      action, the count stays inside the lazy plan
+    *      action, the count stays inside the lazy plan (a count-only
+    *      parquet scan, not a second token pass)
     *   4. top-k per doc via row_number over the doc-partitioned window
     *      (ties broken by term so the result is deterministic and
     *      oracle-comparable)
@@ -179,9 +185,9 @@ object TextOps {
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

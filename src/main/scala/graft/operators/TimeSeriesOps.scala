@@ -327,9 +327,13 @@ object TimeSeriesOps {
     val ev = keys.foldLeft(left.withColumn("__ts_us", tsMicros))(
         (d, k) => d.withColumnRenamed(k, "__l_" + k))
       .withColumn("__lb", expr(s"__ts_us div ${bucketMicros}L"))
+    // clamp the upper bucket: a degenerate window (end_us <= start_us)
+    // would otherwise make sequence() DESCEND and replicate the window
+    // once per spurious bucket — the empty window must surface exactly
+    // one null-event row, not several
     val wb = windows.withColumn("__wb",
       explode(sequence(expr(s"start_us div ${bucketMicros}L"),
-        expr(s"(end_us - 1) div ${bucketMicros}L"))))
+        expr(s"greatest(start_us div ${bucketMicros}L, (end_us - 1) div ${bucketMicros}L)"))))
     val cond = keys.map(k => col(k) === col("__l_" + k)).reduce(_ && _) &&
       col("__wb") === col("__lb") &&
       col("__ts_us") >= col("start_us") && col("__ts_us") < col("end_us")
