@@ -519,6 +519,16 @@ object SparkEntry {
           round(avg(col("duration_us")) / 1e6, 6).as("avg_duration_s"))
         .orderBy(col("user_id"))
     }),
+    // Curation verdict — the filter-first readout of the training-data
+    // pipeline: token count + language ID + repetition fraction + keep
+    // boolean, all per-row Column math (scan-speed, no shuffle; the
+    // same function body runs as the streaming twin)
+    "q60_curation_verdict" -> ((s, dir) => {
+      TextOps.curationVerdict(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("pred_lang"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -1059,6 +1069,28 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
            round(avg(duration_us) / 1e6, 6) + 0.0 AS avg_duration_s
          FROM sess GROUP BY user_id ORDER BY user_id""",
+    // composition of the q16 langid and q51 dup_word_frac fragments;
+    // keep = thresholds over the UNROUNDED repetition fraction
+    "q60_curation_verdict" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, len(w) AS n_tokens,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+           len(list_filter(w, t -> list_contains(['the','a','is','and'], t))) AS en,
+           len(list_filter(w, t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(w, t -> list_contains(['el','los','y','que'], t))) AS es,
+           len(list_filter(w, t -> list_contains(['der','die','und','das'], t))) AS de,
+           (len(w) - len(list_distinct(w)))::DOUBLE / len(w) AS dwf
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang,
+           round(dwf, 6) + 0.0 AS dup_word_frac,
+           (n_tokens >= 5 AND dwf <= 0.9) AS keep
+         FROM c ORDER BY doc_id""",
     // plain BETWEEN range join — DuckDB plans this fine at oracle
     // scale; the Spark side's bucketed strategy must produce the same
     // rows

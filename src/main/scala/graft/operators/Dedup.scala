@@ -244,6 +244,12 @@ object Dedup {
     cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("__shh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("__shh_j")), "j")
+      // PPJoin size filter: jac ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+      // whose set sizes are too lopsided can't clear τ — prunes the
+      // sorted-merge kernel without touching recall (pure codegen
+      // integer math on the already-co-located arrays)
+      .filter(least(size(col("__shh_i")), size(col("__shh_j"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__shh_i")), size(col("__shh_j"))))
       .withColumn("jac", jaccardHashes(col("__shh_i"), col("__shh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))

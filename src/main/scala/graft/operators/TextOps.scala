@@ -116,6 +116,28 @@ object TextOps {
     }
   }
 
+  /** The curation pipeline's keep/drop verdict: token count, language
+    * ID, and word-repetition fraction scored per document, plus a
+    * `keep` boolean from the thresholds. Every signal is a per-row
+    * Column expression, so the plan is scan-speed with NO shuffle —
+    * which is also why the SAME function body serves as the streaming
+    * twin (`streaming.Ingest.curationStream` delegates here): stateless
+    * per-document math runs unchanged on a micro-batch. Filter-first
+    * ordering is deliberate — cross-document work (dedup) runs AFTER
+    * this verdict has shrunk the corpus, never before.
+    */
+  def curationVerdict(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxDupWordFrac: Double = 0.9): DataFrame =
+    docs
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("pred_lang", langId(col("text")))
+      .withColumn("dup_word_frac", dupWordFrac(col("text")))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens &&
+          col("dup_word_frac") <= maxDupWordFrac)
+
   /** Token n-grams WITH repeats (bag semantics) — the unit for
     * within-document repetition measurement, where repeats are exactly
     * the signal (contrast shingle_hashes, which dedupes for Jaccard).

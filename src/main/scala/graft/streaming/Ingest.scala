@@ -69,16 +69,8 @@ object Ingest {
   def curationStream(
       docs: DataFrame,
       minTokens: Int = 5,
-      maxDupWordFrac: Double = 0.9): DataFrame = {
-    import graft.operators.TextOps
-    docs
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
-      .withColumn("pred_lang", TextOps.langId(col("text")))
-      .withColumn("dup_word_frac", TextOps.dupWordFrac(col("text")))
-      .withColumn("keep",
-        col("n_tokens") >= minTokens &&
-          col("dup_word_frac") <= maxDupWordFrac)
-  }
+      maxDupWordFrac: Double = 0.9): DataFrame =
+    graft.operators.TextOps.curationVerdict(docs, minTokens, maxDupWordFrac)
 
   /** A1's streaming twin: tumbling averages with a watermark; emits
     * finalized windows only (append mode compatible).

@@ -92,4 +92,28 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(
       (1L, 3L, 1.0 / 3), (2L, 2L, 0.0), (3L, 3L, 1.0 / 3), (4L, 3L, 2.0 / 3)))
   }
+
+  test("curationVerdict: inclusive thresholds, hand-math signals") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on mat"),            // 5 tokens (= min), dwf 0
+      (2L, "just four tokens here"),         // 4 tokens -> drop
+      (3L, "a a a a a a a a a a"),           // dwf (10-1)/10 = 0.9 (= max)
+      (4L, ("a " * 19) + "a")                // 20 tokens, dwf 0.95 -> drop
+    ).toDF("doc_id", "text")
+    val got = TextOps.curationVerdict(docs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Double]("dup_word_frac"), r.getAs[Boolean]("keep")))
+    assert(got.toSeq == Seq(
+      (1L, 5, 0.0, true),    // boundary: n_tokens == minTokens kept
+      (2L, 4, 0.0, false),
+      (3L, 10, 0.9, true),   // boundary: dwf == maxDupWordFrac kept
+      (4L, 20, 0.95, false)))
+    // the streaming twin is literally the same function body
+    val twin = graft.streaming.Ingest.curationStream(docs)
+      .orderBy("doc_id").collect().map(_.getAs[Boolean]("keep")).toSeq
+    assert(twin == Seq(true, false, true, false))
+  }
 }
