@@ -529,6 +529,23 @@ object SparkEntry {
           round(col("dup_word_frac"), 6).as("dup_word_frac"), col("keep"))
         .orderBy(col("doc_id"))
     }),
+    // Language-ID evaluation — confusion counts of the heuristic
+    // against the corpus's ground-truth lang column (the QA readout
+    // run before trusting a classifier to filter a crawl). One
+    // partially-aggregated exchange over ≤ |langs|² groups.
+    "q61_langid_confusion" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang").as("true_lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+    // Embedding QA — exact leave-one-out 1-NN label accuracy per class
+    // (blocked all-pairs + map-side argmax; IVF is the documented
+    // swap at corpus scale)
+    "q62_knn_label_accuracy" -> ((s, dir) => {
+      Similarity.oneNnLabelAccuracy(Tables.embeddings(s, dir))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -1091,6 +1108,47 @@ object SparkEntry {
            round(dwf, 6) + 0.0 AS dup_word_frac,
            (n_tokens >= 5 AND dwf <= 0.9) AS keep
          FROM c ORDER BY doc_id""",
+    "q61_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, lang,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+           len(list_filter(w, t -> list_contains(['the','a','is','and'], t))) AS en,
+           len(list_filter(w, t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(w, t -> list_contains(['el','los','y','que'], t))) AS es,
+           len(list_filter(w, t -> list_contains(['der','die','und','das'], t))) AS de
+           FROM t),
+         p AS (SELECT lang AS true_lang,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang
+           FROM c)
+         SELECT true_lang, pred_lang, count(*) AS n
+         FROM p GROUP BY true_lang, pred_lang
+         ORDER BY true_lang, pred_lang""",
+    // exact 1-NN by raw double cosine, ties to lowest neighbor id —
+    // mirrors the Spark argmax over max(struct(cos, -nid))
+    "q62_knn_label_accuracy" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 a.label AS true_label, b.label AS pred_label,
+                 list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+               FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         r AS (SELECT qid, true_label, pred_label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid ASC) AS rk
+               FROM p)
+         SELECT true_label, count(*) AS n,
+           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS accuracy
+         FROM r WHERE rk = 1
+         GROUP BY true_label ORDER BY true_label""",
     // plain BETWEEN range join — DuckDB plans this fine at oracle
     // scale; the Spark side's bucketed strategy must produce the same
     // rows

@@ -323,4 +323,45 @@ object Similarity {
     val cc = Dedup.connectedComponents(pairs)
     Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
+
+  /** Exact leave-one-out 1-NN label accuracy per class — the embedding
+    * QA readout run before trusting vectors for retrieval or
+    * clustering ("do nearest neighbors share a label?"). Exact is the
+    * auditable baseline; at corpus scale swap the pair source for the
+    * IVF index (`ivfTopKMultiprobe` with k=1), same downstream shape.
+    *
+    * Plan: the block-partitioned all-pairs join (the irreducible O(N²)
+    * evenly sharded, same machinery as near-dup) streamed into an
+    * orientation explode and a map-side-combinable argmax —
+    * `max(struct(cos, -nid))` aggregates instead of a per-qid sort
+    * window, so the N² candidate stream collapses inside each scan
+    * partition before the one (qid)-keyed exchange. Two id-keyed joins
+    * attach true/predicted labels; ties break to the lowest neighbor
+    * id so the result is deterministic and oracle-comparable.
+    */
+  def oneNnLabelAccuracy(
+      vectors: DataFrame, // (vec_id, embedding, label)
+      numBlocks: Int = 16): DataFrame = {
+    val pairs = nearDupPairsBlocked(
+      vectors.select(col("vec_id"), col("embedding")),
+      threshold = -1.0, numBlocks = numBlocks)
+    val oriented = pairs.select(explode(array(
+        struct(col("i").as("qid"), col("j").as("nid"), col("cos")),
+        struct(col("j").as("qid"), col("i").as("nid"), col("cos")))).as("e"))
+      .select(col("e.qid"), col("e.nid"), col("e.cos"))
+    val nn = oriented.groupBy(col("qid"))
+      .agg(max(struct(col("cos"), (-col("nid")).as("negnid"))).as("m"))
+      .select(col("qid"), (-col("m.negnid")).as("nid"))
+    val labels = vectors.select(col("vec_id"), col("label"))
+    nn
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("pred_label")), "nid")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n"), 6))
+      .orderBy(col("true_label"))
+  }
 }
