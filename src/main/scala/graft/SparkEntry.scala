@@ -546,6 +546,18 @@ object SparkEntry {
     "q62_knn_label_accuracy" -> ((s, dir) => {
       Similarity.oneNnLabelAccuracy(Tables.embeddings(s, dir))
     }),
+    // Curation — PII scrub: emails/phones redacted with typed
+    // placeholders, per-doc match counts (scan-speed regex, no shuffle)
+    "q63_pii_scrub" -> ((s, dir) => {
+      TextOps.piiScrub(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // Embedding storage — int8 scalar quantization fidelity readout
+    // (per-row array math, sequential folds mirrored by the oracle)
+    "q64_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -1149,6 +1161,43 @@ object SparkEntry {
              / count(*), 6) + 0.0 AS accuracy
          FROM r WHERE rk = 1
          GROUP BY true_label ORDER BY true_label""",
+    // same regex source strings as the Spark side (Java∩RE2 subset);
+    // email redaction first, mirroring TextOps.piiScrub
+    "q63_pii_scrub" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+         FROM documents ORDER BY doc_id""",
+    // sequential list_reduce folds mirror Spark's aggregate() exactly,
+    // so the double summation order (and hence the 6-dp rounds) agree
+    "q64_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+                  ELSE list_transform(v, x -> round(x / scale, 0)::BIGINT)
+             END AS qv FROM s),
+         m AS (SELECT vec_id, scale, qv,
+             list_reduce(list_concat([0.0],
+               list_transform(range(1, len(v) + 1),
+                 i -> pow(v[i] - qv[i]::DOUBLE * scale, 2))), (a, b) -> a + b)
+               AS err2,
+             list_reduce(list_concat([0.0],
+               list_transform(v, x -> x * x)), (a, b) -> a + b) AS nrm2
+           FROM q)
+         SELECT vec_id, round(scale, 6) + 0.0 AS scale,
+           list_reduce(list_concat([0::BIGINT],
+             list_transform(qv, x -> abs(x))), (a, b) -> a + b) AS q_l1,
+           CASE WHEN nrm2 = 0 THEN 0.0
+                ELSE round(sqrt(err2) / sqrt(nrm2), 6) + 0.0 END AS rel_err
+         FROM m ORDER BY vec_id""",
     // plain BETWEEN range join — DuckDB plans this fine at oracle
     // scale; the Spark side's bucketed strategy must produce the same
     // rows

@@ -339,6 +339,37 @@ object Similarity {
     * attach true/predicted labels; ties break to the lowest neighbor
     * id so the result is deterministic and oracle-comparable.
     */
+  /** Symmetric int8 scalar quantization readout — the storage-path
+    * decision data for an embedding corpus (4× smaller vectors, how
+    * much cosine fidelity is lost?). Per vector: scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [−127, 127], reported as the 6-dp scale,
+    * an L1 checksum of the quantized codes, and the relative L2
+    * reconstruction error ‖x − q·scale‖/‖x‖. All per-row array Column
+    * math — scan-speed, no shuffle — and every fold is a SEQUENTIAL
+    * left fold (`aggregate`), so the DuckDB oracle's `list_reduce`
+    * reproduces the float summation order bit-for-bit. All-zero
+    * vectors quantize to all zeros (scale 0 guard), error 0.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val sumD = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("q",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("scale"), 0).cast("long"))))
+      .withColumn("err2", sumD(zip_with(col("v"), col("q"),
+        (x, q) => pow(x - q.cast("double") * col("scale"), 2))))
+      .withColumn("nrm2", sumD(transform(col("v"), x => x * x)))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, q) => a + abs(q)).as("q_l1"),
+        when(col("nrm2") === 0, lit(0.0))
+          .otherwise(round(sqrt(col("err2")) / sqrt(col("nrm2")), 6))
+          .as("rel_err"))
+  }
+
   def oneNnLabelAccuracy(
       vectors: DataFrame, // (vec_id, embedding, label)
       numBlocks: Int = 16): DataFrame = {

@@ -138,6 +138,28 @@ object TextOps {
         col("n_tokens") >= minTokens &&
           col("dup_word_frac") <= maxDupWordFrac)
 
+  /** Conservative PII patterns shared verbatim with the DuckDB oracle:
+    * kept inside the Java∩RE2 regex subset (no lookarounds, no
+    * backrefs) so the SAME source string drives both engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrub — the redaction pass a training corpus runs before
+    * anything is retained: emails and phone-shaped numbers replaced
+    * with typed placeholders, per-document match counts reported for
+    * the scrub-rate readout. Pure per-row regex Column math (codegen,
+    * scan-speed, no shuffle); email redaction runs FIRST so the phone
+    * pattern can't match digit runs inside an address' host part.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("text_redacted"))
+
   /** Token n-grams WITH repeats (bag semantics) — the unit for
     * within-document repetition measurement, where repeats are exactly
     * the signal (contrast shingle_hashes, which dedupes for Jaccard).

@@ -55,9 +55,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Exchange"), p.take(2000))
   }
 
-  test("scan-speed text ops introduce no data shuffle (q14/q46/q56/q60)") {
+  test("scan-speed text ops introduce no data shuffle (q14/q46/q56/q60/q63/q64)") {
     for (q <- Seq("q14_token_stats", "q46_subword_tokens", "q56_frame_sample",
-        "q60_curation_verdict")) {
+        "q60_curation_verdict", "q63_pii_scrub", "q64_quantize_int8")) {
       val p = plan(q)
       // the only exchange is the final presentation sort
       val exchanges = "Exchange".r.findAllIn(p).size

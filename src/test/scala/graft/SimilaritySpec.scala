@@ -169,4 +169,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((0, 2L, 1L, 0.5), (1, 3L, 2L, 0.666667)))
   }
+
+  test("quantizeInt8: hand-math codes, checksum, relative error, zero guard") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)) // all-zero: scale 0, no NaN
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // scale = 1/127; codes round(x*127) = (127, -64, 32) — the -63.5
+    // midpoint rounds away from zero; checksum 127+64+32
+    val scale = 1.0 / 127.0
+    val err2 = math.pow(-0.5f.toDouble + 64 * scale, 2) +
+      math.pow(0.25f.toDouble - 32 * scale, 2)
+    val nrm2 = Seq(1.0f, -0.5f, 0.25f).map(x => x.toDouble * x.toDouble).sum
+    val wantErr = math.rint(math.sqrt(err2) / math.sqrt(nrm2) * 1e6) / 1e6
+    assert(got(0) == ((1L, math.rint(scale * 1e6) / 1e6, 223L, wantErr)))
+    assert(got(1) == ((2L, 0.0, 0L, 0.0)))
+  }
 }

@@ -116,4 +116,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().map(_.getAs[Boolean]("keep")).toSeq
     assert(twin == Seq(true, false, true, false))
   }
+
+  test("piiScrub: typed redaction, counts, email runs before phone") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 555-123-4567 ok"),
+      (2L, "digits 5551234567 and dotted 555.123.4567 here"),
+      (3L, "nothing sensitive at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1, 1, "reach me at <EMAIL> or <PHONE> ok"),
+      (2L, 0, 1, "digits 5551234567 and dotted <PHONE> here"), // bare run unmatched
+      (3L, 0, 0, "nothing sensitive at all")))
+  }
 }
