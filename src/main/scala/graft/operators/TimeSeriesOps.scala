@@ -294,7 +294,8 @@ object TimeSeriesOps {
       acc.withColumn(p + "_asof", when(tolOk, col(s"_c_$p")))
     }
     withPayload.select(
-      left.columns.map(col) ++ Seq(col("asof_ts")) ++ rPayload.map(p => col(p + "_asof")): _*)
+      left.columns.toIndexedSeq.map(col) ++ Seq(col("asof_ts")) ++
+        rPayload.map(p => col(p + "_asof")): _*)
   }
 
   // ---------------------------------------------------------------------
