@@ -1150,7 +1150,8 @@ object SparkEntry {
          p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
                  a.label AS true_label, b.label AS pred_label,
                  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-               FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+               FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                 AND a.nrm > 0 AND b.nrm > 0),
          r AS (SELECT qid, true_label, pred_label,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, nid ASC) AS rk
@@ -1164,15 +1165,18 @@ object SparkEntry {
     // same regex source strings as the Spark side (Java∩RE2 subset);
     // email redaction first, mirroring TextOps.piiScrub
     "q63_pii_scrub" ->
-      """SELECT doc_id,
-           len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text,
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
-           regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
-         FROM documents ORDER BY doc_id""",
+      """WITH t1 AS (SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+               AS t
+           FROM documents)
+         SELECT doc_id, n_emails,
+           len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+           regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+             AS text_redacted
+         FROM t1 ORDER BY doc_id""",
     // sequential list_reduce folds mirror Spark's aggregate() exactly,
     // so the double summation order (and hence the 6-dp rounds) agree
     "q64_quantize_int8" ->

@@ -98,6 +98,12 @@ object Similarity {
         sequence(lit(0), col("bj")), y => y * b + col("bj"))))
     left.join(right, left("cell") === right("cell") &&
         (col("bi") =!= col("bj") || col("i") < col("j")))
+      // zero-norm vectors have no direction: their cosine is 0/0 = NaN,
+      // and Spark sorts NaN ABOVE every real number, so without this
+      // guard one degenerate vector passes every threshold and wins
+      // every argmax (DuckDB's 0/0 is NULL and drops out — the guard
+      // keeps both engines on the same semantics: excluded)
+      .filter(col("va_nrm") > 0 && col("vb_nrm") > 0)
       .select(
         least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"),
@@ -324,21 +330,6 @@ object Similarity {
     Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
 
-  /** Exact leave-one-out 1-NN label accuracy per class — the embedding
-    * QA readout run before trusting vectors for retrieval or
-    * clustering ("do nearest neighbors share a label?"). Exact is the
-    * auditable baseline; at corpus scale swap the pair source for the
-    * IVF index (`ivfTopKMultiprobe` with k=1), same downstream shape.
-    *
-    * Plan: the block-partitioned all-pairs join (the irreducible O(N²)
-    * evenly sharded, same machinery as near-dup) streamed into an
-    * orientation explode and a map-side-combinable argmax —
-    * `max(struct(cos, -nid))` aggregates instead of a per-qid sort
-    * window, so the N² candidate stream collapses inside each scan
-    * partition before the one (qid)-keyed exchange. Two id-keyed joins
-    * attach true/predicted labels; ties break to the lowest neighbor
-    * id so the result is deterministic and oracle-comparable.
-    */
   /** Symmetric int8 scalar quantization readout — the storage-path
     * decision data for an embedding corpus (4× smaller vectors, how
     * much cosine fidelity is lost?). Per vector: scale = max|x|/127,
@@ -370,12 +361,31 @@ object Similarity {
           .as("rel_err"))
   }
 
+  /** Exact leave-one-out 1-NN label accuracy per class — the embedding
+    * QA readout run before trusting vectors for retrieval or
+    * clustering ("do nearest neighbors share a label?"). Exact is the
+    * auditable baseline; at corpus scale swap the pair source for the
+    * IVF index (`ivfTopKMultiprobe` with k=1), same downstream shape.
+    *
+    * Plan: the block-partitioned all-pairs join (the irreducible O(N²)
+    * evenly sharded, same machinery as near-dup) streamed into an
+    * orientation explode and a map-side-combinable argmax —
+    * `max(struct(cos, -nid))` aggregates instead of a per-qid sort
+    * window, so the N² candidate stream collapses inside each scan
+    * partition before the one (qid)-keyed exchange. Two id-keyed joins
+    * attach true/predicted labels; ties break to the lowest neighbor
+    * id so the result is deterministic and oracle-comparable.
+    * Zero-norm vectors carry no direction and are excluded from both
+    * sides (see the NaN guard in nearDupPairsBlocked); the threshold
+    * is −∞, not −1.0, because a computed cosine can round a few ulps
+    * below −1 and must still count.
+    */
   def oneNnLabelAccuracy(
       vectors: DataFrame, // (vec_id, embedding, label)
       numBlocks: Int = 16): DataFrame = {
     val pairs = nearDupPairsBlocked(
       vectors.select(col("vec_id"), col("embedding")),
-      threshold = -1.0, numBlocks = numBlocks)
+      threshold = Double.NegativeInfinity, numBlocks = numBlocks)
     val oriented = pairs.select(explode(array(
         struct(col("i").as("qid"), col("j").as("nid"), col("cos")),
         struct(col("j").as("qid"), col("i").as("nid"), col("cos")))).as("e"))

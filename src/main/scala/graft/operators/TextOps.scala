@@ -150,15 +150,20 @@ object TextOps {
     * with typed placeholders, per-document match counts reported for
     * the scrub-rate readout. Pure per-row regex Column math (codegen,
     * scan-speed, no shuffle); email redaction runs FIRST so the phone
-    * pattern can't match digit runs inside an address' host part.
+    * pattern can't match digit runs inside an address, and n_phones is
+    * counted on the email-redacted intermediate — counting the raw
+    * text would report phone "redactions" for digit runs the email
+    * pass already consumed (e.g. a phone-shaped local part), making
+    * the counts disagree with what the output actually replaced.
     */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
-      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>").as("text_redacted"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>").as("__t1"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("__t1"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(col("__t1"), PhoneRe, "<PHONE>").as("text_redacted"))
 
   /** Token n-grams WITH repeats (bag semantics) — the unit for
     * within-document repetition measurement, where repeats are exactly

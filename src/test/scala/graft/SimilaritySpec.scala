@@ -157,13 +157,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     // v5 duplicates v1 but carries the other label: q1's neighbor is v5
     // (cos 1, wrong), q5's is v1 (cos 1, wrong); q2 TIES between v1 and
-    // v5 (identical vectors) and must pick the lower id v1 (correct)
+    // v5 (identical vectors) and must pick the lower id v1 (correct).
+    // v6 is zero-norm: directionless, excluded from BOTH sides (its NaN
+    // cosine would otherwise beat every real neighbor)
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f), 0),
       (2L, Seq(0.9f, 0.1f), 0),
       (3L, Seq(0.0f, 1.0f), 1),
       (4L, Seq(0.1f, 0.9f), 1),
-      (5L, Seq(1.0f, 0.0f), 1)
+      (5L, Seq(1.0f, 0.0f), 1),
+      (6L, Seq(0.0f, 0.0f), 0)
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.oneNnLabelAccuracy(vecs, numBlocks = 4)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

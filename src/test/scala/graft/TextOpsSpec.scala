@@ -122,7 +122,8 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or 555-123-4567 ok"),
       (2L, "digits 5551234567 and dotted 555.123.4567 here"),
-      (3L, "nothing sensitive at all")
+      (3L, "nothing sensitive at all"),
+      (4L, "mail 555-123-4567@relay.example.com now") // phone-shaped local part
     ).toDF("doc_id", "text")
     val got = TextOps.piiScrub(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -130,6 +131,9 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(
       (1L, 1, 1, "reach me at <EMAIL> or <PHONE> ok"),
       (2L, 0, 1, "digits 5551234567 and dotted <PHONE> here"), // bare run unmatched
-      (3L, 0, 0, "nothing sensitive at all")))
+      (3L, 0, 0, "nothing sensitive at all"),
+      // the email pass consumed the digits: n_phones must NOT claim a
+      // phone redaction that never happened in the output
+      (4L, 1, 0, "mail <EMAIL> now")))
   }
 }
