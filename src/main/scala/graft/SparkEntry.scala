@@ -558,6 +558,19 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"))
     }),
+    // Grouping-sets lattice — CUBE over (returnflag, linestatus):
+    // the full 2^k subtotal family in ONE Expand pass + one exchange
+    // (completes the q58 ROLLUP pair; grouping_id disambiguates a real
+    // NULL key from a subtotal row)
+    "q65_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // ranking window — top-3 readings by value per meter (the engine
     // extension the reference lacks but any TSDB user reaches for)
     "q33_topk_per_group" -> ((s, dir) => {
@@ -1202,6 +1215,14 @@ object SparkEntry {
            CASE WHEN nrm2 = 0 THEN 0.0
                 ELSE round(sqrt(err2) / sqrt(nrm2), 6) + 0.0 END AS rel_err
          FROM m ORDER BY vec_id""",
+    // grouping(a, b) bit order matches Spark's grouping_id (first
+    // column = most significant bit)
+    "q65_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n, grouping(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     // plain BETWEEN range join — DuckDB plans this fine at oracle
     // scale; the Spark side's bucketed strategy must produce the same
     // rows
