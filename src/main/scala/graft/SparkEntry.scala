@@ -295,6 +295,26 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy(col("i"), col("j"))
     }),
+    // Similarity — hyperplane-LSH near-dup pairs (the designated scale
+    // path for margin-bearing embedding corpora): probabilistic
+    // candidates, exact cosine verification — so precision is 1 by
+    // construction and q66 ⊆ q22 always holds (asserted both here by
+    // the inline containment flag and by SimilaritySpec). Recall on
+    // this margin-free testdata is inherently partial (deterministic
+    // given the seed); no SQL oracle can replay the seeded hyperplanes,
+    // so like q20 the driver records a rows-only check.
+    "q66_lsh_neardup" -> ((s, dir) => {
+      val exact = Similarity.nearDupPairsBlocked(Tables.embeddings(s, dir), 0.4)
+        .select(col("i"), col("j"), lit(true).as("contained"))
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        // end-to-end containment proof recorded IN the output: every
+        // row must carry contained=true (a false here = an LSH pair
+        // the exact path disowns, i.e. a verification bug)
+        .join(exact, Seq("i", "j"), "left")
+        .withColumn("contained", coalesce(col("contained"), lit(false)))
+        .orderBy(col("i"), col("j"))
+    }),
     // Similarity — IVF top-k over a REAL k-means index (deterministic
     // seeded Lloyd, 2 fixed iterations, 6-dp rounded centroids) with
     // query-side multiprobe (2 cells); oracle replays the recurrence
@@ -485,13 +505,15 @@ object SparkEntry {
     }),
     // hierarchical totals — ROLLUP subtotal rows computed in the same
     // single aggregation pass (Catalyst Expand), not one query per
-    // level; null group keys mark the subtotal rows in both engines
+    // level; grouping_id (not key nullness) marks the subtotal rows,
+    // so a genuine NULL group key can never collide with a subtotal
     "q58_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
+          .as("revenue"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
     // W2 generalized — gap-based sessionization: a >30 min silence
@@ -1089,9 +1111,9 @@ object SparkEntry {
     "q58_rollup" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           count(*) AS n
+           count(*) AS n, grouping(l_returnflag, l_linestatus) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q59_sessionize" ->
       """WITH f AS (
            SELECT user_id, ts,
@@ -1153,21 +1175,28 @@ object SparkEntry {
          SELECT true_lang, pred_lang, count(*) AS n
          FROM p GROUP BY true_lang, pred_lang
          ORDER BY true_lang, pred_lang""",
-    // exact 1-NN by raw double cosine, ties to lowest neighbor id —
-    // mirrors the Spark argmax over max(struct(cos, -nid))
+    // exact 1-NN, ties to lowest neighbor id. Two parity defenses
+    // (both required by the argmax): the dot products and norms are
+    // SEQUENTIAL list_reduce folds reproducing Spark's DotProduct
+    // summation order bit-for-bit (the q64 technique —
+    // list_inner_product's order is unspecified), and the ranking
+    // compares cosines rounded to 6 dp exactly like the Spark argmax.
     "q62_knn_label_accuracy" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          n AS (SELECT vec_id, label, v,
-             sqrt(list_inner_product(v, v)) AS nrm FROM e),
+             sqrt(list_reduce(list_concat([0.0],
+               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e),
          p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
                  a.label AS true_label, b.label AS pred_label,
-                 list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+                 list_reduce(list_concat([0.0],
+                   list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
                FROM n a JOIN n b ON a.vec_id <> b.vec_id
                  AND a.nrm > 0 AND b.nrm > 0),
          r AS (SELECT qid, true_label, pred_label,
                  row_number() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, nid ASC) AS rk
+                   ORDER BY round(cos, 6) DESC, nid ASC) AS rk
                FROM p)
          SELECT true_label, count(*) AS n,
            sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,

@@ -202,19 +202,29 @@ object Dedup {
     * use it when the dedup policy must be auditable; use minhashLsh
     * when τ is high and corpus-scale wins matter.
     *
-    * Plan shape: one exchange on shingle hash (posting build + pairing
-    * in the same partition), one exchange on (i, j) for candidate
-    * dedup, two id-keyed joins to fetch the shingle sets for the
-    * verification kernel (candidate-set-sized, not corpus-sized).
-    * Scale guard: a shingle shared by P documents yields P²/2 pairs, so
-    * stop-shingle posting lists are a quadratic straggler; lists over
-    * `maxPosting` are dropped from CANDIDATE GENERATION only — because
-    * verification always runs on the full shingle sets, a pair can be
-    * lost only when EVERY shingle it shares is that hot (one surviving
-    * shared shingle makes it a candidate, and the kernel then scores it
-    * exactly). The published fix when exactness must survive hot
-    * vocabularies is prefix/position filtering (PPJoin — Xiao et al.,
-    * WWW'08), which replaces the cap.
+    * Plan shape: one exchange on shingle hash (global document
+    * frequencies), one exchange on doc id (per-document frequency-order
+    * ranking → prefix selection), one exchange on prefix-shingle hash
+    * (pairing — the cap window reuses the same partitioning), one
+    * exchange on (i, j) for candidate dedup, two id-keyed joins to
+    * fetch the shingle sets for the verification kernel
+    * (candidate-set-sized, not corpus-sized).
+    *
+    * The primary quadratic defense is PPJoin PREFIX FILTERING (Xiao et
+    * al., WWW'08), which is EXACT: order every document's shingles by
+    * ascending global document frequency (ties by hash — one canonical
+    * total order), and generate candidates only from each document's
+    * first n − ⌈τ·n⌉ + 1 shingles. Any pair with jac ≥ τ must share at
+    * least one PREFIX shingle on both sides (overlap ≥ τ·max(n_i, n_j)
+    * exceeds what the non-prefix suffix can supply), so recall is 1 by
+    * theorem while candidate generation runs over the RAREST-first
+    * posting lists — exactly the lists a hot vocabulary cannot
+    * dominate. The length filter (min ≥ τ·max) prunes lopsided pairs
+    * inside the candidate join. `maxPosting` survives as a last-resort
+    * straggler bound on the PREFIX posting lists only — with
+    * rarest-first prefixes it can bite only a corpus whose documents
+    * are near-identical at scale (then every list is hot), where a
+    * pair lost to the cap shares nothing but degenerate boilerplate.
     */
   def ngramJaccardJoin(
       df: DataFrame,
@@ -225,31 +235,43 @@ object Dedup {
       maxPosting: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = hashedShingles(df, idCol, textCol, shingleN)
-    val posts = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
-    val w = Window.partitionBy(col("h"))
-    val capped = posts
-      .withColumn("__pn", count(lit(1)).over(w))
+    val posts = hashed.select(col("doc_id"), size(col("shh")).as("n"),
+      explode(col("shh")).as("h"))
+    // global canonical order key: (document frequency asc, hash asc)
+    val withFreq = posts
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // PPJoin prefix: the first n − ⌈τ·n⌉ + 1 shingles in global order.
+    // The ε guard keeps a float product that lands a hair ABOVE the
+    // exact τ·n from shortening the prefix below the theorem's length
+    // (too long is a perf wobble; too short loses recall).
+    val prefix = withFreq
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))))
+      .filter(col("__rn") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("n"), col("h"))
+    // last-resort straggler cap on the PREFIX posting lists; the count
+    // window shares the pairing join's hash partitioning (no extra
+    // exchange)
+    val capped = prefix
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__pn") <= maxPosting)
       .drop("__pn")
-    // Candidates only — the capped posting lists must NOT feed the
-    // intersection count: a pair sharing a mix of hot and rare shingles
-    // would get a truncated numerator over a full-size denominator,
-    // silently understating Jaccard. One surviving shared shingle is
-    // enough to make the pair a candidate; the kernel scores it exactly.
+    // Candidates only — prefix lists must NOT feed the intersection
+    // count: verification always runs on the full shingle sets below,
+    // so every emitted jac is the true Jaccard. The length filter
+    // (min ≥ τ·max, ε-relaxed the safe direction) prunes pairs no
+    // verify could pass.
     val cand = capped.as("a")
       .join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("__shh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("__shh_j")), "j")
-      // PPJoin size filter: jac ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
-      // whose set sizes are too lopsided can't clear τ — prunes the
-      // sorted-merge kernel without touching recall (pure codegen
-      // integer math on the already-co-located arrays)
-      .filter(least(size(col("__shh_i")), size(col("__shh_j"))).cast("double") >=
-        lit(threshold) * greatest(size(col("__shh_i")), size(col("__shh_j"))))
       .withColumn("jac", jaccardHashes(col("__shh_i"), col("__shh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
@@ -284,7 +306,19 @@ object Dedup {
     * consuming job), preserving the shared-session contract: no
     * persistent RDDs survive the call.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  /** @param maxEdges fail-fast bound on the input pair set, checked in
+    *   the count the convergence signature already computes (no extra
+    *   job). CC shuffles the edge set ~3× per round, so a pair source
+    *   that quietly went quadratic (e.g. a cosine threshold inside a
+    *   continuum) turns the cluster step into the corpus bottleneck —
+    *   the same discipline as `maxBucket`/`maxPosting`, except CC
+    *   cannot drop edges without changing the output, so it REFUSES
+    *   loudly instead and the caller picks a sparser pair source
+    *   (LSH, higher τ).
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 25,
+      maxEdges: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // normalize to (u < v), drop self-loops and duplicates
     val edges0 = pairs.toDF("i", "j").filter(col("i") =!= col("j"))
@@ -359,6 +393,10 @@ object Dedup {
     try {
       var ck = edges0.persist(); live += ck
       var sig = signature(ck) // materializes the cache
+      require(sig._1 <= maxEdges,
+        s"connectedComponents: ${sig._1} edges exceed maxEdges=$maxEdges — " +
+          "the pair source has gone quadratic; use a sparser source " +
+          "(LSH candidates, higher threshold) or raise the bound")
       var converged = false
       while (!converged && rounds < maxRounds) {
         val next = oneRound(ck).persist(); live += next

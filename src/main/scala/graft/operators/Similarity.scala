@@ -319,14 +319,44 @@ object Similarity {
     * (Dedup.connectedComponents) — A≈B and B≈C collapse to one keep
     * decision even when cos(A,C) itself misses the threshold. Every
     * vector is labeled with its cluster representative (min vec_id;
-    * singletons label themselves) and cluster size. The CC input is
-    * the PAIR set, already bounded by the near-dup rate, so the
-    * clustering cost never scales with the corpus — only the pair
-    * generation does (see nearDupPairsBlocked for that plan).
+    * singletons label themselves) and cluster size.
+    *
+    * Scale honesty: CC cost is rounds × shuffles of the PAIR set, and
+    * the pair set is bounded by the near-dup rate ONLY when the
+    * threshold sits in a margin of the cosine distribution. On
+    * continuum-shaped data (e.g. τ=0.4 over random dense embeddings)
+    * the pair count grows ~quadratically with the corpus and CC
+    * inherits that blowup — which is why the pair count is guarded by
+    * `maxEdges` (fail fast, loudly, before shuffling a quadratic edge
+    * set ~3× per round). At scale, either raise τ out of the continuum
+    * or source pairs from LSH candidates
+    * ([[embeddingDedupClustersLsh]]) — margin data is the regime where
+    * near-dup CLUSTERS are meaningful anyway.
     */
-  def embeddingDedupClusters(vectors: DataFrame, threshold: Double): DataFrame = {
+  def embeddingDedupClusters(
+      vectors: DataFrame, threshold: Double,
+      maxEdges: Long = 10000000L): DataFrame = {
     val pairs = nearDupPairsBlocked(vectors, threshold).select(col("i"), col("j"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Dedup.connectedComponents(pairs, maxEdges = maxEdges)
+    Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
+  }
+
+  /** [[embeddingDedupClusters]] with the pair set sourced from
+    * hyperplane-LSH candidates instead of the exact O(N²) blocked join
+    * — the 100 TB path for margin-bearing corpora: pair generation is
+    * linear-ish in the corpus (banded candidates, exact cosine
+    * verification), recall follows the Charikar banding bound (≈ total
+    * at real near-dup cosines), and the same `maxEdges` guard protects
+    * the CC rounds. Output schema and label/tie semantics are
+    * identical to the exact variant (shared labelClusters kernel).
+    */
+  def embeddingDedupClustersLsh(
+      vectors: DataFrame, threshold: Double,
+      bands: Int = 32, rowsPerBand: Int = 8, seed: Long = 42L,
+      maxEdges: Long = 10000000L): DataFrame = {
+    val pairs = lshNearDupPairs(vectors, threshold, bands, rowsPerBand, seed)
+      .select(col("i"), col("j"))
+    val cc = Dedup.connectedComponents(pairs, maxEdges = maxEdges)
     Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
 
@@ -390,8 +420,14 @@ object Similarity {
         struct(col("i").as("qid"), col("j").as("nid"), col("cos")),
         struct(col("j").as("qid"), col("i").as("nid"), col("cos")))).as("e"))
       .select(col("e.qid"), col("e.nid"), col("e.cos"))
+    // The argmax compares cosines ROUNDED to 6 dp: a raw-double argmax
+    // amplifies 1-ulp cross-engine summation drift into a different
+    // neighbor id (the rounding every other query applies AFTER its
+    // aggregate cannot help here). At 6 dp near-ties collapse and the
+    // -nid field breaks them identically in both engines.
     val nn = oriented.groupBy(col("qid"))
-      .agg(max(struct(col("cos"), (-col("nid")).as("negnid"))).as("m"))
+      .agg(max(struct(round(col("cos"), 6).as("cos"),
+        (-col("nid")).as("negnid"))).as("m"))
       .select(col("qid"), (-col("m.negnid")).as("nid"))
     val labels = vectors.select(col("vec_id"), col("label"))
     nn

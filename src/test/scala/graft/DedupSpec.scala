@@ -160,6 +160,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("prefix filtering makes the posting cap a no-op on the sf0.001 corpus") {
+    // the PPJoin prefix keys candidates on each document's RAREST
+    // shingles, so even a tiny cap on the prefix posting lists changes
+    // nothing on real-shaped data — the cap is a straggler backstop,
+    // no longer the recall defense
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(cap: Int) = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        threshold = 0.5, maxPosting = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiny = run(8)
+    val default = run(100000)
+    assert(tiny.nonEmpty, "no pairs at τ=0.5; test is vacuous")
+    assert(tiny == default)
+  }
+
   test("hot-posting cap drops only pairs whose every shared shingle is hot") {
     val s = spark; import s.implicits._
     // 30 identical boilerplate docs: every shingle's posting list has

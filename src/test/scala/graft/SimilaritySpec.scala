@@ -56,6 +56,35 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"recall $recall (found ${lsh.size} of ${brute.size})")
   }
 
+  test("hyperplane LSH: full recall on margin-bearing data (the scale-path contract)") {
+    val s = spark; import s.implicits._
+    // planted near-dup pairs (cos ≳ 0.99) over a background whose
+    // pairwise cosines concentrate near 0 — the data shape LSH is the
+    // designated scale path FOR. At (32 bands × 8 rows) the Charikar
+    // miss probability at cos 0.99 is ~1e-16, so recall must be total.
+    val rnd = new scala.util.Random(7)
+    val d = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 20).flatMap { i =>
+      val base = unit()
+      val dup = base.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong * 2, base.map(_.toFloat).toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    } ++ (40 until 140).map(i => (i.toLong, unit().map(_.toFloat).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(e, 0.9).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(e, 0.9).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(exact), "margin construction broke")
+    assert(lsh.subsetOf(exact)) // precision 1 by construction
+    assert(planted.subsetOf(lsh), s"missed planted pairs: ${planted.diff(lsh)}")
+  }
+
   test("k-means IVF multiprobe: deterministic index, measured recall vs brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
@@ -151,6 +180,47 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cluster == want(id), s"vec $id: cluster $cluster != ${want(id)}")
       assert(n == want.values.count(_ == want(id)).toLong, s"vec $id size")
     }
+  }
+
+  test("maxEdges guard refuses a quadratic pair set before CC shuffles it") {
+    val emb = Tables.embeddings(spark, sf)
+    // τ=0.4 on this continuum data yields well over 3 pairs: the guard
+    // must refuse loudly BEFORE any CC round runs
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embeddingDedupClusters(emb, 0.4, maxEdges = 3L)
+    }
+    assert(ex.getMessage.contains("maxEdges"))
+    // the default bound admits the same data unchanged
+    assert(Similarity.embeddingDedupClusters(emb, 0.4).count() ==
+      emb.count())
+  }
+
+  test("LSH-sourced dedup clusters equal the exact variant on margin data") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // planted triple chains (A≈B≈C) + background: transitivity must
+    // collapse each chain to one cluster in BOTH variants
+    val rows = (0 until 10).flatMap { i =>
+      val base = unit()
+      def jitter() = base.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong * 3, base.map(_.toFloat).toSeq),
+        (i.toLong * 3 + 1, jitter().toSeq), (i.toLong * 3 + 2, jitter().toSeq))
+    } ++ (30 until 100).map(i => (i.toLong, unit().map(_.toFloat).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster", "n_members").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = canon(Similarity.embeddingDedupClusters(e, 0.9))
+    val lsh = canon(Similarity.embeddingDedupClustersLsh(e, 0.9))
+    assert(exact == lsh)
+    // the planted chains actually clustered (test isn't vacuous)
+    assert(exact.count(_._3 >= 3) >= 30)
   }
 
   test("oneNnLabelAccuracy: hand-math neighbors, ties break to lowest id") {
