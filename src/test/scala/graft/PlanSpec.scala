@@ -135,6 +135,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"character data rides an exchange: ${offending.mkString(", ")}")
   }
 
+  test("(series, date) layout prunes partitions at file-listing time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("readings_layout")
+      .toFile.getAbsolutePath
+    ReadingsLayout.write(Tables.readings(spark, sf), dir)
+    val totalFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(totalFiles > 2, s"layout produced only $totalFiles files")
+    // one series + one date ⇒ the scan must OPEN exactly the files of
+    // that single directory, not filter post-read
+    val oneDay = ReadingsLayout.read(spark, dir)
+      .groupBy(col("series"), col("date")).count()
+      .orderBy(col("series"), col("date")).head()
+    val q = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = ReadingsLayout.read(spark, dir)
+          .filter(col("series") === oneDay.getString(0) &&
+            col("date") === oneDay.getDate(1))
+        df.collect()
+        df
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val scan = q.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    val pruned = scan.metrics("numFiles").value
+    assert(pruned >= 1 && pruned < totalFiles,
+      s"scan opened $pruned of $totalFiles files — no partition pruning")
+    // and the plan carries real partition filters (directory-level),
+    // not just data filters
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      !p.matches("(?s).*PartitionFilters: \\[\\].*"), p.take(2000))
+  }
+
   test("no unbounded cartesian anywhere in the query surface") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
