@@ -161,6 +161,62 @@ object Ingest {
       }
   }
 
+  /** q59's streaming twin — gap-based sessionization on an unbounded
+    * event stream via the NATIVE session_window (merging-window state
+    * store), not a hand-rolled flatMapGroupsWithState: Spark merges
+    * overlapping per-key session fragments across micro-batches and
+    * finalizes a session once the watermark passes its close, so state
+    * is bounded by (open sessions × keys), never by stream length.
+    * Same gap semantics as the batch query (a silence > gap starts a
+    * new session); emits one finalized row per session in append mode.
+    */
+  def sessionizeStream(
+      events: DataFrame, // (user_id, ts, ...)
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("duration_us"))
+
+  /** q57's streaming twin — events matched into maintenance windows as
+    * a stream-stream INTERVAL join. Both sides carry watermarks and
+    * the join condition bounds the two event times against each other
+    * (ts ∈ [start_ts, start_ts + maxWindowLen]), which is what lets
+    * Spark expire buffered rows instead of holding both streams
+    * forever — the streaming analogue of the batch operator's bucket
+    * bound (TimeSeriesOps.bucketedRangeJoin quantizes by a max window
+    * length for the same reason). Inner join: matches emit as soon as
+    * both sides arrive; state drains as the watermark advances.
+    *
+    * Idle-source caveat (inherent to multi-stream event time, not this
+    * operator): a stream contributes to the global watermark only once
+    * it has produced data, so if the WINDOW stream sits idle while the
+    * event stream advances, window rows older than the events' already-
+    * advanced watermark are dropped as late on first arrival. Feed the
+    * window definitions before (or with) the events they govern — the
+    * natural order for maintenance schedules — or relax
+    * `spark.sql.streaming.multipleWatermarkPolicy`.
+    */
+  def intervalJoinStream(
+      events: DataFrame, // (user_id, ts, value)
+      windows: DataFrame, // (user_id, win_id, start_ts, end_ts)
+      lateness: String = "10 minutes",
+      maxWindowLen: String = "12 hours"): DataFrame = {
+    val e = events.withWatermark("ts", lateness).alias("e")
+    val w = windows.withWatermark("start_ts", lateness).alias("w")
+    e.join(w,
+        col("e.user_id") === col("w.user_id") &&
+          col("e.ts") >= col("w.start_ts") &&
+          col("e.ts") <= col("w.start_ts") + expr(s"INTERVAL $maxWindowLen") &&
+          col("e.ts") <= col("w.end_ts"))
+      .select(col("e.user_id"), col("w.win_id"), col("e.ts"), col("e.value"))
+  }
+
   /** S6/S7 sink: last-wins upsert per (meterId, series, ts) applied per
     * micro-batch, then appended as date-partitioned parquet — the layout
     * every batch operator partition-prunes on.

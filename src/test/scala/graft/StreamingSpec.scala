@@ -12,6 +12,9 @@ import graft.streaming.Ingest.Reading
   * watermark and the per-meter trapezoid interpolation state.
   */
 case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class MaintWindow(user_id: Long, win_id: Long,
+    start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -111,6 +114,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(unix_millis(col("bucket")).as("b"), col("avg_value"), col("n"))
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
       assert(rows.contains((0L, 20.0, 3L))) // first minute finalized
+    } finally q.stop()
+  }
+
+  test("streaming sessionization finalizes gap-based sessions (q59 twin)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = Ingest.sessionizeStream(mem.toDF(), gap = "30 minutes",
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, sec: Long) =
+        UserEvent(u, new java.sql.Timestamp(sec * 1000L), 1.0)
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // gap (new session); user 2: one lone event. Split across
+      // micro-batches so the session store must merge fragments.
+      mem.addData(ev(1, 0), ev(2, 60))
+      q.processAllAvailable()
+      mem.addData(ev(1, 600), ev(1, 3000))
+      q.processAllAvailable()
+      // push the watermark far past everything to finalize all sessions
+      mem.addData(ev(9, 100000))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("user_id"), unix_millis(col("session_start")).as("st"),
+          col("n_events"), col("duration_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((1L, 0L, 2L, 600000000L)),
+        s"merged first session missing: $rows")  // 0s + 600s merged
+      assert(rows.contains((1L, 3000000L, 1L, 0L)), s"gap session missing: $rows")
+      assert(rows.contains((2L, 60000L, 1L, 0L)), s"lone session missing: $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches events into windows (q57 twin)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val evMem = MemoryStream[UserEvent]
+    val winMem = MemoryStream[MaintWindow]
+    val q = Ingest.intervalJoinStream(evMem.toDF(), winMem.toDF(),
+        lateness = "1 minute", maxWindowLen = "2 hours")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      // timestamps offset well past epoch: the initial watermark IS
+      // the epoch, and a watermarked range join drops input rows whose
+      // event time is <= the current watermark — a window starting at
+      // second 0 would be "late" into an empty stream (found the hard
+      // way; equality-only joins don't apply that filter)
+      def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+      // one window per user; events land inside, outside, and on the
+      // boundary. Both streams carry data in the FIRST batch — until a
+      // stream has produced data its watermark doesn't participate in
+      // the global min, so a window side idle in batch 1 would see the
+      // event side's advanced watermark and have its (earlier) rows
+      // dropped as late on arrival: the documented idle-source caveat
+      // of multi-stream event time, not an operator property.
+      evMem.addData(UserEvent(1, ts(100), 10.0), UserEvent(1, ts(5000), 20.0),
+        UserEvent(2, ts(100), 30.0))
+      winMem.addData(MaintWindow(1, 0, ts(0), ts(3600)),
+        MaintWindow(2, 0, ts(200), ts(3600)))
+      q.processAllAvailable()
+      // cross-batch: the boundary event arrives a batch later and must
+      // still match the buffered window state (inclusive end)
+      evMem.addData(UserEvent(1, ts(3600), 40.0))
+      q.processAllAvailable()
+      val rows = spark.table("interval_join")
+        .select(col("user_id"), col("win_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // (1, ts 100) in window; (1, ts 5000) outside end; (2, ts 100)
+      // before window start; (1, ts 3600) on the inclusive boundary
+      assert(rows == Set((1L, 0L, 10.0), (1L, 0L, 40.0)), s"got $rows")
     } finally q.stop()
   }
 
