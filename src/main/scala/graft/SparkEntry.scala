@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ControlLaws
-import graft.operators.{Battery, Dedup, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
+import graft.operators.{Battery, Curation, Dedup, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -830,6 +830,53 @@ object SparkEntry {
         JOIN meters m ON r.meterId = m.meterId
         WHERE r.series = 'click'
         GROUP BY m.medium ORDER BY m.medium""")
+    }),
+    // Training-data op — dataset mixture accounting: per-source doc and
+    // token counts, token share of the corpus, and the weight that
+    // moves each source to a uniform token share (one source-keyed
+    // exchange + a broadcast 1-row total; text never shuffles).
+    "q67_source_mixture" -> ((s, dir) => {
+      Curation.sourceMixture(Tables.documents(s, dir), "doc_id", "text", "source")
+    }),
+    // Training-data op — deterministic per-source quota cap (domain
+    // cap), content-hash keyed, skew-safe two-phase rank: a hot domain
+    // ranks `salts`-way parallel first, the final window sees at most
+    // salts·cap rows per source.
+    "q68_source_cap" -> ((s, dir) => {
+      Curation.perSourceCap(Tables.documents(s, dir), "doc_id", "text", "source",
+        cap = 10)
+        .orderBy(col("source"), col("rk"))
+    }),
+    // Training-data op — the end-to-end curation decision: quality
+    // verdict + exact-dedup canonical flag + benchmark contamination
+    // composed into the final keep/drop (near-dup clustering runs
+    // downstream on the survivors, not inside this verdict).
+    "q69_curation_pipeline" -> ((s, dir) => {
+      Curation.curationPipeline(Tables.documents(s, dir),
+        benchPredicate = col("doc_id") < 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Training-data op — exact-substring dedup readout (Lee et al.
+    // 2021): the corpus's most-repeated token 5-grams across ≥2 docs
+    // (boilerplate detector; one gram-keyed exchange + TakeOrdered).
+    "q70_repeated_ngrams" -> ((s, dir) => {
+      Dedup.repeatedNgrams(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    // Training-data op — per-document repeated-span fraction: the
+    // share of each doc's 5-gram windows that recur in ≥2 documents
+    // (the substring-dedup removal signal; hash-keyed, the window
+    // string never rides an exchange).
+    "q71_repeated_span_frac" -> ((s, dir) => {
+      Dedup.repeatedSpanFrac(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // Training-data op — sequence chunking: overlapping maxLen=32
+    // windows advancing by stride=24 over each doc's token stream
+    // (scan-speed sequence+posexplode; packing's upstream sibling).
+    "q72_sequence_chunks" -> ((s, dir) => {
+      Packing.chunk(Tables.documents(s, dir), "doc_id", "text",
+        maxLen = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
   )
 
@@ -1819,5 +1866,92 @@ object SparkEntry {
          FROM events e JOIN d USING (user_id)
          WHERE e.event_type = 'click'
          GROUP BY 1 ORDER BY 1""",
+    // Integer sums are exact, so the only doubles are the two final
+    // divisions — staged ((total/sources)/tokens) identically on the
+    // Spark side.
+    "q67_source_mixture" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::BIGINT AS tt, count(*)::BIGINT AS ns FROM per)
+         SELECT source, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / tt::DOUBLE, 6) + 0.0 AS token_share,
+           round((tt::DOUBLE / ns::DOUBLE) / n_tokens::DOUBLE, 6) + 0.0
+             AS uniform_weight
+         FROM per, tot ORDER BY source""",
+    // md5 hex strings sort identically in both engines (lowercase
+    // ASCII), so the single-window mirror reproduces the two-phase
+    // salted rank exactly.
+    "q68_source_cap" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source, rk FROM r WHERE rk <= 10
+         ORDER BY source, rk""",
+    // Verdict thresholds mirror q60; canonical = min doc_id over the
+    // text group; contamination mirrors q42 (docs too short for a
+    // 3-gram cannot be contaminated on either side).
+    "q69_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         q AS (SELECT doc_id, len(w) AS n_tokens,
+                 (len(w) - len(list_distinct(w)))::DOUBLE / len(w) AS dwf FROM t),
+         k AS (SELECT doc_id,
+                 doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+               FROM t),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 5),
+         cont AS (SELECT DISTINCT x.doc_id
+                  FROM (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 5) x
+                  JOIN bench ON x.g = bench.g)
+         SELECT q.doc_id, q.n_tokens,
+           (q.n_tokens >= 5 AND q.dwf <= 0.9) AS keep_quality,
+           k.is_canonical,
+           q.doc_id IN (SELECT doc_id FROM cont) AS is_contaminated,
+           ((q.n_tokens >= 5 AND q.dwf <= 0.9) AND k.is_canonical
+             AND NOT q.doc_id < 5
+             AND q.doc_id NOT IN (SELECT doc_id FROM cont)) AS keep_final
+         FROM q JOIN k USING (doc_id) ORDER BY q.doc_id""",
+    // Window strings mirror tokenNgrams (bag semantics): w[i:i+4] is 5
+    // elements, i runs 1..len-4 — same window count per document.
+    "q70_repeated_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([list_aggregate(w[i:i+4], 'string_agg', ' ')
+                         for i in range(1, len(w)-3)]) AS gram
+               FROM t WHERE len(w) >= 5)
+         SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+         FROM g GROUP BY gram
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_occur DESC, gram LIMIT 50""",
+    // String-keyed mirror of the hash-keyed Spark plan — identical
+    // output up to a ~2^-64 xxhash64 collision (the jaccardHashes
+    // argument), far below the 6-dp rounding.
+    "q71_repeated_span_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([list_aggregate(w[i:i+4], 'string_agg', ' ')
+                         for i in range(1, len(w)-3)]) AS gram
+               FROM t WHERE len(w) >= 5),
+         d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         SELECT doc_id, count(*) AS n_windows,
+           round(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END), 6) + 0.0
+             AS rep_frac
+         FROM g JOIN d USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // range(0, n, 24) excludes n — the same starts sequence(0, n-1, 24)
+    // generates; chunk_idx = start // stride matches the posexplode
+    // ordinal because starts are exactly the stride multiples.
+    "q72_sequence_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         u AS (SELECT doc_id, n, unnest(range(0, n, 24)) AS s FROM t)
+         SELECT doc_id, (s // 24)::INT AS chunk_idx, s + 1 AS start_tok,
+           least(32, n - s) AS chunk_tokens
+         FROM u ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that sit ABOVE the per-document signals
+  * (TextOps) and the cross-document dedup machinery (Dedup): dataset
+  * mixture accounting, per-source quota capping, and the end-to-end
+  * keep/drop pipeline a training corpus actually runs. All
+  * deterministic (content-hash keyed, no RNG) so every operator has an
+  * exact DuckDB oracle.
+  */
+object Curation {
+
+  /** Dataset-mixture readout: per-source document count, token count,
+    * token share of the corpus, and the up/down-sampling weight that
+    * would move the source to a UNIFORM token share (weight > 1 ⇒
+    * upsample, < 1 ⇒ downsample) — the accounting every mixture-tuning
+    * loop (DoReMi-style or hand-set) starts from.
+    *
+    * Plan: one partial-aggregated exchange keyed by source (the group
+    * count is the number of SOURCES — tiny at any corpus size) and a
+    * broadcast 1-row total attached without a driver action. Token
+    * counting is scan-speed Column math; text never rides an exchange.
+    * Divisions are staged (total/sources, then /tokens) identically in
+    * the oracle so the doubles agree bit-for-bit.
+    */
+  def sourceMixture(
+      docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val per = docs
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("__tot_tokens"),
+      count(lit(1)).as("__n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("__tot_tokens").cast("double"), 6).as("token_share"),
+        round((col("__tot_tokens").cast("double") /
+            col("__n_sources").cast("double")) /
+          col("n_tokens").cast("double"), 6).as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic per-source quota: keep at most `cap` documents per
+    * source, selected by content-hash order (md5 hex asc, doc_id asc on
+    * ties) — the domain-cap pass that stops one crawl domain from
+    * dominating the mixture. Content-keyed selection is stable under
+    * re-sharding and needs no RNG state, the same discipline as
+    * TextOps.sampleBucket.
+    *
+    * Skew-safe exact top-k: a single source-partitioned rank window
+    * puts an entire hot domain (the exact thing this operator exists
+    * to cap — think a 10⁹-page crawl domain) in ONE task. Instead the
+    * rank runs in two phases: (1) rank within (source, salt) — `salts`
+    * way parallel per source — keeping ≤ cap per salt group (a row in
+    * the source's global top-cap is in its salt group's top-cap a
+    * fortiori); (2) re-rank the ≤ salts·cap survivors per source. The
+    * second window's partitions are bounded by salts·cap rows
+    * regardless of domain size, and only (source, 32-byte key, id)
+    * rides either exchange — never text.
+    */
+  def perSourceCap(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      cap: Int, salts: Int = 16): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), md5(col(textCol)).as("__k"))
+    val pre = Window.partitionBy(col("source"),
+        pmod(col("doc_id"), lit(salts.toLong)))
+      .orderBy(col("__k"), col("doc_id"))
+    val fin = Window.partitionBy(col("source"))
+      .orderBy(col("__k"), col("doc_id"))
+    keyed
+      .withColumn("__prk", row_number().over(pre))
+      .filter(col("__prk") <= cap)
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** The full curation decision, end-to-end in one query: per-document
+    * quality verdict (TextOps.curationVerdict), exact-dedup canonical
+    * flag (Dedup.exactDedup keepers), and benchmark-contamination flag
+    * (Dedup.contamination) composed into the final keep/drop a corpus
+    * build acts on. A document survives iff it passes quality AND is
+    * its text's canonical copy AND is neither benchmark data nor
+    * shares an n-gram with the benchmark.
+    *
+    * Composition order mirrors production: the quality signals are
+    * scan-speed per-row math; both cross-document passes reuse their
+    * scale-hardened operators (two-phase hash dedup that never
+    * shuffles text, broadcast benchmark shingles) and re-attach by
+    * doc_id — id-keyed joins, so text rides no exchange here either.
+    * Near-dup clustering (q49/q54) deliberately stays OUT of this
+    * composition: its pair machinery is corpus-shaped (LSH or blocked
+    * N²) and runs as its own downstream pass on the survivors, which
+    * this verdict has already shrunk.
+    */
+  def curationPipeline(
+      docs: DataFrame,
+      benchPredicate: Column,
+      minTokens: Int = 5,
+      maxDupWordFrac: Double = 0.9,
+      shingleN: Int = 3): DataFrame = {
+    val verdict = TextOps
+      .curationVerdict(docs, minTokens, maxDupWordFrac)
+      .select(col("doc_id"), col("n_tokens"),
+        col("keep").as("keep_quality"), benchPredicate.as("__is_bench"))
+    val keepers = Dedup.exactDedup(docs, "doc_id", "text")
+      .select(col("keeper").as("doc_id"), lit(true).as("__canon"))
+    val contaminated = Dedup
+      .contamination(docs, "doc_id", "text", benchPredicate, shingleN)
+      .select(col("doc_id"), lit(true).as("__cont"))
+    verdict
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("keep_quality"),
+        coalesce(col("__canon"), lit(false)).as("is_canonical"),
+        coalesce(col("__cont"), lit(false)).as("is_contaminated"),
+        (col("keep_quality") && coalesce(col("__canon"), lit(false)) &&
+          !col("__is_bench") && !coalesce(col("__cont"), lit(false)))
+          .as("keep_final"))
+  }
+}

@@ -459,6 +459,69 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
   }
 
+  /** Boilerplate detector — the corpus-level readout of exact
+    * substring-level duplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2021, which dedups repeated
+    * token SPANS rather than whole documents): token n-gram windows
+    * with repeats (bag semantics — repeats are the signal), grouped
+    * corpus-wide; windows appearing in ≥ minDf distinct documents
+    * reported largest-occurrence-first. One exchange keyed by the
+    * window (map-side partial agg collapses within-partition repeats)
+    * + a TakeOrdered top-k — no full sort, no driver materialization
+    * beyond k rows. The group key is the window STRING, same trade as
+    * vocabTopK/tfIdfTopK: the readout must carry the text anyway, and
+    * ties at the top-k boundary break on it identically in both
+    * engines. The per-document removal SIGNAL (repeatedSpanFrac
+    * below) is the hash-keyed, string-free variant.
+    */
+  def repeatedNgrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Int = 2, k: Int = 50): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(TextOps.tokenNgramsOfTokens(col("__w"), n)).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(col("n_occur").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Per-document repeated-span fraction: of a document's token n-gram
+    * windows, the share that also appear in ≥ minDf distinct documents
+    * — the document-level removal/trim signal of exact substring dedup
+    * (a high fraction means the document is mostly corpus boilerplate
+    * even when no whole-document near-dup fires). Documents shorter
+    * than n tokens have no windows and drop out, on both sides.
+    *
+    * Scale shape: windows are hashed map-side (xxhash64 — the window
+    * string never rides an exchange, asserted in PlanSpec) and the
+    * plan is two hash-keyed exchanges: (hash) for the distinct-doc
+    * frequency, (doc_id) for the per-document fraction. Both
+    * partial-aggregate; output values are hash-function-independent
+    * (grouping by hash ≡ grouping by string up to a ~2⁻⁶⁴ collision,
+    * far below the 6-dp rounding — the jaccardHashes argument), which
+    * is what lets the string-keyed DuckDB oracle check it exactly.
+    */
+  def repeatedSpanFrac(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(TextOps.tokenNgramsOfTokens(col("__w"), n)).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("gh"))
+    val dfreq = grams.distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("__nd"))
+    grams.join(dfreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(avg(when(col("__nd") >= minDf, 1.0).otherwise(0.0)), 6)
+          .as("rep_frac"))
+  }
+
   /** 64-bit SimHash from pre-hashed tokens: bit b of the signature is
     * the sign of Σ_tokens (bit b of tokenHash ? +1 : −1). Returned as 4
     * 16-bit chunk values — the natural shape for chunk-bucketed search.

@@ -113,4 +113,36 @@ object Packing {
   def pack(docs: DataFrame, budgetTokens: Long)(
       implicit spark: SparkSession): Dataset[PackedDoc] =
     pack(docs, budgetTokens, defaultNumShards(docs, spark))
+
+  /** Sequence chunking — packing's upstream sibling: split each
+    * document's token stream into training windows of at most `maxLen`
+    * tokens whose starts advance by `stride` (stride < maxLen gives
+    * the overlapping context windows standard in LM pretraining;
+    * stride = maxLen gives disjoint chunks). Emits one row per window:
+    * (doc_id, chunk_idx, start_tok 1-based, chunk_tokens), windows
+    * starting while tokens remain, so every token is covered and only
+    * the final window of a document may be short.
+    *
+    * Pure per-row sequence + posexplode Column math — scan-speed, no
+    * shuffle, output size (total tokens / stride) rows. The chunk
+    * boundaries are token ORDINALS, not substrings: the downstream
+    * tokenizer slices the real text, this operator only plans the
+    * windows (same division of labor as the multimodal byte windows,
+    * Multimodal.sampleFrames).
+    */
+  def chunk(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && maxLen >= stride,
+      s"need 0 < stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).as("__n"))
+      .select(col("doc_id"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("__s") + 1).as("start_tok"),
+        least(lit(maxLen), col("__n") - col("__s")).as("chunk_tokens"))
+  }
 }

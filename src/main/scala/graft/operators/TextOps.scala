@@ -165,19 +165,32 @@ object TextOps {
         regexp_count(col("__t1"), lit(PhoneRe)).as("n_phones"),
         regexp_replace(col("__t1"), PhoneRe, "<PHONE>").as("text_redacted"))
 
-  /** Token n-grams WITH repeats (bag semantics) — the unit for
-    * within-document repetition measurement, where repeats are exactly
-    * the signal (contrast shingle_hashes, which dedupes for Jaccard).
+  /** Token n-grams WITH repeats (bag semantics) over an
+    * already-materialized token-array column — the unit for repetition
+    * measurement and substring dedup, where repeats are exactly the
+    * signal (contrast shingle_hashes, which dedupes for Jaccard).
+    *
+    * Each window is ONE slice of the array (not n element_at calls):
+    * a lambda body re-evaluates every expression subtree it references
+    * per element, so when the caller passes a raw `split(text)`
+    * expression instead of a projected attribute, per-window work must
+    * stay O(1) references or window explosion goes quadratic in
+    * document length (measured: 5 element_at references made the
+    * corpus-wide gram explode ~8× slower). Callers that explode
+    * corpus-wide (repeatedNgrams/repeatedSpanFrac) project the token
+    * array to an attribute first, making the tokenize cost
+    * once-per-document.
     */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def tokenNgramsOfTokens(w: Column, n: Int): Column =
     // guard the short-document case: sequence(0, size-n) with size < n
     // would DESCEND (Spark defaults step to -1 when start > stop) and
-    // element_at would then throw under ANSI mode
+    // slice would then throw under ANSI mode
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*)))
-  }
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+
+  def tokenNgrams(text: Column, n: Int): Column =
+    tokenNgramsOfTokens(tokens(text), n)
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1 use duplicate-line and duplicate-n-gram fractions as removal

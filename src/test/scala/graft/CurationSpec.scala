@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Curation
+
+/** Corpus-curation operators (q67–q69): mixture accounting, the
+  * skew-safe per-source cap, and the end-to-end pipeline verdict. The
+  * oracles prove corpus-level parity; these specs pin the hand-
+  * computable math, the two-phase-rank exactness claim, and the flag
+  * composition on a corpus engineered to light every flag.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("sourceMixture: shares and uniform weights match hand math") {
+    val s = spark; import s.implicits._
+    // src A: 3 + 1 = 4 tokens over 2 docs; src B: 12 tokens over 1 doc
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d", "A"),
+      (3L, "t t t t t t t t t t t t", "B")).toDF("doc_id", "text", "source")
+    val got = Curation.sourceMixture(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // total 16 tokens, 2 sources → uniform target 8 tokens each
+    assert(got.toSeq == Seq(
+      ("A", 2L, 4L, 0.25, 2.0),   // 4/16 share; 8/4 = upsample 2×
+      ("B", 1L, 12L, 0.75, 0.666667))) // 12/16; 8/12 rounded to 6 dp
+  }
+
+  test("perSourceCap: two-phase salted rank ≡ single global window (exactness)") {
+    val s = spark; import s.implicits._
+    // 60 docs over 3 sources with duplicate texts across sources so md5
+    // keys collide across (but not within) windows; every salt count in
+    // {1, 2, 5} exercises partial salt groups
+    val docs = (0L until 60L)
+      .map(i => (i, s"doc ${i % 17} body ${i % 7}", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val single = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("k"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))))
+      .filter(col("rk") <= 4)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    for (salts <- Seq(1, 2, 5)) {
+      val got = Curation.perSourceCap(docs, "doc_id", "text", "source",
+        cap = 4, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == single, s"salts=$salts diverged from the global window")
+    }
+  }
+
+  test("perSourceCap: cap larger than the source passes everything through") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x", "A"), (2L, "y", "A")).toDF("doc_id", "text", "source")
+    assert(Curation.perSourceCap(docs, "doc_id", "text", "source", cap = 10)
+      .count() == 2)
+  }
+
+  test("curationPipeline: each flag trips independently and composes") {
+    val s = spark; import s.implicits._
+    // doc 0: bench. doc 5: clean survivor. doc 6: duplicate of 5 (higher
+    // id → not canonical). doc 7: shares a 3-gram with bench →
+    // contaminated. doc 8: too short (2 < 5 tokens). doc 9: repetitive
+    // (10 of 11 token occurrences are repeats → dwf ≈ 0.909 > 0.9).
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "one two three four five six"),
+      (6L, "one two three four five six"),
+      (7L, "x y alpha beta gamma q r"),
+      (8L, "too short"),
+      (9L, "w w w w w w w w w w w")).toDF("doc_id", "text")
+    val got = Curation.curationPipeline(docs, benchPredicate = col("doc_id") < 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    // (id, keep_quality, is_canonical, is_contaminated, keep_final)
+    assert(got.toSeq == Seq(
+      (0L, true, true, false, false),  // quality-fine canonical, but bench
+      (5L, true, true, false, true),   // the only survivor
+      (6L, true, false, false, false), // exact duplicate, not canonical
+      (7L, true, true, true, false),   // contaminated ("alpha beta gamma")
+      (8L, false, true, false, false), // 2 tokens < minTokens
+      (9L, false, true, false, false))) // dwf 10/11 > 0.9
+  }
+}

@@ -217,4 +217,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == nodes)
     for (n <- nodes) assert(got(n) == find(n), s"node $n")
   }
+
+  test("substring-dedup readouts match hand math (repeated 5-gram windows)") {
+    val s = spark; import s.implicits._
+    // doc 2 repeats doc 1's first window; doc 3 is unrelated; doc 4 is
+    // shorter than the window and must drop out of both readouts
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e"),
+      (3L, "p q r s t"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val top = Dedup.repeatedNgrams(docs, "doc_id", "text", n = 5, minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq(("a b c d e", 2L, 2L)))
+    val frac = Dedup.repeatedSpanFrac(docs, "doc_id", "text", n = 5, minDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: windows {abcdef×2 → "a b c d e","b c d e f"} → 1 of 2 repeated;
+    // doc 2: {"x a b c d","a b c d e"} → 1 of 2; doc 3: 1 window, unique
+    assert(frac.toSeq == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 0.0)))
+  }
 }

@@ -66,4 +66,27 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sortBy(_.doc_id)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("chunk: stride windows cover every token, only the tail is short") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens
+      (2L, "a b c")).toDF("doc_id", "text")           // shorter than maxLen
+    val got = Packing.chunk(docs, "doc_id", "text", maxLen = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 1, 32),  // tokens 1-32
+      (1L, 1, 25, 26), // tokens 25-50 (overlap 8)
+      (1L, 2, 49, 2),  // final short tail
+      (2L, 0, 1, 3)))
+    // disjoint mode: stride == maxLen partitions the stream exactly
+    val disjoint = Packing.chunk(docs, "doc_id", "text", maxLen = 24, stride = 24)
+      .filter(col("doc_id") === 1L).orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(disjoint.toSeq == Seq((0, 1, 24), (1, 25, 24), (2, 49, 2)))
+    intercept[IllegalArgumentException] {
+      Packing.chunk(docs, "doc_id", "text", maxLen = 8, stride = 16)
+    }
+  }
 }

@@ -174,6 +174,73 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.matches("(?s).*PartitionFilters: \\[\\].*"), p.take(2000))
   }
 
+  test("curation ops shuffle ids/hashes/counts, never document text (q67-q69)") {
+    // same rationale as the q53 check: text must be consumed map-side
+    // (token counting, md5 keying, shingle hashing) and never ride an
+    // exchange as a payload column. Checked by column name on the
+    // exchange output schemas — q68's 32-char md5 key and q67's tiny
+    // source strings legitimately shuffle, the document body must not.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q67_source_mixture", "q68_source_cap",
+        "q69_curation_pipeline", "q70_repeated_ngrams",
+        "q71_repeated_span_frac")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val root =
+        try SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, s"$q: expected at least one exchange")
+      val offending = for {
+        e <- exchanges; a <- e.output if a.name == "text"
+      } yield a.name
+      assert(offending.isEmpty, s"$q: document text rides an exchange")
+      if (q == "q71_repeated_span_frac") {
+        // the stronger claim this plan makes: NO character data at all
+        // on any exchange — windows are xxhash64'd map-side
+        import org.apache.spark.sql.types._
+        def hasChars(dt: DataType): Boolean = dt match {
+          case _: StringType | _: BinaryType => true
+          case ArrayType(et, _)              => hasChars(et)
+          case StructType(fs)                => fs.exists(f => hasChars(f.dataType))
+          case MapType(k, v, _)              => hasChars(k) || hasChars(v)
+          case _                             => false
+        }
+        val chars = for {
+          e <- exchanges; a <- e.output if hasChars(a.dataType)
+        } yield s"${a.name}: ${a.dataType.simpleString}"
+        assert(chars.isEmpty,
+          s"$q: character data rides an exchange: ${chars.mkString(", ")}")
+      }
+    }
+  }
+
+  test("bucketed documents layout makes id-keyed joins and aggs exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("docs_bucketed")
+      .toFile.getAbsolutePath
+    DocumentsLayout.write(Tables.documents(spark, sf), dir, "docs_bkt_spec")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = DocumentsLayout.read(spark, "docs_bkt_spec")
+      // the shape of every curation re-attach: corpus ⋈ per-doc result
+      // on doc_id — with both sides bucketed, NO exchange at all
+      val join = t.as("a").join(t.as("b"), "doc_id")
+        .select(col("doc_id"), col("a.n_chars"))
+      assert(join.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucketed self-join still shuffles")
+      // id-keyed aggregation consumes the bucketing the same way
+      val agg = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      assert(agg.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucketed aggregation still shuffles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS docs_bkt_spec")
+    }
+  }
+
   test("no unbounded cartesian anywhere in the query surface") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
