@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a full 72-query bench session accumulates enough
+  // old-gen debris that the tail queries' string-heavy aggregations
+  // GC-thrash at 8g (q70 measured 12x its isolated cost); the machine
+  // has 128 GiB, so headroom is the cheaper fix than a smaller surface
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1940,8 +1940,8 @@ object SparkEntry {
                FROM t WHERE len(w) >= 5),
          d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
          SELECT doc_id, count(*) AS n_windows,
-           round(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END), 6) + 0.0
-             AS rep_frac
+           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)::DOUBLE, 6) + 0.0 AS rep_frac
          FROM g JOIN d USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
     // range(0, n, 24) excludes n — the same starts sequence(0, n-1, 24)

@@ -481,9 +481,13 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
       .select(col("doc_id"),
         explode(TextOps.tokenNgramsOfTokens(col("__w"), n)).as("gram"))
-    grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occur"))
+    // two-level aggregation instead of countDistinct: the distinct
+    // aggregate plans an Expand (2 rows per input) through the gram
+    // exchange; grouping (gram, doc_id) first then re-aggregating gets
+    // the same n_docs/n_occur with half the shuffled rows
+    grams.groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_occur"))
       .filter(col("n_docs") >= minDf)
       .orderBy(col("n_occur").desc, col("gram"))
       .limit(k)
@@ -513,12 +517,21 @@ object Dedup {
       .select(col("doc_id"),
         explode(TextOps.tokenNgramsOfTokens(col("__w"), n)).as("__g"))
       .select(col("doc_id"), xxhash64(col("__g")).as("gh"))
-    val dfreq = grams.distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("__nd"))
-    grams.join(dfreq, "gh")
+    // one pass over the gram stream: collapse to (gh, doc_id, count)
+    // first — document frequency is then a re-aggregation of that
+    // already-shrunk frame and the per-document fraction a count-
+    // weighted ratio over it, so the explode output rides exactly one
+    // exchange (the uncollapsed two-branch formulation generated the
+    // grams twice and shuffled the raw stream for a distinct)
+    val perDoc = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("__c"))
+    val dfreq = perDoc.groupBy(col("gh")).agg(count(lit(1)).as("__nd"))
+    perDoc.join(dfreq, "gh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        round(avg(when(col("__nd") >= minDf, 1.0).otherwise(0.0)), 6)
+      .agg(sum(col("__c")).as("n_windows"),
+        round(
+          sum(when(col("__nd") >= minDf, col("__c")).otherwise(lit(0L)))
+            .cast("double") / sum(col("__c")).cast("double"), 6)
           .as("rep_frac"))
   }
 

@@ -72,6 +72,18 @@ object Ingest {
       maxDupWordFrac: Double = 0.9): DataFrame =
     graft.operators.TextOps.curationVerdict(docs, minTokens, maxDupWordFrac)
 
+  /** Sequence chunking's streaming twin — the same per-document
+    * sequence+posexplode body the batch operator uses (Packing.chunk,
+    * q72), applied to a document stream: stateless, shuffle-free,
+    * flatMap-shaped (one input document → its window rows), so an
+    * ingest crawl can emit training-window plans at wire speed. Like
+    * curationStream, the batch body IS the twin — there is no second
+    * implementation to drift.
+    */
+  def chunkStream(
+      docs: DataFrame, maxLen: Int = 32, stride: Int = 24): DataFrame =
+    graft.operators.Packing.chunk(docs, "doc_id", "text", maxLen, stride)
+
   /** A1's streaming twin: tumbling averages with a watermark; emits
     * finalized windows only (append mode compatible).
     */

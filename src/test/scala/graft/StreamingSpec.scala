@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("chunk stream emits window plans statelessly, matching batch (q72 twin)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.chunkStream(mem.toDF(), maxLen = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val input = Seq(doc(1, "a b c d e f g"), doc(2, "x y")) // 7 and 2 tokens
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val rows = spark.table("chunks")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      // doc 1: starts 1,4,7 → lengths 4,4,1; doc 2: one short window
+      assert(rows == Set((1L, 0, 1, 4), (1L, 1, 4, 4), (1L, 2, 7, 1), (2L, 0, 1, 2)))
+      // batch twin must agree row-for-row on the same inputs
+      val batch = Ingest.chunkStream(input.toDF(), maxLen = 4, stride = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
   test("windowed averages finalize per watermark (A1 streaming twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
