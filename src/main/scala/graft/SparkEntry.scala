@@ -878,6 +878,19 @@ object SparkEntry {
         maxLen = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // Training-data op — temperature-scaled mixture weights (α = 0.5,
+    // mT5-style long-tail upsampling); normalizer summed in sorted
+    // order so both engines fold identical doubles.
+    "q73_temperature_mixture" -> ((s, dir) => {
+      Curation.temperatureMixture(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+    }),
+    // Embedding preprocessing — mean-centering readout: per-vector
+    // norm/direction shift against the 6-dp-rounded corpus mean
+    // (map-only sequential folds; the mean is a 1×d driver literal).
+    "q74_centering_readout" -> ((s, dir) => {
+      Similarity.centeringReadout(Tables.embeddings(s, dir))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1953,5 +1966,49 @@ object SparkEntry {
          SELECT doc_id, (s // 24)::INT AS chunk_idx, s + 1 AS start_tok,
            least(32, n - s) AS chunk_tokens
          FROM u ORDER BY doc_id, chunk_idx""",
+    // sqrt is bit-exact IEEE in both engines (a general pow is not);
+    // list_reduce over the SORTED p values folds the same doubles in
+    // the same order as the Spark side's array_sort + aggregate.
+    "q73_temperature_mixture" ->
+      """WITH per AS (
+           SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT sum(n_tokens)::BIGINT AS tt FROM per),
+         p AS (SELECT source, n_tokens,
+                 n_tokens::DOUBLE / tt::DOUBLE AS share,
+                 sqrt(n_tokens::DOUBLE / tt::DOUBLE) AS pp
+               FROM per, tot),
+         z AS (SELECT list_reduce(list_sort(list(pp)), (a, b) -> a + b) AS zz
+               FROM p)
+         SELECT source, n_tokens, round(share, 6) + 0.0 AS token_share,
+           round(pp / zz, 6) + 0.0 AS temp_share
+         FROM p, z ORDER BY source""",
+    // 6-dp-rounded per-dim means (q47 discipline) + sequential
+    // list_reduce folds (q64 discipline) keep every double identical
+    // across engines.
+    "q74_centering_readout" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         mu AS (SELECT i, round(avg(v[i+1]), 6) AS m
+                FROM e, range(64) t(i) GROUP BY 1),
+         mv AS (SELECT list(m ORDER BY i) AS mm FROM mu),
+         c AS (SELECT vec_id, v,
+                 list_transform(range(1, len(v) + 1), i -> v[i] - mm[i]) AS cv
+               FROM e, mv),
+         n AS (SELECT vec_id,
+                 list_reduce(list_concat([0.0],
+                   list_transform(v, x -> x * x)), (a, b) -> a + b) AS n2o,
+                 list_reduce(list_concat([0.0],
+                   list_transform(cv, x -> x * x)), (a, b) -> a + b) AS n2c,
+                 list_reduce(list_concat([0.0],
+                   list_transform(range(1, len(v) + 1),
+                     i -> v[i] * cv[i])), (a, b) -> a + b) AS dt
+               FROM c)
+         SELECT vec_id, round(sqrt(n2o), 6) + 0.0 AS orig_norm,
+           round(sqrt(n2c), 6) + 0.0 AS centered_norm,
+           CASE WHEN n2o = 0 OR n2c = 0 THEN 0.0
+                ELSE round(dt / (sqrt(n2o) * sqrt(n2c)), 6) + 0.0
+           END AS cos_shift
+         FROM n ORDER BY vec_id""",
   )
 }

@@ -46,6 +46,41 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * upsampling rule (mT5-style p_i ∝ share_i^α): flattening the token
+    * distribution so long-tail sources are seen more than their raw
+    * share, without the uniform target's full distortion. Fixed
+    * α = 0.5 (temperature 2), deliberately: sqrt is bit-exact IEEE in
+    * every engine, while a general pow(x, α) may differ between libm
+    * implementations and an argmax-free 6-dp rounding cannot always
+    * absorb that (the q62 lesson). The normalizer Σ√share is computed
+    * as a SORTED sequential fold (collect_list → array_sort →
+    * aggregate), pinning the double summation order so the oracle's
+    * list_sort + list_reduce reproduces it exactly — the q64
+    * technique; a plain sum() over doubles has engine-dependent order.
+    * All post-groupBy math runs on a |sources|-row frame: two 1-row
+    * broadcast attaches, no second corpus pass.
+    */
+  def temperatureMixture(
+      docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val per = docs
+      .groupBy(col(srcCol).as("source"))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tt"))
+    val p = per.crossJoin(broadcast(tot))
+      .withColumn("__share",
+        col("n_tokens").cast("double") / col("__tt").cast("double"))
+      .withColumn("__p", sqrt(col("__share")))
+    val z = p.agg(aggregate(array_sort(collect_list(col("__p"))),
+      lit(0.0), (a, x) => a + x).as("__z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("__share"), 6).as("token_share"),
+        round(col("__p") / col("__z"), 6).as("temp_share"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic per-source quota: keep at most `cap` documents per
     * source, selected by content-hash order (md5 hex asc, doc_id asc on
     * ties) — the domain-cap pass that stops one crawl domain from

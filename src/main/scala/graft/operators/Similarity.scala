@@ -391,6 +391,46 @@ object Similarity {
           .as("rel_err"))
   }
 
+  /** Corpus mean-centering readout — the preprocessing QA run before
+    * trusting retrieval/clustering geometry on an anisotropic corpus
+    * (embedding sets typically share a dominant mean direction;
+    * centering is the standard fix): the per-dimension corpus mean
+    * (rounded to 6 dp — the q47 Lloyd discipline, so both engines see
+    * the identical center), then per vector the original norm, the
+    * centered norm, and the cosine between original and centered
+    * vector — how much centering actually moved each point's
+    * direction. The mean is a 1×d driver literal (the MLlib centroid
+    * pattern, corpus-size independent); everything downstream is
+    * map-only SEQUENTIAL folds (`aggregate`), mirrored by the
+    * oracle's list_reduce so the double summation order is
+    * bit-identical. A vector equal to the mean centers to zero and
+    * carries no direction — its cos_shift is defined 0 (same guard
+    * class as nearDupPairsBlocked's zero-norm exclusion).
+    */
+  def centeringReadout(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val mean: Seq[Double] = v
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(round(avg(col("x")), 6).as("m"))
+      .orderBy(col("d"))
+      .as[(Int, Double)].collect().map(_._2).toSeq
+    val sumD = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    v.withColumn("c", zip_with(col("v"), typedLit(mean), (x, m) => x - m))
+      .withColumn("__n2o", sumD(transform(col("v"), x => x * x)))
+      .withColumn("__n2c", sumD(transform(col("c"), x => x * x)))
+      .withColumn("__dot", sumD(zip_with(col("v"), col("c"), (x, y) => x * y)))
+      .select(col("vec_id"),
+        round(sqrt(col("__n2o")), 6).as("orig_norm"),
+        round(sqrt(col("__n2c")), 6).as("centered_norm"),
+        when(col("__n2o") === 0 || col("__n2c") === 0, lit(0.0))
+          .otherwise(round(
+            col("__dot") / (sqrt(col("__n2o")) * sqrt(col("__n2c"))), 6))
+          .as("cos_shift"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact leave-one-out 1-NN label accuracy per class — the embedding
     * QA readout run before trusting vectors for retrieval or
     * clustering ("do nearest neighbors share a label?"). Exact is the

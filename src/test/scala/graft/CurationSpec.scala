@@ -39,6 +39,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L, 12L, 0.75, 0.666667))) // 12/16; 8/12 rounded to 6 dp
   }
 
+  test("temperatureMixture: α=0.5 flattens toward the tail, weights sum to 1") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d", "A"),
+      (3L, "t t t t t t t t t t t t", "B")).toDF("doc_id", "text", "source")
+    val got = Curation.temperatureMixture(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // shares 0.25/0.75 → √: 0.5, 0.8660254…; Z = 1.3660254…
+    assert(got.toSeq == Seq(
+      ("A", 4L, 0.25, 0.366025),   // raw 0.25 upsampled toward uniform
+      ("B", 12L, 0.75, 0.633975))) // raw 0.75 downsampled, not flattened to 0.5
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
+  }
+
   test("perSourceCap: two-phase salted rank ≡ single global window (exactness)") {
     val s = spark; import s.implicits._
     // 60 docs over 3 sources with duplicate texts across sources so md5

@@ -262,4 +262,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0) == ((1L, math.rint(scale * 1e6) / 1e6, 223L, wantErr)))
     assert(got(1) == ((2L, 0.0, 0L, 0.0)))
   }
+
+  test("centeringReadout: symmetric pair hand math; mean-equal vector guards to 0") {
+    import spark.implicits._
+    // mean of [2,0] and [0,2] is [1,1]; both center to (±1, ∓1):
+    // orig_norm 2, centered_norm √2, cos = 2 / (2·√2) = 0.707107
+    val pair = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.centeringReadout(pair)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val root2 = math.rint(math.sqrt(2.0) * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 2.0, root2, 0.707107), (2L, 2.0, root2, 0.707107)))
+    // a single-vector corpus IS its own mean: centered norm 0, and the
+    // cos guard must fire instead of dividing by zero
+    val solo = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val g2 = Similarity.centeringReadout(solo).collect()
+    assert(g2.map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      == Seq((5.0, 0.0, 0.0)))
+  }
 }
