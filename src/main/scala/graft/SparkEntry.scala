@@ -891,6 +891,12 @@ object SparkEntry {
     "q74_centering_readout" -> ((s, dir) => {
       Similarity.centeringReadout(Tables.embeddings(s, dir))
     }),
+    // Quality — unigram NLL per doc against the corpus's own token
+    // distribution (the perplexity-filter shape; position-pinned log
+    // fold so both engines sum identical doubles in the same order).
+    "q75_unigram_nll" -> ((s, dir) => {
+      TextOps.unigramNll(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2010,5 +2016,20 @@ object SparkEntry {
                 ELSE round(dt / (sqrt(n2o) * sqrt(n2c)), 6) + 0.0
            END AS cos_shift
          FROM n ORDER BY vec_id""",
+    // ln agrees across engines on these values (the q50 precedent);
+    // the per-doc fold is position-ordered on both sides.
+    "q75_unigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS term,
+                   generate_subscripts(w, 1) AS pos FROM t),
+         f AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         tot AS (SELECT sum(cnt)::BIGINT AS n FROM f),
+         lp AS (SELECT tok.doc_id, tok.pos,
+                  ln(f.cnt::DOUBLE / tot.n::DOUBLE) AS logp
+                FROM tok JOIN f USING (term), tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(-list_reduce(list_concat([0.0], list(logp ORDER BY pos)),
+                   (a, b) -> a + b) / count(*)::DOUBLE, 6) + 0.0 AS nll
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
   )
 }

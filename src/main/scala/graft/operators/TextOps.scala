@@ -276,6 +276,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Unigram negative-log-likelihood per document — the in-repo
+    * equivalent of the LM-perplexity quality filter (CCNet scores
+    * documents with an external KenLM; with zero egress the corpus's
+    * OWN unigram distribution is the honest stand-in, and the operator
+    * shape — score each doc against a global token distribution — is
+    * identical). High NLL = improbable token mix (gibberish, rare-token
+    * spam); low = common-word boilerplate. Every token's probability
+    * is count(term)/total over the whole corpus, so smoothing is
+    * unnecessary — a token always has its own count ≥ 1.
+    *
+    * Plan: one term-keyed exchange for the frequencies, one term-keyed
+    * join to attach them to the positioned token stream (vocabulary
+    * sized — NOT broadcast, the q50 argument), one doc-keyed exchange
+    * for the per-document fold. The per-doc sum of logs is folded in
+    * POSITION order (collect_list → array_sort by pos → sequential
+    * aggregate) because a plain sum() over doubles has
+    * engine-dependent order; the oracle's list(... ORDER BY pos) +
+    * list_reduce replays the identical fold. log itself is shared with
+    * q50's tfidf (both engines' libm agree on these values — the
+    * precedented risk class).
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+    val total = freq.agg(sum(col("__cnt")).as("__tot"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__logp",
+        log(col("__cnt").cast("double") / col("__tot").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("__logp")))),
+            s => s.getField("__logp")),
+          lit(0.0), (a, x) => a + x).as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens").cast("double"), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own
     * top-K vocabulary — the tokenizer-coverage readout run before
     * committing to a vocab size. Composition of vocabTopK (a k-row

@@ -84,6 +84,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 2)
   }
 
+  test("round-6 operators tolerate an empty corpus (no throw, empty output)") {
+    val s = spark; import s.implicits._
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val vecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Curation.sourceMixture(docs, "doc_id", "text", "source").count() == 0)
+    assert(Curation.temperatureMixture(docs, "doc_id", "text", "source").count() == 0)
+    assert(Curation.perSourceCap(docs, "doc_id", "text", "source", cap = 3).count() == 0)
+    assert(Curation.curationPipeline(docs, benchPredicate = col("doc_id") < 5)
+      .count() == 0)
+    assert(operators.Dedup.repeatedNgrams(docs, "doc_id", "text").count() == 0)
+    assert(operators.Dedup.repeatedSpanFrac(docs, "doc_id", "text").count() == 0)
+    assert(operators.Packing.chunk(docs, "doc_id", "text", 32, 24).count() == 0)
+    assert(operators.Similarity.centeringReadout(vecs).count() == 0)
+  }
+
   test("curationPipeline: each flag trips independently and composes") {
     val s = spark; import s.implicits._
     // doc 0: bench. doc 5: clean survivor. doc 6: duplicate of 5 (higher

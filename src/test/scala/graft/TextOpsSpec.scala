@@ -43,6 +43,17 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((0.0, 1.0, 0.0)))
   }
 
+  test("unigramNll: per-doc mean -ln p(term) matches hand math") {
+    val s = spark; import s.implicits._
+    // corpus counts: a=2, b=1, c=1, total 4
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nll1 = math.rint(-(2 * math.log(0.5) + math.log(0.25)) / 3 * 1e6) / 1e6
+    val nll2 = math.rint(-math.log(0.25) * 1e6) / 1e6
+    assert(got.toSeq == Seq((1L, 3L, nll1), (2L, 1L, nll2)))
+  }
+
   test("tfIdfTopK: scores match ln(N/df) hand math, ties break by term") {
     val s = spark; import s.implicits._
     // N=4; "common" in all docs (idf 0), "rare" only in doc 1,
