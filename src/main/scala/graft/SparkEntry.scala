@@ -897,6 +897,27 @@ object SparkEntry {
     "q75_unigram_nll" -> ((s, dir) => {
       TextOps.unigramNll(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Training-data op — SemDeDup (Abbas et al. 2023): semantic dedup
+    // restricted to k-means cells (the q23/q47 Lloyd recurrence), with
+    // the greedy earlier-id drop rule. The 100 TB dedup shape: pair
+    // work is O(Σ|cell|²) — linear in the corpus once k scales with N
+    // — vs q54's exact global O(N²) closure.
+    "q76_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4,
+        numCells = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+    // Training-data op — global token-budget curation: keep the
+    // highest-quality documents until half the corpus's tokens are
+    // spent. The rank-cumulative sum is a DISTRIBUTED prefix sum
+    // (score-bucketed + driver offsets), never the single-partition
+    // global window Spark would plan for Window.orderBy alone; the
+    // keep verdict itself is exact integer math.
+    "q77_token_budget" -> ((s, dir) => {
+      Curation.tokenBudgetSelect(Tables.documents(s, dir),
+        "doc_id", "text", budgetNum = 1L, budgetDen = 2L)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2031,5 +2052,79 @@ object SparkEntry {
            round(-list_reduce(list_concat([0.0], list(logp ORDER BY pos)),
                    (a, b) -> a + b) / count(*)::DOUBLE, 6) + 0.0 AS nll
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    // Replays q47's Lloyd recurrence through the final cell
+    // membership, then the within-cell pair search and the greedy
+    // earlier-id drop — raw cosine vs τ exactly as q22 (the proven
+    // cross-engine comparison; the cosine itself never reaches the
+    // output, only the keep verdict does).
+    "q76_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM members a JOIN members b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE sqrt(list_inner_product(a.v, a.v)) > 0
+             AND sqrt(list_inner_product(b.v, b.v)) > 0
+             AND list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) *
+                  sqrt(list_inner_product(b.v, b.v))) >= 0.4)
+         SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS keep
+         FROM members m LEFT JOIN dropped d USING (vec_id)
+         ORDER BY m.vec_id""",
+    // The oracle states the SEMANTICS as the naive global window; the
+    // Spark side computes the same prefix sum distributed (score
+    // buckets + driver offsets). Ranking doubles are the 6-dp-rounded
+    // q15 score (proven identical cross-engine); the cumulative sum
+    // and the keep verdict are pure integer math.
+    "q77_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+           round(len(list_filter(string_split(text, ' '), t -> list_contains(
+             ['the','a','and','of','to','in','is','it','for','on'], t)))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS q_score,
+           len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents),
+         tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM s),
+         c AS (SELECT doc_id, q_score, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY q_score DESC, doc_id)::BIGINT
+                   AS cum_tokens
+               FROM s)
+         SELECT doc_id, q_score + 0.0 AS q_score, n_tokens, cum_tokens,
+           (cum_tokens * 2 <= total * 1) AS selected
+         FROM c, tot ORDER BY doc_id""",
   )
 }

@@ -160,4 +160,56 @@ object Curation {
           !col("__is_bench") && !coalesce(col("__cont"), lit(false)))
           .as("keep_final"))
   }
+
+  /** Global token-budget selection — fill the budget with the best:
+    * rank every document by quality (the q15 stopword-ratio signal,
+    * rounded to 6 dp so both engines rank identical doubles; ties
+    * break by doc_id) and keep the prefix of that ranking whose
+    * cumulative token count stays within total·num/den. The keep
+    * decision is exact integer arithmetic end to end
+    * (cum·den ≤ total·num — no float ever crosses the threshold).
+    *
+    * The cumulative sum is the classic scale trap: a global
+    * `Window.orderBy` with no partition key collapses the corpus into
+    * ONE task. This is a distributed prefix sum instead: documents
+    * bucket by a MONOTONE function of the score (floor(score·B), so
+    * bucket order IS score order and equal scores can never straddle
+    * a bucket), per-bucket token sums come back to the driver (≤ B+1
+    * rows, corpus-size independent), exclusive higher-bucket offsets
+    * go back out as a literal map, and the running sum inside each
+    * bucket is a window partitioned by bucket — B-way parallel.
+    * Score and count are computed map-side, so only
+    * (id, score, count) rides any exchange, never text. Skew caveat:
+    * bucket occupancy follows the score distribution — raise
+    * `buckets` when a single score value dominates the corpus (the
+    * maxBucket/maxPosting sizing discipline).
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetNum: Long = 1L, budgetDen: Long = 2L,
+      buckets: Int = 64): DataFrame = {
+    require(budgetDen > 0 && budgetNum >= 0, "budget must be a ratio >= 0")
+    val slim = docs.select(col(idCol).as("doc_id"),
+        round(TextOps.stopwordRatio(col(textCol)), 6).as("q_score"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__bkt", floor(col("q_score") * buckets).cast("int"))
+    val sums = slim.groupBy(col("__bkt"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val total = sums.map(_._2).sum
+    // exclusive offset: tokens living in strictly better buckets
+    val offsets: Map[Int, Long] = sums.map { case (b, _) =>
+      b -> sums.filter(_._1 > b).map(_._2).sum
+    }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__bkt")), lit(0L))
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("q_score").desc, col("doc_id").asc)
+    slim
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + offExpr)
+      .select(col("doc_id"), col("q_score"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens") * budgetDen <= total * budgetNum).as("selected"))
+  }
 }

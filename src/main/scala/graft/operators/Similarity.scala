@@ -360,6 +360,56 @@ object Similarity {
     Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * Lloyd index (the q23/q47 recurrence — seeded centroids, fixed
+    * iterations, 6-dp rounded means), then search for near-duplicates
+    * ONLY within each cluster and greedily drop every vector that has
+    * an earlier (lower-id) same-cell neighbor with cosine ≥ τ. The
+    * paper's point, preserved here: restricting the pair search to
+    * cells turns the global O(N²) scan into O(Σ|cell|²) — with k
+    * grown proportionally to the corpus (the paper's regime,
+    * k ≈ N/⟨cell⟩), expected per-cell size is constant and total
+    * pair work is LINEAR in N. The pair join is keyed by cell id, so
+    * a cluster partitions it naturally; assignment is map-only
+    * against literal centroids. The greedy earlier-id rule is the
+    * paper's one-survivor-per-ε-ball policy made deterministic and
+    * order-free (a chain i~j~k with cos(i,k) < τ drops BOTH j and k —
+    * documented over-drop, identical in both engines, no iteration).
+    * Zero-norm vectors have no direction and are never dup-paired
+    * (same guard class as [[nearDupPairsBlocked]]). Trade-off vs
+    * [[embeddingDedupClusters]]: no transitive closure across cell
+    * boundaries (a cross-cell near-dup pair is invisible by design —
+    * that is what bounds the work), no CC rounds, no pair-set
+    * materialization; the standard curation choice at 100 TB.
+    * Output: one row per vector — (vec_id, cell, keep).
+    */
+  def semanticDedup(
+      vectors: DataFrame, threshold: Double,
+      numCells: Int = 8, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = kmeansCentroidSeq(vectors, numCells, iters)
+    val asn = assignCells(v, cent, probes = 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = asn.select(col("cell"), col("vec_id").as("i"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asn.select(col("cell"), col("vec_id").as("j"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // dup candidates never leave their cell: an equi-join on the cell
+    // id (shuffle keyed by cell), i<j once per unordered pair, raw
+    // cosine vs τ exactly as q22's proven cross-engine comparison
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("i") < col("j") && col("na") > 0 && col("nb") > 0)
+      .filter(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("j").as("vec_id")).distinct()
+    asn.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("_d"), lit(false)).unary_!.as("keep"))
+  }
+
   /** Symmetric int8 scalar quantization readout — the storage-path
     * decision data for an embedding corpus (4× smaller vectors, how
     * much cosine fidelity is lost?). Per vector: scale = max|x|/127,

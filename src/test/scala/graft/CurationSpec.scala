@@ -97,6 +97,61 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.Dedup.repeatedSpanFrac(docs, "doc_id", "text").count() == 0)
     assert(operators.Packing.chunk(docs, "doc_id", "text", 32, 24).count() == 0)
     assert(operators.Similarity.centeringReadout(vecs).count() == 0)
+    assert(Curation.tokenBudgetSelect(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("tokenBudgetSelect: distributed prefix sum ≡ naive global window (q77)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Curation.tokenBudgetSelect(docs, "doc_id", "text",
+        budgetNum = 1L, budgetDen = 2L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    // the semantics the oracle states: ONE global running sum (the
+    // single-partition plan the operator exists to avoid)
+    import graft.operators.TextOps
+    val naiveW = Window.orderBy(col("q_score").desc, col("doc_id").asc)
+    val slim = docs.select(col("doc_id"),
+      round(TextOps.stopwordRatio(col("text")), 6).as("q_score"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val total = slim.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val want = slim.withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .select(col("doc_id"), col("q_score"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") * 2 <= total).as("selected"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // nontrivial split: some kept, some dropped, and the kept set is a
+    // PREFIX of the quality ranking
+    val kept = got.filter(_._5); val dropped = got.filterNot(_._5)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.map(_._4).max < dropped.map(_._4).min,
+      "selected prefix must end before the first dropped cum")
+    // small-bucket path exercises multi-row buckets + nonzero offsets
+    val coarse = Curation.tokenBudgetSelect(docs, "doc_id", "text",
+        budgetNum = 1L, budgetDen = 2L, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(coarse.toSeq == want.toSeq,
+      "bucket count must not change the prefix-sum semantics")
+  }
+
+  test("tokenBudgetSelect: hand math, budget edge inclusive on exact fill") {
+    val s = spark; import s.implicits._
+    // scores: d1 2/4=0.5, d2 1/4=0.25, d3 0/4=0. ranking d1,d2,d3 with
+    // 4 tokens each, total 12; budget 2/3 → 8 tokens: d1 (cum 4) and
+    // d2 (cum 8, exactly the budget → kept) in, d3 (cum 12) out
+    val docs = Seq(
+      (1L, "the cat is here"), (2L, "the cat sat down"),
+      (3L, "cat sat down here")).toDF("doc_id", "text")
+    val got = Curation.tokenBudgetSelect(docs, "doc_id", "text",
+        budgetNum = 2L, budgetDen = 3L)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0.5, 4L, 4L, true),
+      (2L, 0.25, 4L, 8L, true),
+      (3L, 0.0, 4L, 12L, false)))
   }
 
   test("curationPipeline: each flag trips independently and composes") {

@@ -183,7 +183,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     for (q <- Seq("q67_source_mixture", "q68_source_cap",
         "q69_curation_pipeline", "q70_repeated_ngrams",
-        "q71_repeated_span_frac")) {
+        "q71_repeated_span_frac", "q77_token_budget")) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val root =
         try SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
@@ -239,6 +239,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sql("DROP TABLE IF EXISTS docs_bkt_spec")
     }
+  }
+
+  test("q77's running sum is bucket-partitioned — never a single-task global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("q77_token_budget")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val wins = root.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected a window for the running sum")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "running sum planned an un-partitioned window (all rows → one task):\n" +
+        root.toString.take(2000))
   }
 
   test("no unbounded cartesian anywhere in the query surface") {

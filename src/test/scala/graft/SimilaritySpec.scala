@@ -282,4 +282,74 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
       == Seq((5.0, 0.0, 0.0)))
   }
+
+  test("semanticDedup: keep verdicts match a driver-side within-cell replay (q76)") {
+    val emb = Tables.embeddings(spark, sf)
+    // independent replay: same centroids, same assignment operator,
+    // pairwise cosine recomputed driver-side with the kernel's strict
+    // left-to-right fold, greedy earlier-id drop within each cell
+    val cent = Similarity.kmeansCentroidSeq(emb, numCells = 8, iters = 2)
+    val asn = Similarity.assignCells(
+        emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v")),
+        cent, probes = 1)
+      .select(col("vec_id"), col("cell"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+    }
+    val wantDrop = (for {
+      Seq((i, ci, vi), (j, cj, vj)) <- asn.toSeq.sortBy(_._1).combinations(2)
+      if ci == cj
+      ni = math.sqrt(dot(vi, vi)); nj = math.sqrt(dot(vj, vj))
+      if ni > 0 && nj > 0 && dot(vi, vj) / (ni * nj) >= 0.4
+    } yield math.max(i, j)).toSet
+    val got = Similarity.semanticDedup(emb, 0.4, numCells = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == asn.length)
+    val cellOf = asn.map(a => a._1 -> a._2).toMap
+    for ((id, cell, keep) <- got) {
+      assert(cell == cellOf(id), s"vec $id assigned to $cell != ${cellOf(id)}")
+      assert(keep == !wantDrop.contains(id), s"vec $id keep=$keep")
+    }
+    assert(wantDrop.nonEmpty, "no within-cell dups at τ=0.4; test is vacuous")
+    // the scale shape: the pair search is an equi-join keyed by cell,
+    // never a broadcast nested loop or cartesian over the corpus
+    val plan = Similarity.semanticDedup(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("semanticDedup keeps exactly one survivor per planted duplicate group") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val d = 32
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // planted triples of jittered twins (mutual cos ≈ 0.999 ≥ 0.9) on a
+    // background where random cos ≥ 0.9 is essentially impossible at
+    // d=32: each triple must keep ONLY its lowest id, background keeps
+    val rows = (0 until 10).flatMap { g =>
+      val base = unit()
+      def jitter() = base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      Seq((g.toLong * 3, base.map(_.toFloat).toSeq),
+        (g.toLong * 3 + 1, jitter().toSeq), (g.toLong * 3 + 2, jitter().toSeq))
+    } ++ (30 until 100).map(i => (i.toLong, unit().map(_.toFloat).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(e, 0.9, numCells = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    for (g <- 0 until 10) {
+      assert(got(g * 3L), s"group $g: lowest id dropped")
+      // jittered twins co-assign with their base (cos ≈ 1 dominates any
+      // centroid boundary), so the greedy rule drops both
+      assert(!got(g * 3L + 1) && !got(g * 3L + 2), s"group $g: dup kept")
+    }
+    for (i <- 30 until 100)
+      assert(got(i.toLong), s"background vec $i dropped")
+  }
 }
