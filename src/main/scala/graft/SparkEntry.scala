@@ -918,6 +918,17 @@ object SparkEntry {
         "doc_id", "text", budgetNum = 1L, budgetDen = 2L)
         .orderBy(col("doc_id"))
     }),
+    // Similarity — corpus-wide IVF 1-NN graph: the gated form of the
+    // scale swap documented on q62 (L29). Every vector queries its 2
+    // nearest cells; the candidate join is a shuffled cell-keyed
+    // equi-join (nothing corpus-sized broadcasts); cosine rounded to
+    // 6 dp BEFORE the argmax so no cross-engine ulp can flip a
+    // neighbor.
+    "q78_ivf_knn_graph" -> ((s, dir) => {
+      Similarity.ivfKnnGraph(Tables.embeddings(s, dir), k = 1,
+        numCells = 8, iters = 2, probes = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2126,5 +2137,70 @@ object SparkEntry {
          SELECT doc_id, q_score + 0.0 AS q_score, n_tokens, cum_tokens,
            (cum_tokens * 2 <= total * 1) AS selected
          FROM c, tot ORDER BY doc_id""",
+    // The q47/q76 Lloyd replay through single-cell membership, plus a
+    // 2-probe query-side assignment (rk <= 2), candidates restricted
+    // to probed cells, and the q62 argmax discipline: rank on the
+    // 6-dp-ROUNDED cosine with the nid tie-break.
+    "q78_ivf_knn_graph" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
+                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         probed AS (
+           SELECT vec_id AS qid, v AS qv, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk <= 2),
+         scored AS (
+           SELECT p.qid, m.vec_id AS nid,
+             round(list_inner_product(p.qv, m.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(m.v, m.v))), 6) AS cos
+           FROM probed p JOIN members m
+             ON p.cell = m.cell AND p.qid <> m.vec_id
+           WHERE sqrt(list_inner_product(p.qv, p.qv)) > 0
+             AND sqrt(list_inner_product(m.v, m.v)) > 0),
+         r AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+               FROM scored)
+         SELECT qid, nid, cos + 0.0 AS cos, rank FROM r WHERE rank <= 1
+         ORDER BY qid, rank""",
   )
 }

@@ -279,6 +279,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Corpus-wide approximate k-NN graph from the IVF index — the
+    * documented scale swap for the exact O(N²) 1-NN scan behind q62
+    * (L29): every vector is a query against its own `probes` nearest
+    * cells, so per-query work is the probed cells' population
+    * (≈ probes/numCells of the corpus in expectation), not N.
+    * Unlike [[ivfTopKMultiprobe]] — built for small query batches,
+    * which it broadcasts — BOTH sides here are corpus-sized, so the
+    * candidate join is a SHUFFLED equi-join keyed by cell id
+    * (a cluster partitions it; nothing corpus-sized is broadcast or
+    * collected). The argmax follows the q62 lesson: the cosine is
+    * rounded to 6 dp BEFORE ranking, with the nid ascending
+    * tie-break, so cross-engine 1-ulp summation drift cannot flip a
+    * neighbor choice. Zero-norm vectors have no direction: excluded
+    * from both sides (the [[nearDupPairsBlocked]] guard class).
+    * Output: (qid, nid, cos, rank) for rank ≤ k — top-k in-probe
+    * neighbors per vector, self excluded.
+    */
+  def ivfKnnGraph(
+      vectors: DataFrame, k: Int = 1,
+      numCells: Int = 8, iters: Int = 2, probes: Int = 2): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = kmeansCentroidSeq(vectors, numCells, iters)
+    val members = assignCells(v, cent, probes = 1)
+      .withColumn("nv_nrm", l2norm(col("v")))
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nv_nrm"), col("cell"))
+    val probed = assignCells(v, cent, probes)
+      .withColumn("qv_nrm", l2norm(col("v")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("qv_nrm"), col("cell"))
+    val scored = members.join(probed, Seq("cell"))
+      .filter(col("qid") =!= col("nid") &&
+        col("qv_nrm") > 0 && col("nv_nrm") > 0)
+      .select(col("qid"), col("nid"),
+        round(dot_product(col("qv"), col("nv")) /
+          (col("qv_nrm") * col("nv_nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style approximate top-k: coarse-quantize every vector to its
     * nearest centroid (centroids = a small deterministic seed set, e.g.
     * the first C vectors), then search only within the query's cell.

@@ -322,6 +322,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("ivfKnnGraph: in-probe neighbors are exact-cosine candidates with measured recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.ivfKnnGraph(emb, k = 1, numCells = 8, iters = 2, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // exact 1-NN computed driver-side (the corpus is small at sf0.001)
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val exactBest: Map[Long, (Long, Double)] = vecs.map { case (qid, qv) =>
+      val best = vecs.iterator.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (math.rint(dot(qv, nv) / (nrm(qid) * nrm(nid)) * 1e6) / 1e6, nid)
+        }.maxBy { case (c, nid) => (c, -nid) }
+      qid -> (best._2, best._1)
+    }.toMap
+    // every vector got exactly one neighbor row on this data
+    assert(got.length == vecs.length)
+    assert(got.forall(_._4 == 1))
+    var hits = 0
+    for ((qid, nid, cos, _) <- got) {
+      // an in-probe candidate can never beat the exact best
+      assert(cos <= exactBest(qid)._2 + 1e-9, s"q$qid: $cos beats exact")
+      if (nid == exactBest(qid)._1) hits += 1
+    }
+    // 2-of-8-cell probing on margin-free data: deterministic recall,
+    // assert a floor well above the probes/numCells no-signal baseline
+    val recall = hits.toDouble / got.length
+    assert(recall >= 0.5, s"1-NN recall $recall ($hits of ${got.length})")
+  }
+
   test("semanticDedup keeps exactly one survivor per planted duplicate group") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)
