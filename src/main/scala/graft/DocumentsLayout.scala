@@ -30,8 +30,10 @@ object DocumentsLayout {
   def write(
       docs: DataFrame, path: String,
       table: String = "documents_bucketed", buckets: Int = 8): Unit = {
-    val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // No pre-emptive DROP: overwrite mode replaces the catalog entry
+    // atomically at commit, so a mid-write failure leaves the PREVIOUS
+    // table readable instead of no table at all (and no table name is
+    // ever interpolated into raw SQL)
     docs.write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", path)

@@ -1297,7 +1297,8 @@ object SparkEntry {
                    ORDER BY round(cos, 6) DESC, nid ASC) AS rk
                FROM p)
          SELECT true_label, count(*) AS n,
-           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+           sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
            round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) + 0.0 AS accuracy
          FROM r WHERE rk = 1
@@ -1439,42 +1440,58 @@ object SparkEntry {
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent0 c)
            WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
          cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
          asn2 AS (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent1 c)
            WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
          cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
          members AS (
            SELECT vec_id, v, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk = 1),
          probes AS (
            SELECT vec_id, v, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c
              WHERE e.vec_id < 5)
            WHERE rk <= 2),
@@ -1500,40 +1517,55 @@ object SparkEntry {
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent0 c)
            WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
          cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
          asn2 AS (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent1 c)
            WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
          cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
          members AS (
            SELECT vec_id, v, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk = 1),
          scored AS (
            SELECT m.cell,
-             list_inner_product(m.v, c.cv) /
-             (sqrt(list_inner_product(m.v, m.v)) *
-              sqrt(list_inner_product(c.cv, c.cv))) AS cos
+             CASE WHEN list_inner_product(m.v, m.v) = 0
+                    OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+               ELSE list_inner_product(m.v, c.cv) /
+                 (sqrt(list_inner_product(m.v, m.v)) *
+                  sqrt(list_inner_product(c.cv, c.cv))) END AS cos
            FROM members m JOIN cent2 c ON m.cell = c.cid)
          SELECT cell, count(*) AS n_members,
            round(avg(cos), 6) + 0.0 AS avg_cos,
@@ -1726,7 +1758,7 @@ object SparkEntry {
            FROM m
          )
          SELECT meterId, vendorInfo, medium,
-           round(energyOffset, 6) + 0.0 AS energy_offset,
+           round(energyOffset, 6)::DOUBLE AS energy_offset,
            last_poll_ok, 2::BIGINT AS n_registers
          FROM d WHERE medium = 'Electricity' AND extendRuns
          ORDER BY meterId""",
@@ -2027,8 +2059,10 @@ object SparkEntry {
     "q74_centering_readout" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         mu AS (SELECT i, round(avg(v[i+1]), 6) AS m
-                FROM e, range(64) t(i) GROUP BY 1),
+         mu AS (SELECT i, round(avg(x), 6) AS m
+                FROM (SELECT unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM e)
+                GROUP BY 1),
          mv AS (SELECT list(m ORDER BY i) AS mm FROM mu),
          c AS (SELECT vec_id, v,
                  list_transform(range(1, len(v) + 1), i -> v[i] - mm[i]) AS cv
@@ -2076,33 +2110,46 @@ object SparkEntry {
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent0 c)
            WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
          cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
          asn2 AS (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent1 c)
            WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
          cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
          members AS (
            SELECT vec_id, v, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk = 1),
          dropped AS (
@@ -2149,42 +2196,58 @@ object SparkEntry {
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent0 c)
            WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn1, range(64) t(i) GROUP BY 1, 2),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
          cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
          asn2 AS (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent1 c)
            WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(v[i+1]), 6) AS m
-                FROM asn2, range(64) t(i) GROUP BY 1, 2),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
          cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
          members AS (
            SELECT vec_id, v, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk = 1),
          probed AS (
            SELECT vec_id AS qid, v AS qv, cell FROM (
              SELECT e.vec_id, e.v, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_inner_product(e.v, c.cv) /
-                 (sqrt(list_inner_product(e.v, e.v)) *
-                  sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rk
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk <= 2),
          scored AS (

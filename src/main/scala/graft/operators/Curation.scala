@@ -104,8 +104,12 @@ object Curation {
       cap: Int, salts: Int = 16): DataFrame = {
     val keyed = docs.select(col(idCol).as("doc_id"),
       col(srcCol).as("source"), md5(col(textCol)).as("__k"))
+    // salt on a hash of the id, not the id itself: works for ANY id type
+    // (string keys included) and spreads sequential ids that a plain
+    // modulo would stripe; the salt only splits phase 1, so the selected
+    // top-cap set is unchanged
     val pre = Window.partitionBy(col("source"),
-        pmod(col("doc_id"), lit(salts.toLong)))
+        pmod(xxhash64(col("doc_id")), lit(salts.toLong)))
       .orderBy(col("__k"), col("doc_id"))
     val fin = Window.partitionBy(col("source"))
       .orderBy(col("__k"), col("doc_id"))
@@ -189,10 +193,16 @@ object Curation {
       budgetNum: Long = 1L, budgetDen: Long = 2L,
       buckets: Int = 64): DataFrame = {
     require(budgetDen > 0 && budgetNum >= 0, "budget must be a ratio >= 0")
+    // materialize the slim projection ONCE (localCheckpoint truncates the
+    // lineage, the CC-loop discipline): both the bucket-sum collect below
+    // and the returned query read the checkpointed (id, score, count)
+    // rows, so the text is tokenized and scored a single time — without
+    // this the full corpus scan runs twice per invocation
     val slim = docs.select(col(idCol).as("doc_id"),
         round(TextOps.stopwordRatio(col(textCol)), 6).as("q_score"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__bkt", floor(col("q_score") * buckets).cast("int"))
+      .localCheckpoint()
     val sums = slim.groupBy(col("__bkt"))
       .agg(sum(col("n_tokens")).as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq

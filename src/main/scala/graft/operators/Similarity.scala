@@ -207,8 +207,19 @@ object Similarity {
     require(centroids.nonEmpty, "empty centroid set")
     val sims = centroids.map { case (cid, cv) =>
       val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      // A zero-norm vector (or centroid) has no direction: its cosine is
+      // 0/0 = NaN, and NaN sort order is ENGINE-DEPENDENT (Spark sorts NaN
+      // greatest; DuckDB may yield NULL with ieee ops off). Pin the cosine
+      // to 0.0 so the argmax tie-break (lowest cid) decides the cell
+      // deterministically on both engines — mirrored by the CASE guard in
+      // every oracle's assignment CTE.
+      val sim =
+        if (cnrm == 0.0) lit(0.0)
+        else when(col("_vnrm") > 0,
+          dot_product(col("v"), typedLit(cv)) / (col("_vnrm") * lit(cnrm)))
+          .otherwise(lit(0.0))
       struct(
-        (dot_product(col("v"), typedLit(cv)) / (col("_vnrm") * lit(cnrm))).as("sim"),
+        sim.as("sim"),
         lit(-cid).as("nc"), // desc sort on -cid = cid ascending
         lit(cid).as("cid"))
     }
@@ -336,8 +347,12 @@ object Similarity {
     def assignCell(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.join(broadcast(c), lit(true))
         .select(col(idName), col(vecName), col(vecName + "_nrm"), col("cid"),
-          (dot_product(col(vecName), col("cv")) / (col(vecName + "_nrm") * col("cnrm")))
-            .as("csim"))
+          // same zero-norm pin as assignCells: a directionless vector's
+          // cell is decided by the cid tie-break, not NaN sort order
+          when(col(vecName + "_nrm") * col("cnrm") > 0,
+            dot_product(col(vecName), col("cv")) /
+              (col(vecName + "_nrm") * col("cnrm")))
+            .otherwise(lit(0.0)).as("csim"))
         .withColumn("rk",
           row_number().over(
             Window.partitionBy(col(idName)).orderBy(col("csim").desc, col("cid").asc)))
@@ -373,6 +388,14 @@ object Similarity {
     * or source pairs from LSH candidates
     * ([[embeddingDedupClustersLsh]]) — margin data is the regime where
     * near-dup CLUSTERS are meaningful anyway.
+    *
+    * AUDIT-ONLY at corpus scale (the q62→q78 gating pattern): the
+    * default embedding-dedup path for a full corpus is
+    * [[semanticDedup]] (SemDeDup, cell-bounded pair work, no CC
+    * rounds); run THIS operator on samples/subsets when the exact
+    * transitive closure itself is the deliverable — its CC loop is
+    * rounds × pair-set shuffles with a data-dependent round count,
+    * bounded only by `maxEdges` and `connectedComponents`' round cap.
     */
   def embeddingDedupClusters(
       vectors: DataFrame, threshold: Double,

@@ -87,6 +87,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 14) // every edge endpoint labeled, nothing else
   }
 
+  test("maxRounds cap aborts a graph that cannot converge in the budget") {
+    val s = spark; import s.implicits._
+    // a 12-node path needs several alternating-star rounds; with a
+    // 1-round budget CC must REFUSE (fail fast) instead of silently
+    // returning a half-contracted labeling — the dense-graph runaway
+    // guard: rounds are sequential full-pair-set shuffles, so an
+    // unconverged loop is the scale-killer the cap exists to stop
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("i", "j")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("converge"))
+    // the cap leaks no cache on the error path
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // an adequate budget labels the same path completely
+    val got = Dedup.connectedComponents(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (n <- 1L to 12L) assert(got(n) == 1L, s"path node $n")
+  }
+
   test("nearDupClusters equals union-find closure of the LSH pairs") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf)

@@ -15,6 +15,26 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def cell_str(x):
+    """Canonical cell string, mirroring the driver's stringified hash.
+
+    NULLs collapse to one token (both engines emit them for the same rows);
+    everything else is str() of the python-native value from .tolist(), so
+    int 3 -> '3' and float 3.0 -> '3.0' stay distinct -- a dtype divergence
+    (e.g. DuckDB HUGEINT -> pandas float64) is a FAILURE, matching the
+    driver, even when the values are numerically equal.
+    """
+    if x is None:
+        return "<NULL>"
+    if isinstance(x, float) and x != x:
+        return "<NULL>"
+    try:
+        if pd.isna(x):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: pd.isna is elementwise; fall through to str()
+    return str(x)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to UTC-naive strings, floats via repr
@@ -58,22 +78,32 @@ def main(sf_dir, out_dir):
             print(f"✗ {name}: ROWCOUNT spark={len(a)} duck={len(b)}")
             n_fail += 1
             continue
-        # row order must match too (driver hashes values in order)
+        # Row order must match too (driver hashes values in order).
+        # HASH-FAITHFUL compare: the driver stringifies every cell before
+        # hashing, so int64 3 vs float64 3.0 ('3' vs '3.0') MUST fail here
+        # even though they compare == numerically. Rounds 5 and 6 both
+        # shipped a driver-red/local-green q62 because this loop used
+        # numeric ==; never weaken this back to a tolerance compare.
         mism = None
         for c in a.columns:
             av, bv = a[c].tolist(), b[c].tolist()
             for i, (x, y) in enumerate(zip(av, bv)):
-                ok = (x == y) or (pd.isna(x) and pd.isna(y))
-                if not ok and isinstance(x, float) and isinstance(y, float):
-                    ok = abs(x - y) < 1e-12 or (x != x and y != y)
-                if not ok:
+                if cell_str(x) != cell_str(y):
                     mism = (c, i, x, y)
                     break
             if mism:
                 break
         if mism:
             c, i, x, y = mism
-            print(f"✗ {name}: VALUE MISMATCH col={c} row={i} spark={x!r} duck={y!r}")
+            hint = ""
+            try:
+                if not (pd.isna(x) or pd.isna(y)) and float(x) == float(y):
+                    hint = "  [TYPE-ONLY: values equal, stringify differently" \
+                           " -- pin a ::BIGINT/::DOUBLE cast in the oracle]"
+            except (TypeError, ValueError):
+                pass
+            print(f"✗ {name}: VALUE MISMATCH col={c} row={i} "
+                  f"spark={x!r} duck={y!r}{hint}")
             n_fail += 1
         else:
             print(f"✓ {name}: {len(a)} rows match")
