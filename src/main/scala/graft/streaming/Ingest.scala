@@ -254,12 +254,35 @@ object Ingest {
         ()
       }
 
+  /** Replace a parquet snapshot directory via a staged write + rename
+    * swap: the merge is fully written to `<dir>.staging` (reading the
+    * live dir stays safe — no localCheckpoint needed), then the live
+    * dir is swapped in two metadata renames. A crash mid-write leaves
+    * the PREVIOUS snapshot readable — an in-place `overwrite` deletes
+    * the live data before the first new byte lands, so any failure
+    * destroys the snapshot (the DocumentsLayout discipline; a
+    * production deployment on an object store would use a
+    * transactional table format instead).
+    */
+  private[graft] def swapSnapshot(df: DataFrame, dir: String): Unit = {
+    val staged = dir + ".staging"
+    df.write.mode("overwrite").parquet(staged)
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hc)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    fs.delete(bak, true)
+    if (fs.exists(live)) fs.rename(live, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    fs.delete(bak, true)
+    ()
+  }
+
   /** S6 — meters document upsert sink: each micro-batch carries full
     * updated docs (the reference's poll cycle mutates the doc — offset,
     * poll health — then StoreAsync's the whole document,
     * KasaLogger.cs:44,73; TapoLogger.cs:77,104). Last-wins merge into
-    * the parquet-backed meters snapshot; localCheckpoint materializes
-    * the merge so overwriting the directory being read is safe.
+    * the parquet-backed meters snapshot via the staged swap.
     */
   def metersUpsertSink(
       docUpdates: DataFrame,
@@ -271,10 +294,9 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val current = spark.read.parquet(metersDir)
-        graft.Meters.upsert(current, batch.withColumn("_seq", lit(batchId)))
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(metersDir)
-        ()
+        swapSnapshot(
+          graft.Meters.upsert(current, batch.withColumn("_seq", lit(batchId))),
+          metersDir)
       }
 
   /** S18 actuator sink stub: the control loop's side-effect boundary.
