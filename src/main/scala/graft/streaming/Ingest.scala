@@ -229,9 +229,19 @@ object Ingest {
       .select(col("e.user_id"), col("w.win_id"), col("e.ts"), col("e.value"))
   }
 
-  /** S6/S7 sink: last-wins upsert per (meterId, series, ts) applied per
-    * micro-batch, then appended as date-partitioned parquet — the layout
-    * every batch operator partition-prunes on.
+  /** S6/S7 sink: last-wins upsert per (meterId, series, ts) — the
+    * reference's same-timestamp overwrite-on-append (P1Logger.cs:
+    * 131-154) held IN STORAGE, not just at query time. Within a
+    * micro-batch the newest write wins (window below); across
+    * micro-batches a re-polled timestamp COMPACTS the touched
+    * partitions: the batch's (series, date) directories — and only
+    * those — are re-read, merged new-over-old per key, and swapped in
+    * via dynamic partition overwrite. Untouched partitions never
+    * rewrite, so at fleet scale the per-batch cost is bounded by the
+    * partitions a poll cycle actually lands in (normally each series'
+    * current date), never by the archive; the merged frame is
+    * persisted before the overwrite so the rewrite never reads the
+    * directories it is replacing.
     */
   def lastWinsParquetSink(
       readings: DataFrame,
@@ -241,16 +251,50 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
+        val spark = batch.sparkSession
+        val fresh = batch
           .withColumn("_rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("meterId"), col("series"), col("ts"))
               .orderBy(monotonically_increasing_id().desc)))
           .filter(col("_rn") === 1).drop("_rn")
           .withColumn("date", to_date(col("ts")))
-          .write.mode("append")
-          .partitionBy("series", "date")
-          .parquet(outDir)
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // first write = the layout has no partition directories yet (a
+        // bare pre-created dir, or only _SUCCESS/hidden markers)
+        val hasData = fs.exists(out) && fs.listStatus(out).exists { st =>
+          st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        }
+        if (!hasData) {
+          fresh.write.mode("append").partitionBy("series", "date").parquet(outDir)
+        } else {
+          // partition-pruned read of ONLY the partitions this batch
+          // touches (tiny in-predicate: one poll cycle lands in a
+          // handful of (series, date) pairs)
+          val touched = fresh.select(col("series"), col("date")).distinct()
+            .collect().map(r => (r.getString(0), r.getDate(1)))
+          val pred = touched.map { case (s, d) =>
+            col("series") === lit(s) && col("date") === lit(d)
+          }.reduce(_ || _)
+          val existing = spark.read.parquet(outDir).filter(pred)
+          val merged = existing.withColumn("_pri", lit(0))
+            .unionByName(fresh.withColumn("_pri", lit(1)))
+            .withColumn("_rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("meterId"), col("series"), col("ts"))
+                .orderBy(col("_pri").desc)))
+            .filter(col("_rn") === 1).drop("_rn", "_pri")
+            .persist()
+          try {
+            merged.count() // materialize BEFORE the dirs it read start moving
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("series", "date")
+              .parquet(outDir)
+          } finally merged.unpersist()
+        }
         ()
       }
 

@@ -310,6 +310,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = spark.read.parquet(dir)
       assert(rows.count() == 2) // same-ts duplicate collapsed
       assert(rows.columns.contains("date")) // partition layout present
+      // a re-poll of ts 0 landing in a LATER micro-batch must compact
+      // to one stored row with the new value (P1Logger's re-append
+      // overwrite held in storage, not just in-batch / at query time)
+      mem.addData(reading("m1", 0, 9.0))
+      q.processAllAvailable()
+      val after = spark.read.parquet(dir)
+      assert(after.count() == 2) // still exactly one row per (key, ts)
+      val v0 = after.filter(col("ts") === new java.sql.Timestamp(0L))
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("values").head)
+      assert(v0.toSeq == Seq(9.0)) // the later batch's write won
+      // an untouched day + a re-poll in one batch: only touched
+      // partitions rewrite, the day-2 row must survive the compaction
+      mem.addData(reading("m1", 86400, 4.0), reading("m1", 60, 5.0))
+      q.processAllAvailable()
+      val day2 = spark.read.parquet(dir)
+      assert(day2.count() == 3)
+      val v60 = day2.filter(col("ts") === new java.sql.Timestamp(60000L))
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("values").head)
+      assert(v60.toSeq == Seq(5.0))
     } finally q.stop()
   }
 }
