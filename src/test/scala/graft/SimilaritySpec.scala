@@ -358,6 +358,41 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"1-NN recall $recall ($hits of ${got.length})")
   }
 
+  test("ivfKnnGraph: near-total recall on margin-bearing data (the swap contract)") {
+    val s = spark; import s.implicits._
+    // planted jittered twins (cos ≈ 0.999) over a diffuse background —
+    // the data shape the q62→q78 gated swap is FOR: each twin's exact
+    // 1-NN is its partner, and a pair that tight lands in the same
+    // k-means cell, so 2-of-8-cell probing must find essentially every
+    // planted neighbor (contrast the 0.5 floor above on margin-free
+    // fixture data, where the true 1-NN is often in an unprobed cell).
+    // Seeded → deterministic; sf0.1 probe-sweep numbers (2/4/8 probes
+    // vs the all-probes exact scan) are recorded in BASELINE.md.
+    val rnd = new scala.util.Random(17)
+    val d = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val planted = (0 until 30).flatMap { i =>
+      val base = unit()
+      val dup = base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      Seq((i.toLong * 2, base.map(_.toFloat).toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    val background = (100 until 260).map(i => (i.toLong, unit().map(_.toFloat).toSeq))
+    val e = (planted ++ background).toDF("vec_id", "embedding")
+    val got = Similarity.ivfKnnGraph(e, k = 1, numCells = 8, iters = 2, probes = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val partner = (0 until 60).map(i =>
+      i.toLong + (if (i % 2 == 0) 1L else -1L)).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toMap
+    val hits = partner.count { case (q, p) => got.get(q).contains(p) }
+    val recall = hits.toDouble / partner.size
+    assert(recall >= 0.95, s"planted-pair recall $recall ($hits of ${partner.size})")
+  }
+
   test("semanticDedup keeps exactly one survivor per planted duplicate group") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)
