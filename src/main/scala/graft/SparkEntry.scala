@@ -929,6 +929,14 @@ object SparkEntry {
         numCells = 8, iters = 2, probes = 2)
         .orderBy(col("qid"), col("rank"))
     }),
+    // L44 — cluster-balanced downsampling: cap each k-means cell at a
+    // deterministic md5-ordered quota so no semantic mode dominates
+    // the curated mixture (the post-SemDeDup diversity step)
+    "q79_cluster_sample" -> ((s, dir) => {
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
+        perCellCap = 40, numCells = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2265,5 +2273,65 @@ object SparkEntry {
                FROM scored)
          SELECT qid, nid, cos + 0.0 AS cos, rank FROM r WHERE rank <= 1
          ORDER BY qid, rank""",
+    // The q47/q76 Lloyd replay through single-cell membership, then a
+    // per-cell rank in md5(id) order (the q41 sampleBucket discipline
+    // — engine-independent, no RNG) capped at 40 per cell.
+    "q79_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         ranked AS (
+           SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+           FROM members)
+         SELECT vec_id, cell, rk, rk <= 40 AS keep
+         FROM ranked ORDER BY vec_id""",
   )
 }

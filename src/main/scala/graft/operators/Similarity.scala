@@ -474,6 +474,37 @@ object Similarity {
         coalesce(col("_d"), lit(false)).unary_!.as("keep"))
   }
 
+  /** Cluster-balanced downsampling — the diversity-sampling companion
+    * to [[semanticDedup]] in a curation pipeline (the SemDeDup /
+    * data-mixture recipe: after dedup, cap each semantic cluster so no
+    * single mode dominates the training mixture). Every vector is
+    * assigned to its k-means cell (the q23/q47 deterministic Lloyd
+    * index), ranked within the cell by a content-independent
+    * deterministic hash order (md5 of the id — the
+    * TextOps.sampleBucket discipline: stable under re-sharding, no RNG
+    * state, identical in any engine), and kept iff its rank is within
+    * `perCellCap`. Oversized cells are truncated to the cap; small
+    * cells pass through whole — the output mixture is cluster-balanced
+    * by construction. Scale shape: assignment is map-only against
+    * literal centroids and the rank is ONE window partitioned by cell
+    * (numCells-way parallel, each partition bounded by its cell size);
+    * only (vec_id, cell) rides the exchange — never the embedding.
+    * Output: (vec_id, cell, rk, keep), one row per vector.
+    */
+  def clusterBalancedSample(
+      vectors: DataFrame, perCellCap: Int,
+      numCells: Int = 8, iters: Int = 2): DataFrame = {
+    require(perCellCap > 0, "perCellCap must be positive")
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent = kmeansCentroidSeq(vectors, numCells, iters)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assignCells(v, cent, probes = 1)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("keep", col("rk") <= perCellCap)
+  }
+
   /** Symmetric int8 scalar quantization readout — the storage-path
     * decision data for an embedding corpus (4× smaller vectors, how
     * much cosine fidelity is lost?). Per vector: scale = max|x|/127,

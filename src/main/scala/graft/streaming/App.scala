@@ -52,6 +52,42 @@ object App {
       decode: Array[Byte] => Seq[Ingest.Reading],
       ticks: Option[Dataset[Long]] = None)
 
+  /** W9/W11 edge-hardening composition: wrap a connector's `poll`
+    * with the reference's retry-once law and failure backoff
+    * (LoggerService.cs:27-73). A cycle retries once immediately; a
+    * failed cycle DOUBLES the hold-off (capped at an hour by
+    * `Harness.nextDelayMillis`) and polls inside the hold-off window
+    * fail fast without touching the device; the first success resets
+    * the delay to base. The state is an in-process cell per executor
+    * — exactly the reference's instance-field `Delay`, and like the
+    * reference it resets on restart (nothing worth checkpointing: the
+    * next cycle re-probes the device anyway). `clock` is injectable
+    * for deterministic specs.
+    */
+  def withBackoff(
+      poll: Long => Array[Byte],
+      baseMillis: Long,
+      onRetry: Throwable => Unit = _ => (),
+      clock: () => Long = () => System.currentTimeMillis()): Long => Array[Byte] = {
+    var delay = baseMillis
+    var notBefore = 0L
+    tick => {
+      val now = clock()
+      if (now < notBefore)
+        throw new IllegalStateException(s"backing off until $notBefore")
+      try {
+        val r = Harness.retryOnce(onRetry)(poll(tick))
+        delay = baseMillis
+        r
+      } catch {
+        case e: Exception =>
+          delay = Harness.nextDelayMillis(baseMillis, delay, 0L, failed = true)
+          notBefore = now + delay
+          throw e
+      }
+    }
+  }
+
   /** Union of every connector's decoded poll cycles — the single
     * readings stream all sinks and control loops consume.
     */
@@ -410,8 +446,12 @@ object App {
           18.0, 10L, 10L, Seq.empty, Seq.empty))
       docs.toDF().write.mode("overwrite").parquet(metersDir)
     }
+    // every edge runs under the reference's retry-once + failure
+    // backoff laws (W9/W11)
+    val hardened = demoConnectors(spark).map(c =>
+      c.copy(poll = withBackoff(c.poll, c.intervalSeconds * 1000L)))
     val queries = start(
-      spark, demoConnectors(spark), readingsDir, Some(metersDir), ckpt,
+      spark, hardened, readingsDir, Some(metersDir), ckpt,
       ControlLaws.RunExtenderConfig(
         desiredModulation = 5, minimumFlowTemperature = 24,
         maximumFlowTemperature = 30),

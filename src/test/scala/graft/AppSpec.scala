@@ -220,6 +220,40 @@ class AppSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("withBackoff: retry-once recovers, repeated failure doubles the hold-off") {
+    var now = 0L
+    val clock = () => now
+    var calls = 0
+    var failuresLeft = 0
+    val edge: Long => Array[Byte] = _ => {
+      calls += 1
+      if (failuresLeft > 0) { failuresLeft -= 1; sys.error("edge down") }
+      Array[Byte](1)
+    }
+    val hardened = App.withBackoff(edge, baseMillis = 1000L, clock = clock)
+    // one transient fault: retry-once absorbs it inside the cycle (W11)
+    failuresLeft = 1
+    assert(hardened(0L).sameElements(Array[Byte](1)) && calls == 2)
+    // a dead device: both attempts fail -> cycle throws, 2s hold-off
+    failuresLeft = Int.MaxValue
+    intercept[RuntimeException](hardened(1L))
+    val afterFirstFail = calls
+    // inside the hold-off the edge must NOT be touched (fail fast)
+    now = 1500L
+    intercept[IllegalStateException](hardened(2L))
+    assert(calls == afterFirstFail)
+    // past the hold-off it probes again; failure doubles the delay (W9)
+    now = 2500L
+    intercept[RuntimeException](hardened(3L))
+    now = 5000L // 2.5s + 4s hold-off not yet elapsed
+    intercept[IllegalStateException](hardened(4L))
+    assert(calls == afterFirstFail + 2)
+    // recovery resets to the base delay
+    now = 7000L
+    failuresLeft = 0
+    assert(hardened(5L).sameElements(Array[Byte](1)))
+  }
+
   test("Goodwe frames stream through decodePollCycles (S11 connector shape)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

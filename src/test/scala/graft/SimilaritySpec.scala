@@ -393,6 +393,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.95, s"planted-pair recall $recall ($hits of ${partner.size})")
   }
 
+  test("clusterBalancedSample caps cells at the quota in driver-replayed md5 order") {
+    val emb = Tables.embeddings(spark, sf)
+    val cap = 5
+    val got = Similarity.clusterBalancedSample(emb, perCellCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == emb.count()) // one verdict per vector
+    // cells must match the proven Lloyd index assignment
+    val cells = got.map(g => g._1 -> g._2).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for ((cell, members) <- got.groupBy(_._2)) {
+      // ranks are a 1..|cell| permutation in (md5(id), id) order
+      val byRank = members.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to members.length).toSeq, s"cell $cell ranks")
+      val expected = members.map(_._1).sortBy(id => (md5hex(id.toString), id)).toSeq
+      assert(byRank.map(_._1).toSeq == expected, s"cell $cell md5 order")
+      // keep = rank within quota: min(cap, |cell|) kept, rest dropped
+      assert(members.count(_._4) == math.min(cap, members.length), s"cell $cell quota")
+      assert(members.filter(_._4).map(_._3).forall(_ <= cap))
+    }
+    // stable under re-evaluation (no RNG state anywhere)
+    val again = Similarity.clusterBalancedSample(emb, perCellCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    assert(cells.size == got.length)
+  }
+
   test("semanticDedup keeps exactly one survivor per planted duplicate group") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)
