@@ -255,6 +255,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         root.toString.take(2000))
   }
 
+  test("q79's quota rank is cell-partitioned and embeddings ride no exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val root =
+      try SparkEntry.queries("q79_cluster_sample")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val wins = root.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-cell quota window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "quota rank planned an un-partitioned window (all rows → one task):\n" +
+        root.toString.take(2000))
+    // only (vec_id, cell)-shaped rows may shuffle — the embedding
+    // array itself must be projected away before any exchange
+    val shuffles = root.collect { case e: ShuffleExchangeLike => e }
+    for (e <- shuffles; attr <- e.child.output)
+      assert(!attr.dataType.typeName.startsWith("array"),
+        s"embedding array rides an exchange: ${e.child.output.mkString(", ")}")
+  }
+
   test("no unbounded cartesian anywhere in the query surface") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
