@@ -937,6 +937,15 @@ object SparkEntry {
         perCellCap = 40, numCells = 8, iters = 2)
         .orderBy(col("vec_id"))
     }),
+    // L45 — cross-source leakage: near-dup pairs spanning two sources
+    // (the train/test-split audit), LSH-sourced + exact-verified
+    "q80_cross_source_leakage" -> ((s, dir) => {
+      Dedup.crossSourceLeakage(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+        .select(col("i"), col("j"), col("src_i"), col("src_j"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2333,5 +2342,23 @@ object SparkEntry {
            FROM members)
          SELECT vec_id, cell, rk, rk <= 40 AS keep
          FROM ranked ORDER BY vec_id""",
+    // The q19 brute-force Jaccard oracle (banding proves the LSH side
+    // equals it at τ=0.7) with source labels carried through and
+    // same-source pairs dropped.
+    "q80_cross_source_leakage" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         s AS (SELECT doc_id, source,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 a.source AS src_i, b.source AS src_j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT i, j, src_i, src_j, round(jac, 6) AS jac
+         FROM p WHERE jac >= 0.7 AND src_i <> src_j
+         ORDER BY i, j""",
   )
 }

@@ -190,6 +190,38 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Cross-source leakage scan — near-duplicate pairs whose two
+    * documents come from DIFFERENT sources: the train/test-split (or
+    * crawl-domain) leakage sweep a corpus build runs before mixing
+    * sources. Pair generation is [[minhashLsh]] verbatim (banded
+    * candidates, exact-Jaccard verification, same τ recall argument),
+    * so this inherits the scale path; the source labels are attached
+    * AFTER pairing with two id-keyed joins against the narrow
+    * (id, source) projection — the pair set is near-dup-rate-sized and
+    * only (id, 2 small strings) rides those exchanges, never text.
+    * Same-source near-dups (ordinary intra-source duplication, q19's
+    * business) are filtered out; what remains is exactly the pair a
+    * split audit must act on. Returns (i, j, src_i, src_j, jac).
+    */
+  def crossSourceLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    pairs
+      .join(src, col("i") === col("__sid"))
+      .withColumnRenamed("__src", "src_i").drop("__sid")
+      .join(src, col("j") === col("__sid"))
+      .withColumnRenamed("__src", "src_j").drop("__sid")
+      .filter(col("src_i") =!= col("src_j"))
+      .select(col("i"), col("j"), col("src_i"), col("src_j"), col("jac"))
+  }
+
   /** EXACT n-gram Jaccard similarity join via inverted-index posting
     * lists — the exact counterpart to minhashLsh: instead of banding a
     * sketch, explode each document's distinct shingle hashes, group the

@@ -107,6 +107,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (n <- 1L to 12L) assert(got(n) == 1L, s"path node $n")
   }
 
+  test("crossSourceLeakage surfaces only pairs spanning two sources") {
+    val s = spark; import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared, "web"),                  // near-dup trio: 1 (web),
+      (2L, shared + " iota", "web"),        // 2 (web), 3 (books)
+      (3L, shared + " kappa", "books"),
+      (4L, "one two three four five six seven eight", "web"),
+      (5L, "totally different words entirely unrelated content here now", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceLeakage(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    // 1~2 is same-source (web/web) → suppressed; 1~3 and 2~3 cross
+    assert(got == Set((1L, 3L, "web", "books"), (2L, 3L, "web", "books")))
+    // and the pair set is exactly the LSH pairs minus same-source rows
+    val lshCross = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => (p._1 == 3L) != (p._2 == 3L)) // 3 is the books doc
+    assert(got.map(p => (p._1, p._2)) == lshCross)
+  }
+
   test("nearDupClusters equals union-find closure of the LSH pairs") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf)
