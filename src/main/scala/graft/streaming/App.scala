@@ -161,7 +161,12 @@ object App {
       permanentSwitchTemperature: Double,
       onPeriods: Seq[(Long, Long)], // seconds-of-day heating windows
       minSetpoints: Int = 10,
-      lookbackMinutes: Int = 45)
+      // the reference's asymmetric horizons (MinimumOnPeriod /
+      // MinimumOffPeriod, EbusThermostatSwitcher.cs:60-77): "all on"
+      // is judged over the ON window, "all off" over the OFF window,
+      // history is kept for max(on, off)
+      minOnMinutes: Int = 45,
+      minOffMinutes: Int = 45)
 
   final case class ModeDecision(meterId: String, tsMillis: Long, mode: String)
 
@@ -192,26 +197,35 @@ object App {
               case "OutsideTemp" => st = st.copy(outside = v)
               case "RoomTemperature" => st = st.copy(room = v)
               case "DesiredRoomTemperature" => st = st.copy(desired = v)
-              case _ => // DesiredFlowTemperature: one setpoint observation
-                st = st.copy(setpoints = st.setpoints :+ (r.ts.getTime, v >= 1.0))
+              case _ => // DesiredFlowTemperature: one setpoint
+                // observation; heat requested = value > 0, the
+                // reference's predicate (e.Value > 0)
+                st = st.copy(setpoints = st.setpoints :+ (r.ts.getTime, v > 0.0))
             }
           }
-          val horizon = lastTs - cfg.lookbackMinutes * 60000L
-          st = st.copy(setpoints = st.setpoints.filter(_._1 >= horizon))
+          val keepHorizon = lastTs -
+            math.max(cfg.minOnMinutes, cfg.minOffMinutes) * 60000L
+          st = st.copy(setpoints = st.setpoints.filter(_._1 >= keepHorizon))
           state.update(st)
           if (st.outside.isNaN || st.room.isNaN || st.desired.isNaN)
             Iterator.empty
           else {
             val inOff = !ControlLaws.inAnyPeriod(
               (lastTs / 1000L) % 86400L, cfg.onPeriods)
+            def younger(mins: Int) =
+              st.setpoints.filter(_._1 >= lastTs - mins * 60000L)
+            val onWin = younger(cfg.minOnMinutes)
+            val offWin = younger(cfg.minOffMinutes)
             ControlLaws.thermostatDecision(
               st.outside, st.desired - st.room, inOff,
               cfg.permanentSwitchTemperature,
               // the reference requires a FULL recent window before
-              // trusting all-on/all-off (nSetpoints < 10 → no action)
+              // trusting all-on/all-off (count < 10 → no action)...
               st.setpoints.size,
-              st.setpoints.nonEmpty && st.setpoints.forall(_._2),
-              st.setpoints.nonEmpty && st.setpoints.forall(!_._2))
+              // ...then judges "long runtime" over the ON horizon and
+              // "long offtime" over the OFF horizon
+              onWin.nonEmpty && onWin.forall(_._2),
+              offWin.nonEmpty && offWin.forall(!_._2))
               .map(m => ModeDecision(meterId, lastTs, m)).iterator
           }
       }
