@@ -156,6 +156,14 @@ object App {
     * observation so state stays bounded per meter. After each batch
     * the decision table picks "thermostat" / "modulating" or stays
     * silent.
+    *
+    * Hysteresis note (EbusThermostatSwitcher.cs:44): the reference
+    * reads the thermostat's own hourly-averaged outside temperature
+    * ("OutsideTempAvg") precisely so the permanent-switch branch needs
+    * no hysteresis band. Feed this loop the averaged series where the
+    * device provides one (rename in the connector's decode); wiring
+    * the instantaneous reading narrows the no-flap guarantee to the
+    * device's own smoothing.
     */
   final case class ThermostatConfig(
       permanentSwitchTemperature: Double,
