@@ -946,6 +946,13 @@ object SparkEntry {
           round(col("jac"), 6).as("jac"))
         .orderBy(col("i"), col("j"))
     }),
+    // L46 — sparse TF-IDF cosine join: the lexical near-dup signal
+    // (blocked-cell pairing + order-pinned folds for every float sum)
+    "q81_tfidf_cosine" -> ((s, dir) => {
+      TextOps.tfIdfCosineJoin(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.9)
+        .orderBy(col("i"), col("j"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2360,5 +2367,38 @@ object SparkEntry {
          SELECT i, j, src_i, src_j, round(jac, 6) AS jac
          FROM p WHERE jac >= 0.7 AND src_i <> src_j
          ORDER BY i, j""",
+    // The q50 TF-IDF formula; every float sum (norms, dot) is a
+    // list_sort + list_reduce sequential fold in term order — the
+    // L38-L40 bit-exactness discipline — because a parallel sum of
+    // doubles is summation-order-nondeterministic across engines.
+    "q81_tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                HAVING count(*) <= 10000),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         wgt AS (SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(n.n_docs / df.df) AS w
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(list_reduce(list_concat([0.0],
+                     list_transform(list_sort(list({'t': term, 'w': w})),
+                       x -> x.w * x.w)), (a, b) -> a + b)) AS nrm
+                 FROM wgt GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                    list_reduce(list_concat([0.0],
+                      list_transform(list_sort(list({'t': a.term, 'p': a.w * b.w})),
+                        x -> x.p)), (x, y) -> x + y) AS dot
+                  FROM wgt a JOIN wgt b
+                    ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         cs AS (SELECT dots.i, dots.j,
+                  round(dot / (ni.nrm * nj.nrm), 6) AS cos
+                FROM dots
+                JOIN nrm ni ON dots.i = ni.doc_id
+                JOIN nrm nj ON dots.j = nj.doc_id
+                WHERE ni.nrm > 0 AND nj.nrm > 0)
+         SELECT i, j, cos FROM cs WHERE cos >= 0.9 ORDER BY i, j""",
   )
 }

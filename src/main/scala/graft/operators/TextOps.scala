@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Signatures
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, quality scoring, language-ID heuristic, and
@@ -258,6 +259,97 @@ object TextOps {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Sparse TF-IDF cosine similarity join — the lexical counterpart to
+    * the embedding near-dup path (Similarity.nearDupPairs*): document
+    * pairs whose TF-IDF-weighted term vectors have cosine ≥ τ. The
+    * classic pre-embedding dedup/near-dup signal, still the standard
+    * cross-check when embedding similarity is suspected of semantic
+    * over-merge (paraphrase vs boilerplate).
+    *
+    * Shape: per-(doc, term) weights tf·ln(N/df) (the q50 formula)
+    * collapse to ONE term-sorted sparse vector row per document, then
+    * pairs come from the nearDupPairsBlocked cell scheme — a shuffled
+    * equi-join over B(B+1)/2 uniformly-sized cells, so a hot term
+    * cannot serialize the join the way a posting-list (term-keyed)
+    * pairing would: on a boilerplate-heavy corpus a term in 80% of
+    * documents puts ~N²/2 candidate rows on ONE key, while the cell
+    * scheme's per-task work is |cell|² regardless of term skew.
+    * Per-pair dots are a native sorted-merge kernel
+    * (Signatures.sparse_dot): products of shared terms accumulate
+    * SEQUENTIALLY in ascending binary term order (the L38-L40
+    * discipline) — symmetric in its arguments and bit-identical to
+    * the DuckDB oracle's list_sort + list_reduce fold over the
+    * shared-term products. A parallel `sum()` of doubles would be
+    * summation-order-nondeterministic across engines AND across
+    * Spark runs. Norms fold the same way per document.
+    *
+    * `maxDf` drops terms present in more than that many documents
+    * BEFORE vectorization (mirrored exactly in the oracle):
+    * stopword-class terms carry near-zero idf weight yet dominate
+    * vector width — df-capped TF-IDF is standard practice, not an
+    * approximation knob. Requires τ > 0 (pairs sharing no surviving
+    * term have cosine exactly 0 and are never emitted). Exact and
+    * quadratic in candidate pairs by design — the audit-class exact
+    * path; at corpus scale the gated approximate routes are MinHash
+    * (q19) / SimHash (q20). Returns (i, j, cos) for pairs ≥ τ.
+    */
+  def tfIdfCosineJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = 10000, numBlocks: Int = 16): DataFrame = {
+    require(threshold > 0, "threshold must be > 0: no-shared-term pairs are never emitted")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    // one row per doc: term-sorted sparse vector (as PARALLEL arrays —
+    // see SparseDot's scaladoc for why not array<struct>) +
+    // order-pinned norm
+    val vecs = weighted.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("term"), col("w")))).as("vec"))
+      .select(col("doc_id"),
+        transform(col("vec"), e => e.getField("term")).as("terms"),
+        transform(col("vec"), e => e.getField("w")).as("ws"),
+        sqrt(aggregate(col("vec"), lit(0.0),
+          (a, x) => a + x.getField("w") * x.getField("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+      // cached, unlike minhashLsh's deliberately-lazy shingle frame:
+      // that one re-runs a stateless codegen'd projection per branch,
+      // while this frame sits 4 shuffles deep (tokenize → tf → df join
+      // → vectorize) and feeds BOTH sides of the self-join — the
+      // kmeansCentroidSeq cache discipline (Similarity.scala). Also
+      // gives the planner real stats, so a small vectorized corpus
+      // broadcasts instead of sort-merging per cell.
+      .cache()
+    // cell scheme as in Similarity.nearDupPairsBlocked: doc → block by
+    // id hash; cell (bi,bj), bi ≤ bj, holds every cross-block pair once
+    val b = numBlocks
+    val blocked = vecs.withColumn("blk",
+      pmod(xxhash64(col("doc_id")), lit(b.toLong)).cast("int"))
+    val left = blocked.select(col("doc_id").as("i"), col("terms").as("ta"),
+        col("ws").as("wa"), col("nrm").as("ni"), col("blk").as("bi"))
+      .withColumn("cell", explode(transform(
+        sequence(col("bi"), lit(b - 1)), x => col("bi") * b + x)))
+    val right = blocked.select(col("doc_id").as("j"), col("terms").as("tb"),
+        col("ws").as("wb"), col("nrm").as("nj"), col("blk").as("bj"))
+      .withColumn("cell", explode(transform(
+        sequence(lit(0), col("bj")), y => y * b + col("bj"))))
+    left.join(right, left("cell") === right("cell") &&
+        (col("bi") =!= col("bj") || col("i") < col("j")))
+      .select(
+        least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"),
+        round(Signatures.sparse_dot(col("ta"), col("wa"), col("tb"), col("wb"))
+          / (col("ni") * col("nj")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Global vocabulary top-k: occurrence count + document frequency per

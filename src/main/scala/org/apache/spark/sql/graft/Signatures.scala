@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StructType}
 
 /** Native signature kernels for the dedup operators.
   *
@@ -310,6 +311,74 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Sparse dot product of two TERM-SORTED sparse vectors held as
+  * PARALLEL arrays (`terms array<string>` + `ws array<double>`, same
+  * length, sorted by term) via sorted-merge — one compiled loop per
+  * candidate pair (the JaccardLongs shape, keyed by string terms).
+  * Products accumulate in ascending binary term order, which makes the
+  * result symmetric in its argument pairs AND bit-identical to a
+  * sequential fold over the shared terms in sorted order — the
+  * cross-engine float discipline. Parallel primitive-backed arrays
+  * beat `array<struct<term,w>>` here: getStruct materializes an
+  * UnsafeRow wrapper PER ELEMENT PER PAIR (billions of short-lived
+  * allocations on a quadratic candidate set), while parallel arrays
+  * read through flat offsets. Duplicate terms within one side are not
+  * merged — feed one entry per term.
+  */
+case class SparseDot(
+    termsA: Expression, wsA: Expression,
+    termsB: Expression, wsB: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(termsA, wsA, termsB, wsB)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(
+      ArrayType(org.apache.spark.sql.types.StringType), ArrayType(DoubleType),
+      ArrayType(org.apache.spark.sql.types.StringType), ArrayType(DoubleType))
+    val got = children.map(_.dataType)
+    if (got.zip(want).forall { case (g, w) => w.acceptsType(g) })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<string>, array<double>) × 2, " +
+        s"got ${got.map(_.catalogString).mkString(", ")}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ta = termsA.eval(input)
+    val va = wsA.eval(input)
+    val tb = termsB.eval(input)
+    val vb = wsB.eval(input)
+    if (ta == null || va == null || tb == null || vb == null) return null
+    val xt = ta.asInstanceOf[ArrayData]
+    val xw = va.asInstanceOf[ArrayData]
+    val yt = tb.asInstanceOf[ArrayData]
+    val yw = vb.asInstanceOf[ArrayData]
+    val nx = xt.numElements()
+    val ny = yt.numElements()
+    var i = 0
+    var j = 0
+    var s = 0.0
+    while (i < nx && j < ny) {
+      val c = xt.getUTF8String(i).compareTo(yt.getUTF8String(j))
+      if (c == 0) {
+        s += xw.getDouble(i) * yw.getDouble(j)
+        i += 1; j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SparseDot =
+    copy(termsA = newChildren(0), wsA = newChildren(1),
+      termsB = newChildren(2), wsB = newChildren(3))
+}
+
 object Signatures {
   def simhash_chunks(tokenHashes: Column, nChunks: Int = 4): Column =
     ExpressionUtils.column(
@@ -336,4 +405,9 @@ object Signatures {
 
   def shingle_hashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
+
+  def sparse_dot(termsA: Column, wsA: Column, termsB: Column, wsB: Column): Column =
+    ExpressionUtils.column(
+      SparseDot(ExpressionUtils.expression(termsA), ExpressionUtils.expression(wsA),
+        ExpressionUtils.expression(termsB), ExpressionUtils.expression(wsB)))
 }

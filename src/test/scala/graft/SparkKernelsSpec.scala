@@ -247,6 +247,25 @@ class SparkKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("sparse_dot: sorted-merge over shared terms, symmetric, empty-safe") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Signatures.sparse_dot
+    val df = Seq((
+      Seq("apple", "cat", "dog"), Seq(2.0, 3.0, 5.0),
+      Seq("apple", "dog", "zebra"), Seq(7.0, 11.0, 13.0)))
+      .toDF("ta", "wa", "tb", "wb")
+    val got = df.select(
+      sparse_dot(col("ta"), col("wa"), col("tb"), col("wb")).as("d1"),
+      sparse_dot(col("tb"), col("wb"), col("ta"), col("wa")).as("d2"),
+      sparse_dot(col("ta"), col("wa"),
+        expr("array()").cast("array<string>"),
+        expr("array()").cast("array<double>")).as("d0")).head()
+    assert(got.getDouble(0) == 2.0 * 7.0 + 5.0 * 11.0) // apple + dog; cat/zebra unshared
+    assert(got.getDouble(1) == got.getDouble(0))
+    assert(got.getDouble(2) == 0.0)
+  }
+
   test("documented scale swaps hold: approx percentile and distinct within tolerance") {
     // q05 and q34 ship exact kernels with comments prescribing the
     // sketch-based swap at 100 TB (percentile_approx / HLL++). This

@@ -79,6 +79,37 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 3L) == 1 && got.count(_._1 == 4L) == 1)
   }
 
+  test("tfIdfCosineJoin: hand-math cosine, maxDf drops hot terms before pairing") {
+    val s = spark; import s.implicits._
+    // N=4. Docs 1/2 share the rare profile {x, y}; "common" is in all
+    // four docs (idf 0 — contributes nothing even when kept); doc 3
+    // overlaps only on "common"; doc 4 is disjoint vocabulary.
+    val docs = Seq(
+      (1L, "common x y"),
+      (2L, "common x y y"),
+      (3L, "common zzz"),
+      (4L, "common qqq rrr")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfCosineJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // hand math: w(x)=ln(2) both docs; w(y)=ln2 in d1, 2·ln2 in d2;
+    // common's weight is ln(4/4)=0 so it can't create pairs
+    val ln2 = math.log(2.0)
+    val dot = ln2 * ln2 + ln2 * (2 * ln2)
+    val n1 = math.sqrt(2 * ln2 * ln2)
+    val n2 = math.sqrt(ln2 * ln2 + 4 * ln2 * ln2)
+    val expect = BigDecimal(dot / (n1 * n2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set((1L, 2L))) // 1~3/2~3 cos 0 via idf-0 common
+    assert(math.abs(got((1L, 2L)) - expect) < 1e-9)
+    // maxDf=3 drops "common" (df 4) BEFORE pairing: same result here,
+    // and a corpus-wide boilerplate term can never go quadratic
+    val capped = TextOps.tfIdfCosineJoin(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("vocabTopK counts occurrences and document frequency, k-bounded") {
     val s = spark; import s.implicits._
     val docs = Seq(
