@@ -953,6 +953,13 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.9)
         .orderBy(col("i"), col("j"))
     }),
+    // L47 — k-center greedy coreset: farthest-point sampling over the
+    // embedding corpus (diversity-maximizing selection; driver holds
+    // only the k selected vectors, each round is one scan + one reduce)
+    "q82_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterCoreset(Tables.embeddings(s, dir), k = 16)
+        .orderBy(col("ord"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2400,5 +2407,42 @@ object SparkEntry {
                 JOIN nrm nj ON dots.j = nj.doc_id
                 WHERE ni.nrm > 0 AND nj.nrm > 0)
          SELECT i, j, cos FROM cs WHERE cos >= 0.9 ORDER BY i, j""",
+    // Greedy replay via recursive CTE (the q43 discipline): the
+    // selected set rides along as a LIST column; every squared
+    // distance is an index-order sequential fold rounded to 6 dp
+    // BEFORE the min and the DESC/id-ASC argmax, mirroring the Spark
+    // side exactly. radius is pinned ::DOUBLE in the anchor — a bare
+    // 0.0 literal types the whole recursive column DECIMAL(2,1) and
+    // silently truncates every radius (the q62 HUGEINT lesson).
+    "q82_kcenter_coreset" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+         dists AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                     round(list_reduce(list_concat([0.0],
+                       list_transform(range(1, len(a.v) + 1),
+                         k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))),
+                       (x, y) -> x + y), 6) AS d2
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         sel AS (
+           SELECT 1::BIGINT AS ord, (SELECT min(vec_id) FROM e) AS vec_id,
+                  0.0::DOUBLE AS radius, [(SELECT min(vec_id) FROM e)] AS ids
+           UNION ALL
+           SELECT ord + 1,
+             (SELECT i FROM (
+                SELECT i, min(d2) AS mind FROM dists
+                WHERE list_contains(ids, j) AND NOT list_contains(ids, i)
+                GROUP BY i) ORDER BY mind DESC, i ASC LIMIT 1),
+             (SELECT max(mind) FROM (
+                SELECT i, min(d2) AS mind FROM dists
+                WHERE list_contains(ids, j) AND NOT list_contains(ids, i)
+                GROUP BY i)),
+             list_append(ids, (SELECT i FROM (
+                SELECT i, min(d2) AS mind FROM dists
+                WHERE list_contains(ids, j) AND NOT list_contains(ids, i)
+                GROUP BY i) ORDER BY mind DESC, i ASC LIMIT 1))
+           FROM sel WHERE ord < 16)
+         SELECT ord, vec_id, round(radius, 6) + 0.0 AS radius
+         FROM sel ORDER BY ord""",
   )
 }

@@ -505,6 +505,64 @@ object Similarity {
       .withColumn("keep", col("rk") <= perCellCap)
   }
 
+  /** k-center greedy coreset (farthest-point sampling, the Sener &
+    * Savarese 2018 data-selection pass): seed with the lowest vec_id,
+    * then k−1 times pick the point with the LARGEST min squared
+    * distance to the already-selected set — the classic
+    * diversity-maximizing subset whose cover radius 2-approximates the
+    * optimal k-center cover. Returns (ord, vec_id, radius): radius is
+    * the 6-dp min-d² at selection — the running cover radius the
+    * curation loop watches to decide when the coreset is "diverse
+    * enough" — 0 for the seed.
+    *
+    * Execution is the kmeansCentroidSeq shape: the selected set lives
+    * on the driver (≤ k×d doubles, independent of corpus size); each
+    * round is ONE cached full scan computing min over per-center
+    * squared-distance folds (index-order zip_with + aggregate,
+    * rounded to 6 dp BEFORE the min and the argmax — the q62
+    * discipline: a raw-double argmax amplifies 1-ulp cross-engine
+    * summation drift into a different selection), then a single
+    * max(struct) reduce and a 1-row collect. Stateless recompute
+    * costs O(k²·n) distance evals; the 100 TB swap carries a
+    * persisted running-min column per point (O(k·n)) at the price of
+    * a checkpoint chain per round.
+    */
+  def kCenterCoreset(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .cache()
+    val seed = v.agg(min(col("vec_id"))).as[Long].head()
+    val seedVec =
+      v.filter(col("vec_id") === seed).select(col("v")).as[Seq[Double]].head()
+    val picked =
+      scala.collection.mutable.ArrayBuffer((1L, seed, 0.0, seedVec))
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
+      val dcols = picked.map { case (_, _, _, c) =>
+        round(aggregate(
+          zip_with(col("v"), lit(c.toArray), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6)
+      }
+      val mind = if (dcols.size == 1) dcols.head else least(dcols.toSeq: _*)
+      val next = v.filter(!col("vec_id").isInCollection(picked.map(_._2)))
+        .select(col("vec_id"), col("v"), mind.as("mind"))
+        .agg(max(struct(col("mind"),
+          (-col("vec_id")).as("negid"), col("v"))).as("m"))
+        .select(col("m.mind"), (-col("m.negid")).as("vec_id"), col("m.v"))
+        .as[(Option[Double], Option[Long], Seq[Double])].head()
+      next match {
+        case (Some(r), Some(id), cv) =>
+          picked += ((picked.size + 1L, id, r, cv))
+        case _ => exhausted = true // fewer than k points in the corpus
+      }
+    }
+    v.unpersist(false)
+    picked.toSeq.map { case (ord, id, r, _) => (ord, id, r) }
+      .toDF("ord", "vec_id", "radius")
+  }
+
   /** Symmetric int8 scalar quantization readout — the storage-path
     * decision data for an embedding corpus (4× smaller vectors, how
     * much cosine fidelity is lost?). Per vector: scale = max|x|/127,

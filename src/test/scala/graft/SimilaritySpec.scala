@@ -243,6 +243,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((0, 2L, 1L, 0.5), (1, 3L, 2L, 0.666667)))
   }
 
+  test("kCenterCoreset: farthest-first order, tie to lowest id, k>n exhausts") {
+    val s = spark; import s.implicits._
+    // Line geometry. Seed = min id (1) at origin. Farthest is 4
+    // (d²=101). Then 2 and 3 TIE at min-d² 1.0 (2 is 1 from the seed,
+    // 3 is 1 from 4) — the lower id 2 must win — and 3 closes at 1.0.
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f)),
+      (4L, Seq(10.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, k = 4)
+      .orderBy(col("ord"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0.0), (2L, 4L, 101.0), (3L, 2L, 1.0), (4L, 3L, 1.0)))
+    // k beyond the corpus: stops after every point is selected
+    assert(Similarity.kCenterCoreset(vecs, k = 10).count() == 4L)
+  }
+
   test("quantizeInt8: hand-math codes, checksum, relative error, zero guard") {
     val s = spark; import s.implicits._
     val vecs = Seq(
