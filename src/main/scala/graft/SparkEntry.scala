@@ -960,6 +960,13 @@ object SparkEntry {
       Similarity.kCenterCoreset(Tables.embeddings(s, dir), k = 16)
         .orderBy(col("ord"))
     }),
+    // L48 — DSIR importance selection: top-100 raw docs by unigram
+    // log-likelihood ratio against the English target slice (shared
+    // smoothed vocab; term-order score folds; TakeOrdered top-k)
+    "q83_dsir_select" -> ((s, dir) => {
+      Curation.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", topK = 100)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2444,5 +2451,34 @@ object SparkEntry {
            FROM sel WHERE ord < 16)
          SELECT ord, vec_id, round(radius, 6) + 0.0 AS radius
          FROM sel ORDER BY ord""",
+    // Per-term Δ = ln p_en(w) − ln p_raw(w) under add-one smoothing on
+    // the SHARED vocab; per-doc score folds tf·Δ in term order
+    // (list_sort + list_reduce — the L38-L40 discipline); top-k ranks
+    // the ROUNDED score with doc_id tie-break, mirroring the Spark
+    // TakeOrdered exactly.
+    "q83_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+                        unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term),
+         tc AS (SELECT term,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+                  count(*)::BIGINT AS cr
+                FROM tok GROUP BY term),
+         tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr,
+                   count(*)::DOUBLE AS v FROM tc),
+         delta AS (SELECT term,
+                     ln((ct + 1) / (tot.nt + tot.v))
+                       - ln((cr + 1) / (tot.nr + tot.v)) AS dl
+                   FROM tc CROSS JOIN tot),
+         per AS (SELECT tf.doc_id,
+                   list_reduce(list_concat([0.0],
+                     list_transform(
+                       list_sort(list({'t': tf.term, 'x': tf.tf * dl})),
+                       e -> e.x)), (a, b) -> a + b) AS s
+                 FROM tf JOIN delta USING (term) GROUP BY tf.doc_id)
+         SELECT doc_id, round(s, 6) + 0.0 AS log_ratio
+         FROM per ORDER BY round(s, 6) DESC, doc_id LIMIT 100""",
   )
 }

@@ -222,4 +222,57 @@ object Curation {
         col("cum_tokens"),
         (col("cum_tokens") * budgetDen <= total * budgetNum).as("selected"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", deterministic
+    * rank variant): score every document by its log-likelihood ratio
+    * under an add-one-smoothed unigram LM of the TARGET slice vs the
+    * RAW corpus — Σ_w tf_d(w)·(ln p_t(w) − ln p_r(w)) — and keep the
+    * topK by rounded score (doc_id breaks ties; the paper's
+    * Gumbel-noise sampling is the nondeterministic production knob,
+    * rank-by-weight is its ablation form and the only oracle-able
+    * one). Both LMs share the full-corpus vocabulary V with add-one
+    * smoothing, so unseen-in-target terms score negative instead of
+    * −∞.
+    *
+    * Shape: one token shuffle builds per-term (target, raw) counts —
+    * vocab-sized, NEVER collected; totals ride a 1-row broadcast; the
+    * per-doc score folds tf·Δ(w) SEQUENTIALLY in term order
+    * (collect_list → array_sort → aggregate, the L38-L40 discipline)
+    * so the DuckDB list_sort+list_reduce oracle reproduces each
+    * double bit-for-bit; the global topK is a TakeOrdered on the
+    * ROUNDED score — never a full sort, never a single-task window.
+    * At 100 TB everything is two token-keyed aggregations + one
+    * vocab join: scan-dominated, skew-free (term counts pre-aggregate
+    * map-side).
+    */
+  def dsirSelect(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      isTarget.as("tgt"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = toks.groupBy(col("term"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = tc.agg(sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"),
+      count(lit(1)).cast("double").as("v"))
+    val delta = tc.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (log((col("ct") + 1) / (col("nt") + col("v")))
+          - log((col("cr") + 1) / (col("nr") + col("v")))).as("dl"))
+    val scored = tf.join(delta, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("dl")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("x")))),
+        lit(0.0), (a, e) => a + e.getField("x")).as("s"))
+    scored
+      .select(col("doc_id"), round(col("s"), 6).as("log_ratio"))
+      .orderBy(col("log_ratio").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

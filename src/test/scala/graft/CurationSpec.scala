@@ -39,6 +39,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("B", 1L, 12L, 0.75, 0.666667))) // 12/16; 8/12 rounded to 6 dp
   }
 
+  test("dsirSelect: log-likelihood-ratio hand math, target-like doc ranks first") {
+    val s = spark; import s.implicits._
+    // Target slice = en. Shared vocab {a,b,c}, V=3; target tokens
+    // Nt=3 (a:2 b:1 c:0), raw Nr=8 (a:3 b:3 c:2), add-one smoothing.
+    val docs = Seq(
+      (1L, "a a b", "en"),
+      (2L, "a c", "fr"),
+      (3L, "b b c", "fr")).toDF("doc_id", "text", "lang")
+    val da = math.log(3.0 / 6.0) - math.log(4.0 / 11.0)
+    val db = math.log(2.0 / 6.0) - math.log(4.0 / 11.0)
+    val dc = math.log(1.0 / 6.0) - math.log(3.0 / 11.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // d1 = 2Δa+Δb (target-like, positive) > d2 = Δa+Δc > d3 (cut by k)
+    assert(got.toSeq == Seq(
+      (1L, r6(2 * da + db)), (2L, r6(da + dc))))
+  }
+
   test("temperatureMixture: α=0.5 flattens toward the tail, weights sum to 1") {
     val s = spark; import s.implicits._
     val docs = Seq(
