@@ -967,6 +967,14 @@ object SparkEntry {
       Curation.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en", topK = 100)
     }),
+    // L49 — Bloom-gated contamination: q42's exact semantics behind a
+    // sketch prefilter (map-side might_contain probe, exact verify
+    // join on the hit set only — probabilistic work, verified output)
+    "q84_bloom_contamination" -> ((s, dir) => {
+      Dedup.bloomContamination(Tables.documents(s, dir), "doc_id", "text",
+        benchPredicate = col("doc_id") < 10, shingleN = 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2480,5 +2488,20 @@ object SparkEntry {
                  FROM tf JOIN delta USING (term) GROUP BY tf.doc_id)
          SELECT doc_id, round(s, 6) + 0.0 AS log_ratio
          FROM per ORDER BY round(s, 6) DESC, doc_id LIMIT 100""",
+    // Exact 4-gram contamination (the q42 shape, wider shingle + wider
+    // bench slice) — the Bloom prefilter is pure execution strategy:
+    // false positives die in the verify join, so the oracle is the
+    // EXACT set the sketchless scan produces.
+    "q84_bloom_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+                                for i in range(1, len(w)-2)]) AS sh
+               FROM t WHERE len(w) >= 4),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10),
+         x AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 10)
+         SELECT x.doc_id, count(DISTINCT x.g) AS n_shared
+         FROM x JOIN bench ON x.g = bench.g
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -190,6 +190,54 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Bloom-gated contamination scan — [[contamination]]'s exact
+    * semantics behind a sketch prefilter, for when the reference
+    * n-gram set is too large to broadcast exactly (the
+    * decontamination regime against a big held-out suite or a whole
+    * second corpus). The bench side folds into ONE compact Bloom blob
+    * (bits sized from the measured distinct count and `fpp`); the
+    * corpus side probes the blob as a literal — a map-side filter, no
+    * exchange — so only Bloom HITS (true matches + an fpp-sized
+    * trickle of false positives) ever reach the exact verification
+    * join that removes the false positives. Output is therefore
+    * EXACTLY [[contamination]]'s (doc_id, n_shared) — probabilistic
+    * work, verified output, the minhashLsh pattern — which is also
+    * why the same oracle gates it. The verify join carries no
+    * broadcast hint on purpose: at test scale AQE broadcasts it, at
+    * reference-set scale it degrades to a shuffle join over the
+    * already-tiny candidate set instead of a corpus-sized exchange.
+    */
+  def bloomContamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchPredicate: Column,
+      shingleN: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.Sketches
+    val sh = df.select(col(idCol).as("doc_id"), benchPredicate.as("is_bench"),
+      explode(org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col(textCol), " "), shingleN)).as("h"))
+    val bench = sh.filter(col("is_bench")).select(col("h")).distinct()
+    // size the sketch from the measured reference cardinality: the
+    // count is one aggregation over the (small) bench side, and the
+    // optimal bit count for a target fpp is -n·ln(p)/ln²2
+    val nBench = math.max(bench.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-(nBench * math.log(fpp)) / (math.log(2) * math.log(2))).toLong)
+    val blobRow = bench
+      .agg(Sketches.bloom_filter_agg(col("h"), nBench, numBits).as("bf"))
+      .head()
+    val corpus = sh.filter(!col("is_bench"))
+    val cand =
+      if (blobRow.isNullAt(0)) corpus.filter(lit(false)) // empty bench set
+      else corpus.filter(
+        Sketches.might_contain(lit(blobRow.getAs[Array[Byte]](0)), col("h")))
+    cand.join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** Cross-source leakage scan — near-duplicate pairs whose two
     * documents come from DIFFERENT sources: the train/test-split (or
     * crawl-domain) leakage sweep a corpus build runs before mixing

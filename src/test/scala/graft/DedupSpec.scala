@@ -202,6 +202,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("bloomContamination equals the exact broadcast scan; empty bench is empty") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // same predicate/shingle width through both paths: the Bloom gate
+    // is execution strategy only — any false positive surviving to the
+    // output (instead of dying in the verify join) breaks this
+    val exact = Dedup.contamination(docs, "doc_id", "text",
+        benchPredicate = col("doc_id") < 10, shingleN = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.bloomContamination(docs, "doc_id", "text",
+        benchPredicate = col("doc_id") < 10, shingleN = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no contaminated docs; test is vacuous")
+    assert(bloom == exact)
+    // no bench docs → no blob to probe → empty result, not a crash
+    assert(Dedup.bloomContamination(docs, "doc_id", "text",
+      benchPredicate = lit(false), shingleN = 4).count() == 0L)
+  }
+
   test("prefix filtering makes the posting cap a no-op on the sf0.001 corpus") {
     // the PPJoin prefix keys candidates on each document's RAREST
     // shingles, so even a tiny cap on the prefix posting lists changes
