@@ -88,6 +88,61 @@ object App {
     }
   }
 
+  /** Graceful-restart supervision for one streaming query — the
+    * process-level resilience the reference gets from systemd
+    * restarting the whole host process, held INSIDE the app so one
+    * flaky connector query doesn't take down the other eleven: start
+    * the query, block on termination, and
+    *
+    *  - a CLEAN stop (operator called `stop()`) ends supervision;
+    *  - a FAILED query restarts from its checkpoint after the W9
+    *    backoff delay (double on consecutive failures, capped — the
+    *    `nextDelayMillis` law the pollers already obey), because
+    *    micro-batch sinks here are idempotent (last-wins readings,
+    *    upsert snapshots, keyed actuator writes) a restart replays
+    *    safely;
+    *  - an uptime of at least `healthyMillis` before the crash counts
+    *    as recovery and resets both the delay and the restart budget;
+    *  - more than `maxRestarts` consecutive failures rethrows the
+    *    last exception — a persistently broken query should fail the
+    *    process loudly, not flap forever.
+    *
+    * `sleep`/`clock` are injectable for deterministic specs. Blocks
+    * until clean stop or give-up; run one thread per supervised query.
+    */
+  def supervise(
+      startQuery: () => StreamingQuery,
+      maxRestarts: Int,
+      baseMillis: Long,
+      healthyMillis: Long,
+      onRestart: (Int, Throwable) => Unit = (_, _) => (),
+      sleep: Long => Unit = Thread.sleep,
+      clock: () => Long = () => System.currentTimeMillis()): Unit = {
+    require(maxRestarts >= 0 && baseMillis > 0 && healthyMillis >= 0)
+    var consecutive = 0
+    var delay = baseMillis
+    var running = true
+    while (running) {
+      val startedAt = clock()
+      val q = startQuery()
+      try q.awaitTermination()
+      catch { case _: Exception => () } // q.exception carries the cause
+      q.exception match {
+        case None => running = false
+        case Some(e) =>
+          if (clock() - startedAt >= healthyMillis) {
+            consecutive = 0
+            delay = baseMillis
+          }
+          consecutive += 1
+          if (consecutive > maxRestarts) throw e
+          onRestart(consecutive, e)
+          sleep(delay)
+          delay = Harness.nextDelayMillis(baseMillis, delay, 0L, failed = true)
+      }
+    }
+  }
+
   /** Union of every connector's decoded poll cycles — the single
     * readings stream all sinks and control loops consume.
     */

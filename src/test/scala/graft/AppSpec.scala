@@ -220,6 +220,55 @@ class AppSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("supervise: W9-backoff restarts on failure, resets when healthy, clean stop ends") {
+    val s = spark; import s.implicits._
+    val poison = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    val restarts = scala.collection.mutable.ArrayBuffer[Int]()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1, 2, 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("supervise-spec").toString
+    def startQuery() = mem.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .queryName("supervised-spec")
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], _: Long) =>
+        if (poison.get()) throw new RuntimeException("flaky connector")
+        successes.incrementAndGet(); ()
+      }.start()
+    // watchdog issues the operator's clean stop() after recovery
+    val stopper = new Thread(() => {
+      while (successes.get() < 1) Thread.sleep(50)
+      s.streams.active.find(_.name == "supervised-spec").foreach(_.stop())
+    })
+    stopper.setDaemon(true); stopper.start()
+    App.supervise(
+      () => startQuery(),
+      maxRestarts = 5, baseMillis = 100L, healthyMillis = 3600000L,
+      onRestart = (n, _) => restarts += n,
+      // injected sleep records the W9 ladder; the 2nd restart heals
+      // the connector, so the 3rd attempt processes and stops cleanly
+      sleep = ms => { delays += ms; if (delays.size == 2) poison.set(false) })
+    stopper.join(10000)
+    assert(restarts.toSeq == Seq(1, 2), "two failed attempts, then recovery")
+    assert(delays.toSeq == Seq(100L, 200L), "backoff doubles per W9")
+    assert(successes.get() >= 1)
+    // give-up: a permanently broken query rethrows after maxRestarts
+    poison.set(true)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("supervise-spec2").toString
+    def broken() = mem.toDS().writeStream
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], _: Long) =>
+        throw new RuntimeException("always down")
+      }.start()
+    val thrown = intercept[Exception] {
+      App.supervise(() => broken(), maxRestarts = 2,
+        baseMillis = 10L, healthyMillis = 3600000L, sleep = _ => ())
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("withBackoff: retry-once recovers, repeated failure doubles the hold-off") {
     var now = 0L
     val clock = () => now
