@@ -975,6 +975,17 @@ object SparkEntry {
         benchPredicate = col("doc_id") < 10, shingleN = 4)
         .orderBy(col("doc_id"))
     }),
+    // L50 — interpolated-bigram LM scoring (the KenLM/CCNet perplexity
+    // filter shape): mean -ln(λ·p(w|prev) + (1-λ)·p(w)) per doc, both
+    // models MLE-estimated from the corpus itself
+    "q85_bigram_nll" -> ((s, dir) => {
+      TextOps.bigramNll(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    // L51 — BPE merge statistics: corpus-wide adjacent-char-pair
+    // counts off the word-frequency table (tokenizer-training round 1)
+    "q87_bpe_pairs" -> ((s, dir) => {
+      TextOps.bpePairStats(Tables.documents(s, dir), "text", topK = 50)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2503,5 +2514,43 @@ object SparkEntry {
          SELECT x.doc_id, count(DISTINCT x.g) AS n_shared
          FROM x JOIN bench ON x.g = bench.g
          GROUP BY 1 ORDER BY 1""",
+    // The q75 fold with a transition table: λ is 0.7 on both sides and
+    // the unigram weight is written (1.0 - 0.7) so both engines derive
+    // the IDENTICAL double (a literal 0.3 is a different bit pattern
+    // than 1.0-0.7); per-doc fold is position-ordered on both sides.
+    "q85_bigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         uni AS (SELECT term, count(*) AS cu FROM tok GROUP BY term),
+         tot AS (SELECT sum(cu)::BIGINT AS n FROM uni),
+         bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                    i -> {'pos': i, 'prev': w[i], 'cur': w[i + 1]})) AS s
+                FROM t WHERE len(w) >= 2),
+         b2 AS (SELECT doc_id, s.pos AS pos, s.prev AS prev, s.cur AS cur
+                FROM bi),
+         cb AS (SELECT prev, cur, count(*) AS cb FROM b2 GROUP BY 1, 2),
+         cc AS (SELECT prev, sum(cb)::BIGINT AS cc FROM cb GROUP BY 1),
+         lp AS (SELECT b2.doc_id, b2.pos,
+                  ln(0.7 * (cb.cb::DOUBLE / cc.cc::DOUBLE)
+                     + (1.0 - 0.7) * (uni.cu::DOUBLE / tot.n::DOUBLE)) AS logp
+                FROM b2 JOIN cb USING (prev, cur) JOIN cc USING (prev)
+                  JOIN uni ON b2.cur = uni.term, tot)
+         SELECT doc_id, count(*) AS n_transitions,
+           round(-list_reduce(list_concat([0.0], list(logp ORDER BY pos)),
+                   (a, b) -> a + b) / count(*)::DOUBLE, 6) + 0.0 AS nll
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    // Pair counts come off the word-frequency table (the Zipf
+    // collapse the Spark side uses), weighted by word count; ties on
+    // the count break by pair text (binary collation on both engines).
+    "q87_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         wf AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+         p AS (SELECT unnest(list_transform(range(1, length(word)),
+                       i -> word[i:i + 1])) AS pair, cnt
+               FROM wf WHERE length(word) >= 2)
+         SELECT pair, sum(cnt)::BIGINT AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
   )
 }

@@ -427,4 +427,95 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         avg(when(col("__in").isNull, 1.0).otherwise(0.0)).as("oov_rate"))
   }
+
+  /** Interpolated-bigram LM quality score — [[unigramNll]]'s contextful
+    * big sibling, the KenLM-shaped perplexity filter (CCNet, Wenzek et
+    * al. 2020) corpus builds run where unigram statistics are too
+    * coarse: per document, the mean negative log of
+    * λ·p(w|prev) + (1−λ)·p(w) over its token transitions, with both
+    * models estimated from the corpus itself (MLE; the interpolation
+    * with the unigram floor is what keeps unseen-context transitions
+    * finite, so no extra smoothing knob is needed). Low nll = fluent
+    * under the corpus's own statistics; high = boilerplate soup.
+    *
+    * Shape: the bigram table is ONE extra token-keyed aggregation over
+    * [[unigramNll]]'s plan — (prev,cur) counts and their prev-marginal
+    * both pre-aggregate map-side, stay vocabulary²-bounded in the
+    * worst case and transition-distinct-bounded in practice, and are
+    * NEVER collected; the positioned transition stream joins them by
+    * key (vocabulary-sized — NOT broadcast, the q50/q75 argument) and
+    * folds per document in POSITION order (collect_list → array_sort →
+    * sequential aggregate, the L38-L40 discipline) so the oracle's
+    * list_sort + list_reduce replays every double bit-for-bit. At
+    * 100 TB: three token-keyed exchanges + one doc-keyed fold,
+    * scan-dominated, skew-free.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val w = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val toks = w.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "term")))
+    // unigram model: the q75 frequency table
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("__cu"))
+    val tot = uni.agg(sum(col("__cu")).as("__tot"))
+    // transitions: (pos, prev, cur) from the two shifted slices of the
+    // token array — no self-join, the pairing happens inside the scan
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as(Seq("pos", "pc")))
+      .select(col("doc_id"), col("pos"),
+        col("pc").getField("0").as("prev"), col("pc").getField("1").as("cur"))
+    val cb = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("__cb"))
+    val cc = cb.groupBy(col("prev")).agg(sum(col("__cb")).as("__cc"))
+    bi.join(cb, Seq("prev", "cur"))
+      .join(cc, Seq("prev"))
+      .join(uni, col("cur") === uni("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__logp", log(
+        lit(lambda) * (col("__cb").cast("double") / col("__cc").cast("double"))
+          + lit(1.0 - lambda) *
+            (col("__cu").cast("double") / col("__tot").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("__logp")))),
+            s => s.getField("__logp")),
+          lit(0.0), (a, x) => a + x).as("__sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(-col("__sum") / col("n_transitions").cast("double"), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE merge statistics — the first step of byte-pair-encoding
+    * tokenizer TRAINING (Sennrich et al. 2016): corpus-wide counts of
+    * adjacent character pairs inside words, the quantity whose argmax
+    * is the next merge. One round is the expensive, data-sized part
+    * of BPE training (the merge loop itself runs over the vocab-sized
+    * pair table); shipping it as a corpus operator is what lets a
+    * tokenizer be trained ON the 100 TB corpus instead of a sample.
+    *
+    * Shape: the corpus collapses to its word-frequency table FIRST
+    * (one token-keyed exchange, vocabulary-sized — the Zipf collapse:
+    * every later step is weighted by `cnt` instead of re-touching
+    * each occurrence), pairs then explode from the VOCAB (tiny) via a
+    * codegen'd in-scan `transform`+`substr`, and one pair-keyed
+    * aggregation with map-side partial sums yields the counts. The
+    * topK is a TakeOrdered on (count desc, pair asc) — never a full
+    * sort. Nothing here is corpus-sized after the first exchange.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val wordFreq = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    wordFreq.filter(length(col("word")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
 }

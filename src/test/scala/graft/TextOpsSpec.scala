@@ -178,4 +178,33 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // phone redaction that never happened in the output
       (4L, 1, 0, "mail <EMAIL> now")))
   }
+
+  test("bigramNll: interpolated p matches hand math; 1-token docs drop") {
+    val s = spark; import s.implicits._
+    // tokens: a=3, b=2, c=1, z=1 (total 7 — the 1-token doc still
+    // feeds the unigram model); bigrams: (a,b)=2 (a,a)=1 (b,c)=1;
+    // prev-marginals: a·=3, b·=1
+    val docs = Seq((1L, "a b c"), (2L, "a a b"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextOps.bigramNll(docs, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def p(cb: Double, cc: Double, cu: Double): Double =
+      math.log(0.7 * (cb / cc) + (1.0 - 0.7) * (cu / 7.0))
+    val nll1 = math.rint(-(p(2, 3, 2) + p(1, 1, 1)) / 2 * 1e6) / 1e6
+    val nll2 = math.rint(-(p(1, 3, 3) + p(2, 3, 2)) / 2 * 1e6) / 1e6
+    // doc 3 has no transitions: excluded, never a 0/0
+    assert(got.toSeq == Seq((1L, 2L, nll1), (2L, 2L, nll2)))
+  }
+
+  test("bpePairStats: counts weight by word frequency, ties break by pair") {
+    val s = spark; import s.implicits._
+    // "ab" ×3 and "abc" ×1 → pair ab: 3+1=4, bc: 1; 1-char words drop
+    val docs = Seq((1L, "ab ab abc x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpePairStats(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("ab", 4L), ("bc", 1L)))
+    // topK truncates after the (n desc, pair asc) order
+    val top1 = TextOps.bpePairStats(docs, "text", topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top1.toSeq == Seq(("ab", 4L)))
+  }
 }
