@@ -981,6 +981,12 @@ object SparkEntry {
     "q85_bigram_nll" -> ((s, dir) => {
       TextOps.bigramNll(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // L52 — JL ±1 random projection: md5-derived sign matrix (both
+    // engines regenerate it), map-only in-scan fold — the embedding
+    // compression run before quadratic-ish stages
+    "q86_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(Tables.embeddings(s, dir), outDims = 8)
+    }),
     // L51 — BPE merge statistics: corpus-wide adjacent-char-pair
     // counts off the word-frequency table (tokenizer-training round 1)
     "q87_bpe_pairs" -> ((s, dir) => {
@@ -2540,6 +2546,23 @@ object SparkEntry {
            round(-list_reduce(list_concat([0.0], list(logp ORDER BY pos)),
                    (a, b) -> a + b) / count(*)::DOUBLE, 6) + 0.0 AS nll
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    // Regenerates the ±1 sign matrix from md5("i_j") hex — the same
+    // bytes the Scala side hashes — and replays the j-ordered fold;
+    // /sqrt(8.0) (not ·(1/√8)) so both engines divide by the same
+    // correctly-rounded double.
+    "q86_random_projection" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         p AS (SELECT vec_id, i,
+                 list_reduce(list_concat([0.0],
+                   list_transform(range(1, len(v) + 1),
+                     jj -> v[jj] * (CASE WHEN substring(
+                         md5(i::VARCHAR || '_' || (jj - 1)::VARCHAR), 1, 1)
+                         BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END))),
+                   (a, b) -> a + b) / sqrt(8.0) AS pv
+               FROM e CROSS JOIN range(8) t(i))
+         SELECT vec_id, i AS dim, round(pv, 6) + 0.0 AS value
+         FROM p ORDER BY vec_id, dim""",
     // Pair counts come off the word-frequency table (the Zipf
     // collapse the Spark side uses), weighted by word count; ties on
     // the count break by pair text (binary collation on both engines).

@@ -684,4 +684,45 @@ object Similarity {
         round(col("n_correct").cast("double") / col("n"), 6))
       .orderBy(col("true_label"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    * variant) — the embedding-compression step a 100 TB pipeline runs
+    * before the quadratic-ish stages (q22/q54's pair scans, q82's
+    * coreset rounds cost O(d) per comparison: an 8× narrower vector is
+    * an 8× cheaper sweep, with the JL lemma bounding the distance
+    * distortion). Projects every vector to `outDims` components:
+    * p_i = Σ_j v_j·s(i,j) / √outDims with s(i,j) ∈ {±1}.
+    *
+    * The sign matrix is DERIVED, not sampled: s(i,j) = +1 iff the
+    * first hex digit of md5("i_j") is 0–7 — the same bytes DuckDB's
+    * `md5()` hashes, so the oracle regenerates the identical matrix
+    * instead of shipping one (the q79 md5-order trick, applied to
+    * matrix generation). It lives driver-side as outDims×d literals —
+    * independent of the vector count — and the projection evaluates
+    * INSIDE the scan as a codegen'd zip_with fold in fixed j order
+    * (bit-identical to the oracle's list_reduce): map-only, no
+    * shuffle, no join, scan-speed at any corpus size.
+    */
+  def randomProjection(vectors: DataFrame, outDims: Int): DataFrame = {
+    require(outDims > 0, s"outDims must be positive: $outDims")
+    // one 1-row action to learn d — the fixture's width, not assumed
+    val d = vectors.select(size(col("embedding")).as("d")).head().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val firstByte = md.digest(s"${i}_${j}".getBytes("UTF-8"))(0)
+      if (((firstByte >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    val rows = (0 until outDims).map { i =>
+      val s: Seq[Double] = (0 until d).map(j => sign(i, j))
+      struct(lit(i).as("dim"),
+        (aggregate(zip_with(col("v"), typedLit(s), (x, sg) => x * sg),
+          lit(0.0), (a, x) => a + x)
+          / lit(math.sqrt(outDims.toDouble))).as("value"))
+    }
+    vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array(rows: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"),
+        round(col("p.value"), 6).as("value"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
 }

@@ -471,4 +471,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 30 until 100)
       assert(got(i.toLong), s"background vec $i dropped")
   }
+
+  test("randomProjection: md5-derived signs, j-ordered fold, hand math") {
+    val s = spark; import s.implicits._
+    val e = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(e, outDims = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // recompute the sign convention the DuckDB oracle uses: first hex
+    // char of md5("i_j") in 0..7 → +1
+    def sign(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.head <= '7') 1.0 else -1.0
+    }
+    def proj(v: Seq[Double], i: Int): Double = {
+      val raw = v.indices.foldLeft(0.0)((a, j) => a + v(j) * sign(i, j))
+      math.rint(raw / math.sqrt(2.0) * 1e6) / 1e6
+    }
+    assert(got.toSeq == Seq(
+      (0L, 0, proj(Seq(1.0, 2.0, 3.0), 0)),
+      (0L, 1, proj(Seq(1.0, 2.0, 3.0), 1)),
+      (1L, 0, 0.0), (1L, 1, 0.0)))
+    // the matrix is not degenerate on this fixture: the two output
+    // dims differ for the non-zero vector
+    assert(got(0)._3 != got(1)._3)
+  }
 }
