@@ -992,6 +992,19 @@ object SparkEntry {
     "q87_bpe_pairs" -> ((s, dir) => {
       TextOps.bpePairStats(Tables.documents(s, dir), "text", topK = 50)
     }),
+    // L53 — product quantization: per-subspace Lloyd codebooks (the
+    // q47/q79 recurrence on sliced vectors) + map-only encoding
+    "q88_pq_codes" -> ((s, dir) => {
+      Similarity.pqCodes(Tables.embeddings(s, dir),
+        numSub = 4, codebookK = 8, iters = 2)
+    }),
+    // L54 — PQ asymmetric-distance search: per-query distance tables
+    // broadcast onto the code stream, sub-order folds, rounded-cos rank
+    "q89_pq_adc_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numSub = 4, codebookK = 8, iters = 2)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2575,5 +2588,152 @@ object SparkEntry {
                FROM wf WHERE length(word) >= 2)
          SELECT pair, sum(cnt)::BIGINT AS n
          FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
+    // The q79 Lloyd replay with a subspace column threaded through:
+    // vectors slice into len(v)//4-wide sub-vectors, each subspace
+    // seeds from vec_id < 8 and runs TWO assign/mean rounds (6-dp
+    // rounded means, zero-norm cosine pinned to 0.0, ties to lowest
+    // cid — the assignCells contract), then the final assignment IS
+    // the code.
+    "q88_pq_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         sv AS (SELECT vec_id, sub,
+                  list_slice(v, sub * (len(v) // 4) + 1,
+                    (sub + 1) * (len(v) // 4)) AS s
+                FROM e CROSS JOIN range(4) t(sub)),
+         cent0 AS (SELECT sub, vec_id::BIGINT AS cid, s AS cv
+                   FROM sv WHERE vec_id < 8),
+         asn1 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent0 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         m1 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                FROM (SELECT sub, cell, unnest(s) AS x,
+                        generate_subscripts(s, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2, 3),
+         cent1 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                   FROM m1 GROUP BY 1, 2),
+         asn2 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent1 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         m2 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                FROM (SELECT sub, cell, unnest(s) AS x,
+                        generate_subscripts(s, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2, 3),
+         cent2 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                   FROM m2 GROUP BY 1, 2),
+         fin AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT sv.vec_id, sv.sub, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent2 c ON c.sub = sv.sub)
+           WHERE rk = 1)
+         SELECT vec_id, sub, code FROM fin ORDER BY vec_id, sub""",
+    // q88's full Lloyd/encode chain, then the ADC score: per-query
+    // partial dots against cent2 (the distance table), summed in sub
+    // order over each vector's codes, normalized by the reconstructed
+    // norm, ranked on the ROUNDED cosine (nid breaks ties).
+    "q89_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         sv AS (SELECT vec_id, sub,
+                  list_slice(v, sub * (len(v) // 4) + 1,
+                    (sub + 1) * (len(v) // 4)) AS s
+                FROM e CROSS JOIN range(4) t(sub)),
+         cent0 AS (SELECT sub, vec_id::BIGINT AS cid, s AS cv
+                   FROM sv WHERE vec_id < 8),
+         asn1 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent0 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         m1 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                FROM (SELECT sub, cell, unnest(s) AS x,
+                        generate_subscripts(s, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2, 3),
+         cent1 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                   FROM m1 GROUP BY 1, 2),
+         asn2 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent1 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         m2 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                FROM (SELECT sub, cell, unnest(s) AS x,
+                        generate_subscripts(s, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2, 3),
+         cent2 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                   FROM m2 GROUP BY 1, 2),
+         fin AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT sv.vec_id, sv.sub, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN cent2 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, v,
+                 sqrt(list_inner_product(v, v)) AS qnrm
+               FROM e WHERE vec_id < 3),
+         part AS (SELECT q.qid, q.qnrm, c.sub, c.cid AS code,
+                    list_inner_product(list_slice(q.v,
+                      c.sub * (len(q.v) // 4) + 1,
+                      (c.sub + 1) * (len(q.v) // 4)), c.cv) AS pd,
+                    list_inner_product(c.cv, c.cv) AS cn2
+                  FROM q CROSS JOIN cent2 c),
+         sc AS (SELECT p.qid, f.vec_id AS nid, min(p.qnrm) AS qnrm,
+                  list_reduce(list_concat([0.0], list(p.pd ORDER BY p.sub)),
+                    (a, b) -> a + b) AS adot,
+                  list_reduce(list_concat([0.0], list(p.cn2 ORDER BY p.sub)),
+                    (a, b) -> a + b) AS rec2
+                FROM fin f JOIN part p
+                  ON p.sub = f.sub AND p.code = f.code AND f.vec_id <> p.qid
+                GROUP BY 1, 2),
+         r AS (SELECT qid, nid,
+                 CASE WHEN qnrm > 0 AND rec2 > 0
+                   THEN round(adot / (qnrm * sqrt(rec2)), 6) + 0.0
+                   ELSE 0.0 END AS cos_adc
+               FROM sc),
+         rk AS (SELECT qid, nid, cos_adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_adc DESC, nid) AS rank
+                FROM r)
+         SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
+         ORDER BY qid, rank""",
   )
 }

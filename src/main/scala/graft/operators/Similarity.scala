@@ -725,4 +725,127 @@ object Similarity {
         round(col("p.value"), 6).as("value"))
       .orderBy(col("vec_id"), col("dim"))
   }
+
+  /** Product-quantization codebook training + encoding (Jégou et al.
+    * 2011) for cosine-metric ANN — the compression that makes a
+    * 100 TB embedding column SEARCHABLE in memory: the d dims split
+    * into `numSub` contiguous subspaces, each subspace gets its own
+    * `codebookK`-centroid codebook ([[kmeansCentroidSeq]]'s exact
+    * Lloyd recurrence on the sliced vectors — deterministic seeds,
+    * 6-dp-rounded means, the oracle-replayable q47/q79 loop), and
+    * every vector is encoded as its per-subspace nearest-centroid ids:
+    * numSub·log₂(codebookK) bits instead of d floats (64 dims × f32 →
+    * 4 bytes at 4×8: a 64× shrink). Assignment is [[assignCells]] per
+    * subspace — centroids are driver-side literals (numSub·k·(d/numSub)
+    * = k·d doubles TOTAL, independent of the corpus), so encoding is
+    * map-only: no shuffle, no join, scan-speed at any scale. Returns
+    * (vec_id, sub, code) long-form — one downstream `groupBy(vec_id)`
+    * packs codes into a row when a packed layout is wanted.
+    */
+  def pqCodes(vectors: DataFrame, numSub: Int, codebookK: Int,
+      iters: Int): DataFrame = {
+    val (w, books) = pqCodebooks(vectors, numSub, codebookK, iters)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    books.map { case (sub, cent) =>
+      assignCells(v.select(col("vec_id"),
+        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionAll _).orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** The PQ training half of [[pqCodes]], exposed because every
+    * consumer of the codes needs the codebooks too (decode,
+    * [[pqAdcTopK]]'s distance tables): per contiguous subspace, the
+    * deterministic [[kmeansCentroidSeq]] Lloyd codebook over the
+    * sliced vectors. Returns (subspaceWidth, per-sub centroid seqs) —
+    * numSub·codebookK·width doubles total, driver-sized by
+    * construction (k·d overall, independent of the corpus).
+    */
+  def pqCodebooks(vectors: DataFrame, numSub: Int, codebookK: Int,
+      iters: Int): (Int, Seq[(Int, Seq[(Long, Seq[Double])])]) = {
+    require(numSub > 0 && codebookK > 0 && iters >= 0,
+      s"bad PQ config: numSub=$numSub codebookK=$codebookK iters=$iters")
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // one 1-row action for the fixture's width; PQ needs it to split
+    val d = v.select(size(col("v")).as("d")).head().getInt(0)
+    require(d % numSub == 0, s"dims $d not divisible by numSub=$numSub")
+    val w = d / numSub
+    (w, (0 until numSub).map { sub =>
+      sub -> kmeansCentroidSeq(v.select(col("vec_id"),
+        slice(col("v"), lit(sub * w + 1), lit(w)).as("embedding")),
+        codebookK, iters)
+    })
+  }
+
+  /** PQ asymmetric-distance top-k search (the ADC half of Jégou et
+    * al. 2011) — the query path the [[pqCodes]] compression exists
+    * for: each query's per-(subspace, centroid) partial dot products
+    * form its distance TABLE (numSub·codebookK doubles), and a
+    * vector's approximate cosine is the table-lookup sum over its
+    * codes against the reconstructed-centroid norm — the query never
+    * touches the original d-dim corpus vectors.
+    *
+    * Shape: the distance tables ride a BROADCAST (queries ×
+    * numSub·codebookK rows — query-sized, corpus-independent) onto
+    * the (vec_id, sub, code) code stream — a map-side equi-join on
+    * (sub, code), no corpus exchange; the per-(query, vector) sum
+    * folds in SUB order (collect_list → array_sort → sequential
+    * aggregate, the L38-L40 discipline) so the oracle replays each
+    * double exactly; ranking compares the ROUNDED cosine (the q62
+    * lesson: a raw-double argmax amplifies ulp drift into a different
+    * neighbor) with nid breaking ties. One (qid, vec)-keyed
+    * aggregation + one per-query window over scored rows — at 100 TB
+    * the scored frame is codes-sized (two ints + a double per row),
+    * never embedding-sized.
+    */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      numSub: Int, codebookK: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (w, books) = pqCodebooks(vectors, numSub, codebookK, iters)
+    // encode with the books already trained — don't Lloyd twice
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val codes = books.map { case (sub, cent) =>
+      assignCells(v.select(col("vec_id"),
+        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionAll _)
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val tableEntries = books.flatMap { case (sub, cent) =>
+      cent.map { case (cid, cv) =>
+        struct(lit(sub).as("sub"), lit(cid).as("code"),
+          dot_product(slice(col("qv"), lit(sub * w + 1), lit(w)),
+            typedLit(cv)).as("pd"),
+          // reconstructed-centroid partial norm²: a driver-side
+          // left-to-right fold over the SAME 6-dp-rounded centroid the
+          // oracle's list_inner_product(cv, cv) folds
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("cn2"))
+      }
+    }
+    val tables = q.select(col("qid"), col("qnrm"),
+      explode(array(tableEntries: _*)).as("e"))
+      .select(col("qid"), col("qnrm"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.pd").as("pd"), col("e.cn2").as("cn2"))
+    val scored = codes.join(broadcast(tables), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(min(col("qnrm")).as("qnrm"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")), lit(0.0), (a, x) => a + x).as("adot"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("cn2")))),
+          s => s.getField("cn2")), lit(0.0), (a, x) => a + x).as("rec2"))
+      .withColumn("cos_adc",
+        when(col("qnrm") > 0 && col("rec2") > 0,
+          round(col("adot") / (col("qnrm") * sqrt(col("rec2"))), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

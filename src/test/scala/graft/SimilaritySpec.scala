@@ -498,4 +498,61 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // dims differ for the non-zero vector
     assert(got(0)._3 != got(1)._3)
   }
+
+  test("pqCodes: per-subspace Lloyd codebooks, hand-traced assignments") {
+    val s = spark; import s.implicits._
+    // d=4 split 2×2; seeds are vec 0/1's slices. Hand Lloyd (1 iter):
+    // sub0 assign0: v0,v2→(1,0); v1,v3→(0,1); means (1.5,0)/(0,3);
+    //   final: v0,v2→code 0; v1,v3→code 1
+    // sub1 assign0: v0,v3→(0,1); v1,v2→(1,0); means (0,1.5)/(2,0);
+    //   final: v0,v3→code 0; v1,v2→code 1
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0f, 1f, 1f, 0f)),
+      (2L, Seq(2f, 0f, 3f, 0f)), (3L, Seq(0f, 5f, 0f, 2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(e, numSub = 2, codebookK = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0, 0L), (0L, 1, 0L), (1L, 0, 1L), (1L, 1, 1L),
+      (2L, 0, 0L), (2L, 1, 1L), (3L, 0, 1L), (3L, 1, 0L)))
+    // indivisible width refuses loudly instead of silently truncating
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.pqCodes(e, numSub = 3, codebookK = 2, iters = 1)
+    }
+    assert(bad.getMessage.contains("not divisible"))
+  }
+
+  test("pqAdcTopK matches a driver-side table-lookup replay") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val e = rows.toDF("vec_id", "embedding")
+    val (w, books) = Similarity.pqCodebooks(e, numSub = 2, codebookK = 4, iters = 1)
+    val bookMap = books.toMap.map { case (sub, cs) => sub -> cs.toMap }
+    val codes = Similarity.pqCodes(e, 2, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 2), k = 3,
+      numSub = 2, codebookK = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val qv = vecs(qid)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val expect = vecs.keys.filter(_ != qid).map { nid =>
+        var adot = 0.0; var rec2 = 0.0
+        for (sub <- 0 until 2) {
+          val cv = bookMap(sub)(codes((nid, sub)))
+          val qs = qv.slice(sub * w, sub * w + w)
+          adot += qs.zip(cv).map { case (a, b) => a * b }.sum
+          rec2 += cv.map(x => x * x).sum
+        }
+        val c = if (qn > 0 && rec2 > 0)
+          math.rint(adot / (qn * math.sqrt(rec2)) * 1e6) / 1e6 else 0.0
+        (nid, c)
+      }.toSeq.sortBy { case (nid, c) => (-c, nid) }.take(3)
+      val mine = got.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3))
+      assert(mine.toSeq == expect, s"query $qid")
+    }
+  }
 }
