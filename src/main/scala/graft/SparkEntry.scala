@@ -1005,6 +1005,16 @@ object SparkEntry {
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 3), k = 5,
         numSub = 4, codebookK = 8, iters = 2)
     }),
+    // L55 — incremental dedup: the last-100-docs "crawl batch" LSH'd
+    // against the first-400 "existing index", cross-frame pairs only
+    "q90_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+        d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2735,5 +2745,20 @@ object SparkEntry {
                 FROM r)
          SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
          ORDER BY qid, rank""",
+    // Brute-force cross-frame Jaccard at τ=0.7 (the q19 banding
+    // argument makes LSH equal it): incoming = doc_id ≥ 400, index =
+    // doc_id < 400, no within-frame pairs.
+    "q90_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id >= 400 AND b.doc_id < 400)
+         SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
+         ORDER BY i, j""",
   )
 }

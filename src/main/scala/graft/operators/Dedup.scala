@@ -166,6 +166,64 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Incremental dedup — an INCOMING batch LSH-joined against an
+    * EXISTING corpus index: the daily-crawl shape, where re-shingling
+    * and self-joining the whole corpus per increment (q19 on the
+    * union) would be corpus-sized work for batch-sized news. Both
+    * sides band exactly as [[minhashLsh]] (same k/b/r, so the same
+    * (1−s^r)^b miss bound and the same brute-force oracle), but the
+    * join is CROSS-frame only: no incoming×incoming or index×index
+    * pairs, and the quadratic hot-bucket guard caps the INDEX side
+    * (the corpus-sized one — a degenerate boilerplate bucket there
+    * would pay batch×bucket pairs per increment). Exact-Jaccard
+    * verification runs against the two frames' own shingle sets, so
+    * every emitted (i=incoming, j=index, jac) is true Jaccard ≥ τ —
+    * the rows an ingest pipeline drops (or routes to supersede)
+    * before appending the batch. At 100 TB the index side's
+    * signatures are computed once per increment from the stored
+    * corpus — or, in a productionized layout, read back from a
+    * persisted signature table; either way the exchanges are keyed on
+    * (band, bandsig) and the batch side stays small.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    val rows = numHashes / bands
+    val hin = hashedShingles(incoming, idCol, textCol, shingleN)
+    val hix = hashedShingles(index, idCol, textCol, shingleN)
+    def banded(h: DataFrame): DataFrame = h
+      .select(col("doc_id"),
+        minhashSignatureFromHashes(col("shh"), numHashes).as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bandsig")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandsig"))
+    val bx = banded(hix)
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val cand = banded(hin).as("a")
+      .join(bx.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(hin.select(col("doc_id").as("i"), col("shh").as("sh_i")), "i")
+      .join(hix.select(col("doc_id").as("j"), col("shh").as("sh_j")), "j")
+      .withColumn("jac", jaccardHashes(col("sh_i"), col("sh_j")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   /** Benchmark-contamination check: documents sharing at least one word
     * n-gram with a benchmark set (the standard eval-leak scan before
     * training). Shingles are hashed once natively; the benchmark side

@@ -129,6 +129,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(p => (p._1, p._2)) == lshCross)
   }
 
+  test("incrementalDedup pairs only across frames, never within one") {
+    val s = spark; import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val incoming = Seq(
+      (100L, shared),                      // dups index docs 1 and 2
+      (101L, shared + " iota"),
+      (102L, "fresh unseen material nothing like the index corpus at all"))
+      .toDF("doc_id", "text")
+    val index = Seq(
+      (1L, shared),
+      (2L, shared + " kappa"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(incoming, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 and 101 are near-dups of each other WITHIN the batch — that
+    // pair must not appear; nor may index-internal 1~2
+    assert(got == Set((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L)))
+    // jac values are the true cross-frame Jaccards (exact verify)
+    val jacs = Dedup.incrementalDedup(incoming, index, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jacs((100L, 1L)) == 1.0)      // identical text
+    assert(jacs((100L, 2L)) < 1.0 && jacs((100L, 2L)) >= 0.7)
+  }
+
   test("nearDupClusters equals union-find closure of the LSH pairs") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf)
