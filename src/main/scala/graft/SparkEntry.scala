@@ -1015,6 +1015,11 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
         .orderBy(col("i"), col("j"))
     }),
+    // L56 — quality-quantile curriculum bins: exact percentile cuts
+    // over 6-dp-rounded scores (bounded agg state), map-side assignment
+    "q91_quality_bins" -> ((s, dir) => {
+      Curation.qualityBins(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2760,5 +2765,21 @@ object SparkEntry {
                FROM s a JOIN s b ON a.doc_id >= 400 AND b.doc_id < 400)
          SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
          ORDER BY i, j""",
+    // q15's stopword score rounded to 6 dp, quantile_cont cuts (the
+    // q05 percentile pairing) also rounded to 6 dp, boundary docs to
+    // the LOWER bin (strict >) on both engines.
+    "q91_quality_bins" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 round(len(list_filter(w, t -> list_contains(
+                   ['the','a','and','of','to','in','is','it','for','on'], t)))::DOUBLE
+                   / len(w), 6) AS q_score
+               FROM t),
+         c AS (SELECT list_transform(
+                 quantile_cont(q_score, [x / 10.0 for x in range(1, 10)]),
+                 v -> round(v, 6)) AS cuts FROM s)
+         SELECT doc_id, q_score,
+           len(list_filter(c.cuts, x -> s.q_score > x)) AS bin
+         FROM s, c ORDER BY doc_id""",
   )
 }

@@ -275,4 +275,41 @@ object Curation {
       .orderBy(col("log_ratio").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Quality-quantile curriculum binning: score every document
+    * (stopword ratio — the L32/L42 quality proxy), cut the corpus into
+    * `nBins` EXACT interpolated-quantile bins, and label each document
+    * with its bin — the assignment a curriculum schedule (low-quality
+    * first / high-quality last, or per-bin mixing weights) consumes.
+    *
+    * Scale shape: scores are rounded to 6 dp BEFORE the percentile, so
+    * the exact-percentile aggregation state is bounded by the number
+    * of DISTINCT rounded scores (≤ 10⁶ + 1) no matter the corpus size
+    * — rounding is what makes "exact quantiles at 100 TB" a
+    * one-aggregation operation instead of a sort. The nBins−1 cut
+    * points come back as one driver row and re-enter the plan as
+    * LITERALS, so the bin assignment is a map-side fold over a tiny
+    * array: scan → agg(1 small group) → scan. Cuts are ALSO rounded to
+    * 6 dp (round-before-threshold, the cross-engine argmax
+    * discipline), and a document on a cut boundary goes to the LOWER
+    * bin (bin = #{cuts strictly below score}) on both engines.
+    */
+  def qualityBins(docs: DataFrame, idCol: String, textCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be at least 2: $nBins")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      round(TextOps.stopwordRatio(col(textCol)), 6).as("q_score"))
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts: Seq[Double] = scored
+      .agg(percentile(col("q_score"), typedLit(qs)).as("c"))
+      .head().getSeq[Double](0)
+      // HALF_UP, not rint: DuckDB round() is half-away-from-zero and
+      // these scores are non-negative, so the two agree; half-even
+      // would diverge on exact .5e-6 boundaries
+      .map(c => BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    scored
+      .withColumn("bin",
+        size(filter(typedLit(cuts), c => col("q_score") > c)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -201,4 +201,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (8L, false, true, false, false), // 2 tokens < minTokens
       (9L, false, true, false, false))) // dwf 10/11 > 0.9
   }
+
+  test("qualityBins: interpolated quartile cuts, boundary doc to the lower bin") {
+    val s = spark; import s.implicits._
+    // stopword ratios: "the the"=1.0, "the xyz"=0.5, "xyz xyz"=0.0;
+    // quartile cuts over [0, 0.5, 1] interpolate to 0.25/0.5/0.75
+    val docs = Seq((1L, "xyz xyz"), (2L, "the xyz"), (3L, "the the"))
+      .toDF("doc_id", "text")
+    val got = Curation.qualityBins(docs, "doc_id", "text", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // 0.0: no cut strictly below → bin 0; 0.5 sits ON the median cut →
+    // LOWER bin (only 0.25 strictly below → 1); 1.0 clears all three
+    assert(got.toSeq == Seq((1L, 0.0, 0), (2L, 0.5, 1), (3L, 1.0, 3)))
+    val bad = intercept[IllegalArgumentException] {
+      Curation.qualityBins(docs, "doc_id", "text", nBins = 1)
+    }
+    assert(bad.getMessage.contains("nBins"))
+  }
 }
