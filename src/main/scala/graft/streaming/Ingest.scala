@@ -56,6 +56,58 @@ object Ingest {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** L55's streaming twin — incoming documents LSH-checked against a
+    * STATIC existing-corpus index as they arrive (batch:
+    * Dedup.incrementalDedup; same k/b/r banding, same exact-Jaccard
+    * verify, so the two agree row-for-row on the same data). The
+    * stream side carries its own shingle set through banding (one
+    * extra array column on batch-sized rows — a stream can't re-join
+    * itself to fetch it later); the index side is banded ONCE and
+    * every join here is STREAM-STATIC (candidate match on
+    * (band, bandsig), then shingle fetch by j) — stateless, no
+    * stream-stream buffering. The only keyed state is the
+    * (i, j)-deduplication of multi-band matches, which runs AFTER the
+    * verify filter on slim (ts, i, j, jac) rows and expires on the
+    * watermark — bounded by the dup rate × horizon, not stream length.
+    * Expects (ts, doc_id, text) on the stream.
+    */
+  def incrementalDedupStream(
+      incoming: DataFrame,
+      index: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      lateness: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graft.Signatures
+    val rows = numHashes / bands
+    def bandCol(sig: org.apache.spark.sql.Column) =
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        slice(sig, b * rows + 1, lit(rows))))
+    val shIn = incoming
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("doc_id").as("i"),
+        Signatures.shingle_hashes(split(col("text"), " "), shingleN).as("sh_i"))
+      .filter(size(col("sh_i")) > 0)
+      .select(col("ts"), col("i"), col("sh_i"),
+        bandCol(Signatures.minhash_signature(col("sh_i"), numHashes))
+          .as(Seq("band", "bandsig")))
+    val shIx = index
+      .select(col("doc_id").as("j"),
+        Signatures.shingle_hashes(split(col("text"), " "), shingleN).as("sh_j"))
+      .filter(size(col("sh_j")) > 0)
+    val bandedIx = shIx
+      .select(col("j"), bandCol(Signatures.minhash_signature(col("sh_j"), numHashes))
+        .as(Seq("band", "bandsig")))
+    shIn
+      .join(bandedIx, Seq("band", "bandsig"))
+      .join(shIx, Seq("j"))
+      .withColumn("jac", Signatures.jaccard_longs(col("sh_i"), col("sh_j")))
+      .filter(col("jac") >= threshold)
+      .select(col("ts"), col("i"), col("j"), col("jac"))
+      .dropDuplicatesWithinWatermark("i", "j")
+  }
+
   /** The text-curation pipeline's streaming twin: the same scan-speed
     * Column expressions the batch queries use (q14-q16, q51 operators)
     * applied to a document stream — language ID, quality signals, and

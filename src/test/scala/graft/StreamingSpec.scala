@@ -63,6 +63,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream flags index dups as they arrive, matching batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val index = Seq((1L, shared), (2L, shared + " kappa"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.incrementalDedupStream(mem.toDF(), index,
+      lateness = "10 minutes")
+      .writeStream.format("memory").queryName("incdedup_stream")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String, sec: Long) =
+        DocEvent(id, text, new java.sql.Timestamp(sec * 1000L))
+      // ts must sit ABOVE the initial zero watermark: the dedup
+      // operator drops event times ≤ watermark as late, and a brand-new
+      // query starts at watermark 1970-01-01 — epoch-0 fixtures vanish
+      mem.addData(doc(100, shared, 3600),
+        doc(101, "fresh unseen material nothing like the index at all", 3601))
+      q.processAllAvailable()
+      mem.addData(doc(102, shared + " iota", 3630))
+      q.processAllAvailable()
+      val got = spark.table("incdedup_stream")
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // multi-band matches collapse to one row per (i, j); the fresh
+      // doc emits nothing; batch and stream agree on the pair set
+      val batch = graft.operators.Dedup.incrementalDedup(
+        Seq((100L, shared),
+          (101L, "fresh unseen material nothing like the index at all"),
+          (102L, shared + " iota")).toDF("doc_id", "text"),
+        index, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch && got.contains((100L, 1L)) && got.contains((102L, 1L))
+        && !got.exists(_._1 == 101L), s"got $got batch $batch")
+    } finally q.stop()
+  }
+
   test("curation stream scores and filters documents statelessly, matching batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
