@@ -1020,6 +1020,11 @@ object SparkEntry {
     "q91_quality_bins" -> ((s, dir) => {
       Curation.qualityBins(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // L58 — repeated-span removal: the boilerplate strip the q70/q71
+    // readouts drive (hot 5-gram windows cut from every document)
+    "q92_span_removal" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2781,5 +2786,32 @@ object SparkEntry {
          SELECT doc_id, q_score,
            len(list_filter(c.cuts, x -> s.q_score > x)) AS bin
          FROM s, c ORDER BY doc_id""",
+    // String-keyed mirror of the hash-keyed strip: hot = 5-gram in ≥2
+    // distinct docs; covered 1-based indices, kept tokens re-joined.
+    "q92_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g0 AS (SELECT doc_id,
+                  unnest([{'pos': i, 'gram': w[i]||' '||w[i+1]||' '||w[i+2]
+                             ||' '||w[i+3]||' '||w[i+4]}
+                          for i in range(1, len(w) - 3)]) AS s
+                FROM t WHERE len(w) >= 5),
+         g AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g0),
+         hotg AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                    FROM g GROUP BY 1) WHERE nd >= 2),
+         cov AS (SELECT doc_id, list(DISTINCT p) AS cps
+                 FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+                       FROM g JOIN hotg USING (gram))
+                 GROUP BY 1),
+         o AS (SELECT t.doc_id, len(w) AS n_tokens,
+                 CASE WHEN cov.cps IS NULL THEN w
+                   ELSE list_filter(
+                     list_transform(range(1, len(w) + 1),
+                       i -> CASE WHEN list_contains(cov.cps, i) THEN NULL
+                            ELSE w[i] END),
+                     x -> x IS NOT NULL) END AS kept
+               FROM t LEFT JOIN cov USING (doc_id))
+         SELECT doc_id, n_tokens, n_tokens - len(kept) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS text_clean
+         FROM o ORDER BY doc_id""",
   )
 }

@@ -673,6 +673,57 @@ object Dedup {
           .as("rep_frac"))
   }
 
+  /** Repeated-span REMOVAL — the edit step the q70/q71 readouts exist
+    * to drive (the boilerplate-strip half of exact substring dedup,
+    * Lee et al. 2021): every token n-gram window appearing in ≥ minDf
+    * DISTINCT documents is corpus boilerplate, and every token any
+    * such window covers is cut from every document; what remains is
+    * re-joined into the cleaned text. Removal is everywhere-at-once
+    * (a boilerplate strip), not keep-one-occurrence — deterministic,
+    * order-free, and exactly mirrorable in SQL.
+    *
+    * Scale shape: windows hash map-side (xxhash64 — no window string
+    * on an exchange, the q71 discipline); document frequency is the
+    * same two-level (gh, doc_id)→gh aggregation as repeatedSpanFrac;
+    * hot window POSITIONS come back through one gh-keyed join, expand
+    * to covered token indices, and collapse to one int-array row per
+    * affected document — the ONLY thing the doc-keyed exchange
+    * carries. The cleaned text is rebuilt map-side next to the
+    * original text via an index-aware filter over the token array
+    * (per-token membership probe against the covered set; O(L·|cov|)
+    * per doc, with |cov| ≤ L). Documents with no hot window skip the
+    * rebuild entirely via the left join's null arm.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokenNgramsOfTokens(col("__w"), n)).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("__g")).as("gh"))
+    val dfreq = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDf)
+    val cov = grams.join(dfreq, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("__cov"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__cov").isNull, col("__w"))
+          .otherwise(filter(col("__w"),
+            (t, i) => !exists(col("__cov"), c => c === i))))
+      .select(col("doc_id"),
+        size(col("__w")).as("n_tokens"),
+        (size(col("__w")) - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash from pre-hashed tokens: bit b of the signature is
     * the sign of Σ_tokens (bit b of tokenHash ? +1 : −1). Returned as 4
     * 16-bit chunk values — the natural shape for chunk-bucketed search.

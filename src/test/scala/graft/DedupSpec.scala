@@ -278,6 +278,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.contains((101L, 102L)))
   }
 
+  test("removeRepeatedSpans strips hot windows everywhere, keeps the rest intact") {
+    val s = spark; import s.implicits._
+    val boiler = "subscribe to our newsletter for more"   // 6 tokens
+    val docs = Seq(
+      (1L, s"unique alpha content here $boiler"),          // tail = boiler
+      (2L, s"$boiler and then original beta text"),        // head = boiler
+      (3L, "totally original gamma content nothing shared here at all"),
+      (4L, "tiny doc"))                                    // < n tokens
+      .toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    // the 6-token boilerplate contributes two 5-gram windows in each of
+    // docs 1-2; both windows are hot (df=2), covering exactly the 6
+    // boilerplate tokens — nothing else
+    assert(got == Seq(
+      (1L, 10, 6, "unique alpha content here"),
+      (2L, 11, 6, "and then original beta text"),
+      (3L, 9, 0, "totally original gamma content nothing shared here at all"),
+      (4L, 2, 0, "tiny doc")))
+  }
+
   test("connectedComponents survives many-edge graphs (ANSI sum-overflow regression)") {
     val s = spark; import s.implicits._
     // the round-4 signature summed xxhash64 values: ~25 random 64-bit
