@@ -1025,6 +1025,11 @@ object SparkEntry {
     "q92_span_removal" -> ((s, dir) => {
       Dedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // L59 — feature hashing: md5-derived ±1 bucket projection, integer
+    // sums (order-free), one float step at the final normalize
+    "q93_hashed_features" -> ((s, dir) => {
+      TextOps.hashedFeatures(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2813,5 +2818,21 @@ object SparkEntry {
          SELECT doc_id, n_tokens, n_tokens - len(kept) AS n_removed,
            coalesce(array_to_string(kept, ' '), '') AS text_clean
          FROM o ORDER BY doc_id""",
+    // Bucket = first md5 hex digit (conv base16 ≡ strpos in the hex
+    // alphabet), sign from the second digit; weights are integer sums
+    // so only the final normalize touches floats.
+    "q93_hashed_features" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+                      FROM documents),
+         s AS (SELECT doc_id,
+                 strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS dim,
+                 CASE WHEN substring(h, 2, 1) <= '7' THEN 1 ELSE -1 END AS sg
+               FROM tok),
+         a AS (SELECT doc_id, dim, sum(sg)::BIGINT AS w
+               FROM s GROUP BY 1, 2 HAVING sum(sg) <> 0),
+         n AS (SELECT doc_id, sum(w * w)::BIGINT AS ss FROM a GROUP BY 1)
+         SELECT a.doc_id, dim, w,
+           round(w::DOUBLE / sqrt(ss::DOUBLE), 6) + 0.0 AS weight
+         FROM a JOIN n USING (doc_id) ORDER BY doc_id, dim""",
   )
 }

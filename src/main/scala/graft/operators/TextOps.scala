@@ -518,4 +518,42 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Feature-hashing text vectorizer (the hashing trick, Weinberger et
+    * al. 2009): each token hashes to one of `dims` buckets with a ±1
+    * sign, and a document's vector is the signed bucket counts,
+    * L2-normalized — the model-free featurization that gives every
+    * similarity/clustering operator (L7-L12, L41, L47) a vector to
+    * run on when no trained embedding exists. Bucket and sign derive
+    * from md5(token) hex digits (the q86 derived-randomness trick:
+    * both engines regenerate the "random" projection, nothing is
+    * shipped), so the operator is fully deterministic and exactly
+    * oracle-able.
+    *
+    * Float discipline: bucket weights are INTEGER sums of ±1 — order-
+    * free by construction — and the squared norm is an integer sum of
+    * squares; the only floating-point step is the final normalize, so
+    * no fold-order pinning is needed anywhere. Shape: one map-side
+    * projection + one (doc, dim)-keyed aggregation + one doc-keyed
+    * norm join — scan-dominated, dims ≤ 16 per doc on the exchanges.
+    * Emits nonzero dims only (sparse long form: doc_id, dim, w,
+    * weight).
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"), md5(col("__t")).as("__h"))
+      .select(col("doc_id"),
+        conv(substring(col("__h"), 1, 1), 16, 10).cast("int").as("dim"),
+        when(substring(col("__h"), 2, 1) <= "7", 1L).otherwise(-1L).as("__sg"))
+    val a = toks.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("__sg")).as("w"))
+      .filter(col("w") =!= 0L)
+    val n = a.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("__ss"))
+    a.join(n, "doc_id")
+      .select(col("doc_id"), col("dim"), col("w"),
+        round(col("w").cast("double") / sqrt(col("__ss").cast("double")), 6)
+          .as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
 }

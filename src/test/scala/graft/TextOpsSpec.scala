@@ -207,4 +207,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(top1.toSeq == Seq(("ab", 4L)))
   }
+
+  test("hashedFeatures: md5 buckets/signs replayed, integer weights, unit norm") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "dd")).toDF("doc_id", "text")
+    val got = TextOps.hashedFeatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def hx(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dim(t: String) = Integer.parseInt(hx(t).substring(0, 1), 16)
+    def sg(t: String) = if (hx(t)(1) <= '7') 1L else -1L
+    // replay doc 1: aa×2, bb, cc
+    val w1 = Seq("aa", "aa", "bb", "cc").groupBy(dim)
+      .map { case (d, ts) => d -> ts.map(sg).sum }.filter(_._2 != 0L)
+    val ss1 = math.sqrt(w1.values.map(w => (w * w).toDouble).sum)
+    val expect1 = w1.toSeq.sortBy(_._1).map { case (d, w) =>
+      (1L, d, w, math.rint(w / ss1 * 1e6) / 1e6) }
+    assert(got.filter(_._1 == 1L).toSeq == expect1)
+    // single-token doc: one dim, |weight| exactly 1
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._2 == dim("dd") &&
+      d2.head._3 == sg("dd") && math.abs(d2.head._4) == 1.0)
+  }
 }
