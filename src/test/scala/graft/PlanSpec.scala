@@ -283,4 +283,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name plans a CartesianProduct:\n${p.take(2000)}")
     }
   }
+
+  test("round-7 additions keep their scale claims: literal-driven maps, no chars on exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q86/q88: the projection matrix / codebooks are driver-side
+      // LITERALS — the distributed plan must contain NO join at all
+      // (assignment and projection happen inside the scan)
+      for (q <- Seq("q86_random_projection", "q88_pq_codes")) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val joins = p.toString.linesIterator
+          .filter(l => l.contains("Join") || l.contains("CartesianProduct"))
+          .toSeq
+        assert(joins.isEmpty, s"$q plans a join: ${joins.mkString("; ")}")
+      }
+      // q93: tokens hash to (dim, sign) INSIDE the scan — no character
+      // data may ride any exchange (the q71-strength claim)
+      import org.apache.spark.sql.types._
+      def hasChars(dt: DataType): Boolean = dt match {
+        case _: StringType | _: BinaryType => true
+        case ArrayType(et, _)              => hasChars(et)
+        case StructType(fs)                => fs.exists(f => hasChars(f.dataType))
+        case MapType(k, v, _)              => hasChars(k) || hasChars(v)
+        case _                             => false
+      }
+      val root = SparkEntry.queries("q93_hashed_features")(spark, sf)
+        .queryExecution.executedPlan
+      val chars = for {
+        e <- root.collect { case e: ShuffleExchangeExec => e }
+        a <- e.output if hasChars(a.dataType)
+      } yield s"${a.name}: ${a.dataType.simpleString}"
+      assert(chars.isEmpty,
+        s"q93: character data rides an exchange: ${chars.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
