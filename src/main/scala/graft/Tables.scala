@@ -13,19 +13,31 @@ import org.apache.spark.sql.functions._
   * P1/P1Logger.cs:131-154 (append of (ts, double[], tag)).
   */
 object Tables {
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read the raw nanos as long (legacy
-    * conf) and floor-convert to microsecond timestamps with integer
-    * division — double arithmetic would lose precision above 2^53 ns.
-    * DuckDB floors ns→µs the same way, so oracle parity holds.
+  /** events.parquet has shipped with ts as either parquet TIMESTAMP(NANOS)
+    * (which Spark's reader rejects outright — read raw nanos as long via
+    * the legacy conf and floor-convert with integer division; double
+    * arithmetic would lose precision above 2^53 ns) or
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). For the latter, disable
+    * NTZ inference so the stored micros land in a plain TIMESTAMP column
+    * unshifted (TimestampNTZType would break every `unix_micros` call
+    * site, and an NTZ→LTZ cast would re-interpret through the session
+    * timezone). Adapt to whichever the footer declares so a regenerated
+    * dataset can't break every readings query. DuckDB's `epoch_us` reads
+    * the same stored micros, so oracle parity holds either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // guard-set: avoid re-mutating session conf on every call (racy when
     // sessions share a conf); builders should set this up front
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled") != Some("false"))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // TIMESTAMP(MICROS): already read as plain timestamp
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
