@@ -1030,6 +1030,27 @@ object SparkEntry {
     "q93_hashed_features" -> ((s, dir) => {
       TextOps.hashedFeatures(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Dedup — EXACT SimHash hamming-pair join (pigeonhole-complete chunk
+    // buckets; md5-derived token hashes so the oracle can reproduce the
+    // signature bit-for-bit — unlike rows-only q20)
+    "q94_simhash_hamming_pairs" -> ((s, dir) => {
+      Dedup.simhashHammingPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("i"), col("j"))
+    }),
+    // Text — count-min-sketch heavy hitters, exact-verified candidates
+    "q95_cms_heavy_hitters" -> ((s, dir) => {
+      TextOps.cmsHeavyHitters(Tables.documents(s, dir), "text")
+    }),
+    // Text — per-document 8-gram novelty (first-appearance fraction)
+    "q96_ngram_novelty" -> ((s, dir) => {
+      TextOps.ngramNovelty(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    // Dedup — asymmetric near-containment pairs, hash-ordered exact
+    // prefix filter, integer threshold compare
+    "q97_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("i"), col("j"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2834,5 +2855,72 @@ object SparkEntry {
          SELECT a.doc_id, dim, w,
            round(w::DOUBLE / sqrt(ss::DOUBLE), 6) + 0.0 AS weight
          FROM a JOIN n USING (doc_id) ORDER BY doc_id, dim""",
+    // Brute-force SimHash hamming pairs. The signature is reproduced
+    // bit-for-bit: token hash = first 16 hex chars of md5 read
+    // big-endian (bit b lives in hex char 16 - b//4, bit b%4), one vote
+    // per token occurrence, bit = votes > 0, 4 chunks of 16 bits
+    // little-endian-chunked (chunk c holds bits [16c, 16c+16)). The
+    // Spark side's chunk-bucket join is pigeonhole-COMPLETE for
+    // hamming <= 3, so brute force over all pairs is the exact oracle.
+    "q94_simhash_hamming_pairs" ->
+      """WITH t AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+                    FROM documents),
+         bits AS (SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substring(h, 16 - b // 4, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+           FROM t, range(64) r(b)),
+         votes AS (SELECT doc_id, b, sum(v) AS vt FROM bits GROUP BY 1, 2),
+         sig AS (SELECT doc_id, b // 16 AS chunk,
+                   sum(CASE WHEN vt > 0 THEN (1::BIGINT << (b % 16))
+                       ELSE 0 END)::BIGINT AS cv
+                 FROM votes GROUP BY 1, 2),
+         sd AS (SELECT doc_id, list(cv ORDER BY chunk) AS s FROM sig GROUP BY 1),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 (bit_count(xor(a.s[1], b.s[1])) + bit_count(xor(a.s[2], b.s[2]))
+                  + bit_count(xor(a.s[3], b.s[3])) + bit_count(xor(a.s[4], b.s[4])))::BIGINT
+                   AS hamming
+               FROM sd a JOIN sd b ON a.doc_id < b.doc_id)
+         SELECT i, j, hamming FROM p WHERE hamming <= 3 ORDER BY i, j""",
+    // Exact bigram heavy hitters — the CMS pre-filter never undercounts,
+    // so the Spark side's candidate-verified output equals plain
+    // HAVING count >= max(5, ceil(total/2000)).
+    "q95_cms_heavy_hitters" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+               FROM t),
+         tot AS (SELECT count(*) AS c FROM g)
+         SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+         HAVING count(*) >= greatest(5, (SELECT (c + 1999) // 2000 FROM tot))
+         ORDER BY cnt DESC, gram""",
+    // Per-document 8-gram novelty: fraction of gram occurrences whose
+    // min-doc_id first appearance is this document; short docs emit 0
+    // grams and a NULL fraction.
+    "q96_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([array_to_string(w[i:i+7], ' ')
+                         for i in range(1, len(w) - 6)]) AS gram
+               FROM t WHERE len(w) >= 8),
+         f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1),
+         nv AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+                  round(avg(CASE WHEN fd = doc_id THEN 1.0 ELSE 0.0 END), 6) + 0.0
+                    AS novel_frac
+                FROM g JOIN f USING (gram) GROUP BY 1)
+         SELECT t.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams, novel_frac
+         FROM t LEFT JOIN nv USING (doc_id) ORDER BY doc_id""",
+    // Asymmetric containment |sh_i ∩ sh_j| / |sh_i| >= 3/5 over distinct
+    // 3-shingles, both directions, integer threshold (inter*5 >= n_i*3).
+    "q97_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
+               FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+         SELECT i, j, round(inter::DOUBLE / na, 6) AS containment
+         FROM p WHERE inter * 5 >= na * 3 ORDER BY i, j""",
   )
 }

@@ -788,4 +788,105 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
   }
+
+  /** md5-derived 64-bit token hash: the first 16 hex chars of md5(token)
+    * read big-endian. Built from two 32-bit `conv` halves combined with
+    * shift/or (bitwise, so no ANSI overflow on values above
+    * Long.MaxValue) — the same engine-portable hashing family as the
+    * q86/q93 md5-derived signs/buckets, reproducible verbatim in any
+    * SQL engine with md5, unlike xxhash64.
+    */
+  def md5TokenHash(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** Exact SimHash Hamming-pair join: every document pair whose 64-bit
+    * SimHash signatures (from md5-derived token hashes, one vote per
+    * token OCCURRENCE, bit = votes > 0) differ in at most `maxHamming`
+    * bits. With nChunks = 4 and maxHamming = 3 the pigeonhole principle
+    * makes the chunk-equality bucket join a COMPLETE candidate
+    * generator — so unlike [[simhashNearDup]] (whose Jaccard floor is
+    * recall-probabilistic and therefore rows-only at the driver gate)
+    * this operator's output is exactly reproducible by a brute-force
+    * oracle. At scale the cost profile is the q20 one: 4 postings per
+    * doc keyed by 16-bit chunk values, signature-only shuffle (16 bytes
+    * + ids per posting, text never leaves the scan), bucket
+    * self-join quadratic only in per-bucket occupancy.
+    */
+  def simhashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nChunks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nChunks, "pigeonhole completeness needs maxHamming < nChunks")
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Signatures.simhash_chunks(
+        transform(split(col(textCol), " "), md5TokenHash _), nChunks).as("sig"))
+    val buckets = base.select(col("doc_id"), col("sig"),
+      posexplode(col("sig")).as(Seq("chunk", "chunkval")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunkval") === col("b.chunkval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        hammingChunks(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Asymmetric near-containment pairs: ordered (i, j) with
+    * |shingles(i) ∩ shingles(j)| / |shingles(i)| ≥ threshold — the
+    * near-contained / quotation / superset-dup relation that symmetric
+    * Jaccard (q19/q53) misses when one document swallows another.
+    *
+    * Scale shape: candidates come from a PREFIX-filtered posting join.
+    * With overlap requirement t_i = ceil(τ·|sh_i|), a qualifying pair
+    * must share a shingle within the first |sh_i| − t_i + 1 elements of
+    * i's shingle list under ANY fixed total order (else the overlap is
+    * ≤ t_i − 1) — we order by the shingle hash itself, so no global
+    * document-frequency exchange is needed and recall stays exact. Only
+    * the probe side is prefix-pruned (the containment denominator is
+    * |sh_i|); the indexed side posts all shingles. The verify step
+    * compares integers (5·inter ≥ 3·|sh_i| for τ = 0.6), so no float
+    * threshold hazard. Hash-only shuffles throughout; text stays in the
+    * scan. Sibling of the PPJoin Jaccard path (q53), which adds the
+    * frequency-ordered prefix as a further (exchange-costing) prune.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5): DataFrame = {
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      sort_array(array_distinct(org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col(textCol), " "), shingleN))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // t = ceil(num/den * n) computed in pure integers:
+    // (num*n + den - 1) div den — no float threshold anywhere
+    val prefixLen = expr(
+      s"size(sh) - ((size(sh) * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen) + 1")
+    val probe = base
+      .select(col("doc_id"), col("sh"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val index = base.select(col("doc_id").as("j"), explode(col("sh")).as("h"))
+    val cand = probe.as("a")
+      .join(index, col("a.h") === index("h") && col("a.doc_id") =!= col("j"))
+      .select(col("a.doc_id").as("i"), col("j"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(base.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("inter"),
+        size(col("sh_i")).as("n_i"))
+      .filter(col("inter") * lit(thresholdDen) >= col("n_i") * lit(thresholdNum))
+      .select(col("i"), col("j"),
+        round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
+  }
 }

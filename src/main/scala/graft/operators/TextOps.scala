@@ -539,6 +539,96 @@ object TextOps {
     * Emits nonzero dims only (sparse long form: doc_id, dim, w,
     * weight).
     */
+  /** Count-min-sketch heavy hitters: all bigrams with exact count ≥
+    * max(minAbs, ceil(total/minDen)), found WITHOUT shuffling the
+    * vocabulary. Two phases:
+    *
+    *   1. CMS build — each gram occurrence votes into `depth` hashed
+    *      buckets (md5-substring hashes, width divides 16^5 so the mod
+    *      is unbiased); the groupBy key space is depth·width (= 3072
+    *      cells by default) regardless of vocabulary size, so the
+    *      shuffle after map-side partial aggregation is O(cells ·
+    *      partitions), not O(vocab). The sketch (and the total, read
+    *      off row 0) collects to the driver — a few KB.
+    *   2. Exact verify — a second scan keeps only occurrences whose
+    *      sketch estimate (min over rows, a broadcast-literal lookup)
+    *      clears the threshold, then exact-counts just those. CMS
+    *      estimates never undercount, so phase 2's candidate set is a
+    *      superset of the true heavy hitters and the output is EXACT —
+    *      probabilistic work, deterministic answer (the q19 contract).
+    *
+    * At 100 TB the vocabulary of a bigram groupBy is billions of keys;
+    * here only genuinely heavy candidates (bounded by total/T per row
+    * of the sketch) ever reach a shuffle with their string key.
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 3,
+      width: Int = 1024,
+      minAbs: Long = 5L,
+      minDen: Long = 2000L): DataFrame = {
+    require((16L * 16 * 16 * 16 * 16) % width == 0, "width must divide 16^5")
+    val grams = docs
+      .select(tokens(col(textCol)).as("__w"))
+      .select(explode(tokenNgramsOfTokens(col("__w"), 2)).as("gram"))
+    val bucketed = grams.select(col("gram") +:
+      (0 until depth).map { r =>
+        (conv(substring(md5(col("gram")), 1 + 5 * r, 5), 16, 10)
+          .cast("long") % width).as(s"__b$r")
+      }: _*)
+    val cells = bucketed
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), col(s"__b$r").as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val cms = Array.fill(depth * width)(0L)
+    cells.foreach(row => cms(row.getInt(0) * width + row.getLong(1).toInt) = row.getLong(2))
+    val total = (0 until width).map(b => cms(b)).sum // row 0 sums to the gram count
+    val threshold = math.max(minAbs, (total + minDen - 1) / minDen)
+    val cmsLit = typedlit(cms.toSeq)
+    val est = (0 until depth).map { r =>
+      element_at(cmsLit, (lit(r * width) + col(s"__b$r") + 1).cast("int"))
+    }.reduce(least(_, _))
+    bucketed
+      .filter(est >= threshold)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's n-gram
+    * occurrences whose FIRST corpus appearance (minimum doc_id) is this
+    * document — the standard train-order memorization/novelty readout
+    * (documents contributing mostly already-seen n-grams add little).
+    * Gram-hash keyed throughout: the min-doc groupBy and the join back
+    * move 8-byte hashes, never gram text, so the shuffle is bounded by
+    * occurrence count × 16 bytes at any corpus size.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+    val grams = d
+      .select(col("doc_id"), explode(tokenNgramsOfTokens(col("__w"), n)).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("__gh"))
+    val first = grams.groupBy(col("__gh")).agg(min(col("doc_id")).as("__fd"))
+    val nov = grams.join(first, "__gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("__fd") === col("doc_id"), 1.0).otherwise(0.0)), 6)
+          .as("novel_frac"))
+    d.select(col("doc_id")).join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("novel_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Dedup, TextOps}
+
+/** Round-9 operators: exact SimHash hamming pairs (pigeonhole-complete
+  * buckets), CMS heavy hitters (exact output from probabilistic work),
+  * n-gram novelty, and asymmetric containment pairs (exact hash-order
+  * prefix filter). Each test pins the operator to a brute-force
+  * reference computed with plain Spark ops on the same tiny corpus.
+  */
+class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpus() = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near dup of 1
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "one two three four five six seven eight nine ten eleven twelve"), // contains 4
+      (6L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("simhashHammingPairs equals brute-force hamming over full signatures") {
+    val docs = corpus()
+    val got = Dedup.simhashHammingPairs(docs, "doc_id", "text")
+      .orderBy("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force: same signature construction, all pairs, no buckets
+    val sigs = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.Signatures.simhash_chunks(
+        transform(split(col("text"), " "), Dedup.md5TokenHash _), 4).as("sig"))
+    val want = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hammingChunks(col("a.sig"), col("b.sig")).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .orderBy("a.doc_id", "b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty, "fixture must exercise at least one qualifying pair")
+    assert(got == want)
+    // the exact-dup pair must be hamming 0
+    assert(got.contains((1L, 2L, 0L)))
+  }
+
+  test("cmsHeavyHitters equals plain exact groupBy-HAVING on the same threshold") {
+    val s = spark; import s.implicits._
+    // skewed corpus: one hot bigram, a long uniform tail
+    val hot = Seq.fill(30)("foo bar").mkString(" ")
+    val docs = (Seq((1L, hot)) ++ (2L to 40L).map(i =>
+      (i, s"tail$i word$i next$i"))).toDF("doc_id", "text")
+    val got = TextOps.cmsHeavyHitters(docs, "text", minAbs = 5L, minDen = 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val grams = docs.select(
+      explode(TextOps.tokenNgramsOfTokens(TextOps.tokens(col("text")), 2)).as("gram"))
+    val total = grams.count()
+    val t = math.max(5L, (total + 1999) / 2000)
+    val want = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= t)
+      .orderBy(col("cnt").desc, col("gram"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+    // the uniform tail must NOT appear (CMS's job is pruning it)
+    assert(got.forall(_._2 >= t))
+  }
+
+  test("ngramNovelty: a verbatim repeat of an earlier doc scores 0, first doc scores 1") {
+    val s = spark; import s.implicits._
+    val text = "a b c d e f g h i j k l" // 12 tokens → 5 8-grams
+    val docs = Seq(
+      (1L, text),
+      (2L, text), // every 8-gram first appeared in doc 1
+      (3L, "z y x w v u t s r q p o") // all novel
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 5L, 1.0), (2L, 5L, 0.0), (3L, 5L, 1.0)))
+  }
+
+  test("ngramNovelty: short documents emit 0 grams and null fraction") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "only three tokens"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val rows = TextOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq((1L, 0L, None), (2L, 1L, Some(1.0))))
+  }
+
+  test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
+    val docs = corpus()
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .orderBy("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = docs.select(col("doc_id"),
+      array_distinct(org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col("text"), " "), 3)).as("sh"))
+    val want = base.as("a").join(base.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        size(col("a.sh")).as("na"))
+      .filter(col("inter") * 5 >= col("na") * 3)
+      .select(col("i"), col("j"),
+        round(col("inter").cast("double") / col("na"), 6).as("c"))
+      .orderBy("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(want.nonEmpty, "fixture must exercise qualifying pairs")
+    assert(got == want)
+    // doc 4 ⊂ doc 5: containment(4→5) = 1.0 but NOT necessarily (5→4):
+    // asymmetry is the operator's point
+    assert(got.contains((4L, 5L, 1.0)))
+    assert(!got.contains((5L, 4L, 1.0)))
+  }
+}
