@@ -318,4 +318,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"q93: character data rides an exchange: ${chars.mkString(", ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("round-9 additions: hash-only exchanges (q94/q96/q97), CMS plan joins nothing (q95)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def hasChars(dt: DataType): Boolean = dt match {
+        case _: StringType | _: BinaryType => true
+        case ArrayType(et, _)              => hasChars(et)
+        case StructType(fs)                => fs.exists(f => hasChars(f.dataType))
+        case MapType(k, v, _)              => hasChars(k) || hasChars(v)
+        case _                             => false
+      }
+      // q94 (simhash pairs), q96 (novelty), q97 (containment): document
+      // text reduces to longs inside the scan; every exchange must carry
+      // only ids / hashes / signatures
+      for (q <- Seq("q94_simhash_hamming_pairs", "q96_ngram_novelty",
+          "q97_containment_pairs")) {
+        val root = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val chars = for {
+          e <- root.collect { case e: ShuffleExchangeExec => e }
+          a <- e.output if hasChars(a.dataType)
+        } yield s"${a.name}: ${a.dataType.simpleString}"
+        assert(chars.isEmpty,
+          s"$q: character data rides an exchange: ${chars.mkString(", ")}")
+      }
+      // q95: the sketch is a driver-side LITERAL by the time the
+      // returned plan runs — no join anywhere; the candidate Filter must
+      // sit below the exact-count aggregate so only heavy candidates
+      // reach the (gram-keyed, by design) exchange
+      val p = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        p.take(2000))
+      // deepest Filter (the candidate prune) must sit below the deepest
+      // Exchange (the exact-count shuffle) — i.e. later in the printout
+      val filterAt = p.lastIndexOf("Filter")
+      val exchangeAt = p.lastIndexOf("Exchange")
+      assert(exchangeAt >= 0 && filterAt > exchangeAt,
+        s"q95: candidate filter must be below the count exchange\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
