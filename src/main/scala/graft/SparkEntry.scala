@@ -1051,6 +1051,14 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("i"), col("j"))
     }),
+    // Curation — per-source exact-duplicate rate (which crawl is dirty)
+    "q98_dup_rate_by_source" -> ((s, dir) => {
+      TextOps.dupRateBySource(Tables.documents(s, dir), "doc_id", "text", "source")
+    }),
+    // Text — top-25 PMI collocations over bigrams with count >= 5
+    "q99_pmi_collocations" -> ((s, dir) => {
+      TextOps.pmiCollocations(Tables.documents(s, dir), "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2922,5 +2930,35 @@ object SparkEntry {
                FROM s a JOIN s b ON a.doc_id <> b.doc_id)
          SELECT i, j, round(inter::DOUBLE / na, 6) AS containment
          FROM p WHERE inter * 5 >= na * 3 ORDER BY i, j""",
+    // Per-source verbatim-duplicate rate: min doc_id per text keeps,
+    // later copies are dups charged to THEIR source.
+    "q98_dup_rate_by_source" ->
+      """WITH f AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY 1)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+           round(avg(CASE WHEN doc_id <> keeper THEN 1.0 ELSE 0.0 END), 6) + 0.0
+             AS dup_rate
+         FROM documents JOIN f USING (text) GROUP BY 1 ORDER BY 1""",
+    // PMI ranked on the ROUNDED value with gram tie-break; the float
+    // expression shape (c_ab/N_bi)·(N_uni/c_a)·(N_uni/c_b) is
+    // left-associated identically on both engines.
+    "q99_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         u AS (SELECT unnest(w) AS tok FROM t),
+         uc AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+         nu AS (SELECT count(*) AS c FROM u),
+         g AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+               FROM t),
+         gc AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+                HAVING count(*) >= 5),
+         nb AS (SELECT count(*) AS c FROM g)
+         SELECT gram, cnt,
+           round(ln(cnt::DOUBLE / (SELECT c FROM nb)
+                    * ((SELECT c FROM nu)::DOUBLE / ca.c)
+                    * ((SELECT c FROM nu)::DOUBLE / cb.c)), 6) + 0.0 AS pmi
+         FROM gc
+         JOIN uc ca ON string_split(gc.gram, ' ')[1] = ca.tok
+         JOIN uc cb ON string_split(gc.gram, ' ')[2] = cb.tok
+         ORDER BY pmi DESC, gram LIMIT 25""",
   )
 }

@@ -629,6 +629,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source exact-duplicate rate: for each source, how many of its
+    * documents are verbatim copies of an EARLIER document (min doc_id
+    * anywhere in the corpus keeps; later copies count as dups, wherever
+    * the keeper lives) — the standard which-crawl-is-dirty curation
+    * readout. Text-hash keyed like L1: the groupBy and join-back move
+    * (hash, id) pairs, never text.
+    */
+  def dupRateBySource(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val h = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      xxhash64(col(textCol)).as("__h"))
+    val keepers = h.groupBy(col("__h")).agg(min(col("doc_id")).as("__keeper"))
+    h.join(keepers, "__h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("__keeper"), 1L).otherwise(0L)).as("n_dups"),
+        round(avg(when(col("doc_id") =!= col("__keeper"), 1.0).otherwise(0.0)), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Top-k PMI collocations: bigrams with count ≥ minCount ranked by
+    * pointwise mutual information ln(p(ab)/(p(a)·p(b))) — the
+    * collocation/tokenizer-vocabulary diagnostic. Corpus totals are two
+    * bounded driver scalars; unigram counts join onto the
+    * vocabulary-sized bigram-count frame (counts, not occurrences, so
+    * both sides shrink with vocabulary, not corpus). Ranking is on the
+    * ROUNDED pmi with a gram tie-break (the q62 lesson: never rank on
+    * an unrounded float you then round), and the float expression shape
+    * — (c_ab/N_bi)·(N_uni/c_a)·(N_uni/c_b), left-associated — is
+    * mirrored verbatim in the oracle so both engines round the same
+    * doubles.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 25): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("tok"))
+    val bi = toks.select(explode(tokenNgramsOfTokens(col("__w"), 2)).as("gram"))
+    val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val gc = bi.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("__a", split(col("gram"), " ").getItem(0))
+      .withColumn("__b", split(col("gram"), " ").getItem(1))
+    val nUni = uni.count()
+    val nBi = bi.count()
+    gc.join(broadcast(uc.withColumnRenamed("tok", "__a").withColumnRenamed("__c", "__ca")), "__a")
+      .join(broadcast(uc.withColumnRenamed("tok", "__b").withColumnRenamed("__c", "__cb")), "__b")
+      .select(col("gram"), col("cnt"),
+        round(log(col("cnt").cast("double") / lit(nBi.toDouble)
+          * (lit(nUni.toDouble) / col("__ca"))
+          * (lit(nUni.toDouble) / col("__cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(topK)
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

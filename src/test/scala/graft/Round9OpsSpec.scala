@@ -99,6 +99,38 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1L, 0L, None), (2L, 1L, Some(1.0))))
   }
 
+  test("dupRateBySource charges later copies to their own source") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "original text here", "srcA"),
+      (2L, "original text here", "srcB"), // copy of 1, charged to srcB
+      (3L, "another doc body", "srcA"),
+      (4L, "original text here", "srcB"), // second copy, also srcB
+      (5L, "unique srcB doc", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.dupRateBySource(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("srcA", 2L, 0L, 0.0), ("srcB", 3L, 2L, 0.666667)))
+  }
+
+  test("pmiCollocations matches a hand-computed PMI and tie-breaks on gram") {
+    val s = spark; import s.implicits._
+    // "a b" always together (high PMI); "x y"/"x z" split (lower PMI)
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "x y x z x y x z x y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 4L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // corpus: 20 unigrams, 18 bigrams. counts: a=5,b=5,x=5,y=3,z=2
+    // c("a b")=5, c("b a")=4, c("x y")=3(<4), ...
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      math.rint(math.log(cab.toDouble / 18.0 * (20.0 / ca) * (20.0 / cb)) * 1e6) / 1e6
+    assert(got == Seq(
+      ("a b", 5L, pmi(5, 5, 5)),
+      ("b a", 4L, pmi(4, 5, 5))))
+  }
+
   test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
     val docs = corpus()
     val got = Dedup.containmentPairs(docs, "doc_id", "text")
