@@ -561,6 +561,36 @@ object TextOps {
     * here only genuinely heavy candidates (bounded by total/T per row
     * of the sketch) ever reach a shuffle with their string key.
     */
+  /** Bigram occurrences with their `depth` md5-derived CMS bucket ids —
+    * the shared front half of the batch heavy-hitter op and the
+    * streaming sketch twin. Width must divide 16^5 so the mod over a
+    * 5-hex-char hash is unbiased.
+    */
+  def cmsBucketed(
+      docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    require((16L * 16 * 16 * 16 * 16) % width == 0, "width must divide 16^5")
+    docs
+      .select(tokens(col(textCol)).as("__w"))
+      .select(explode(tokenNgramsOfTokens(col("__w"), 2)).as("gram"))
+      .select(col("gram") +:
+        (0 until depth).map { r =>
+          (conv(substring(md5(col("gram")), 1 + 5 * r, 5), 16, 10)
+            .cast("long") % width).as(s"__b$r")
+        }: _*)
+  }
+
+  /** Bucketed grams → (r, b, c) sketch cells. The groupBy key space is
+    * depth·width regardless of vocabulary, which is the whole point —
+    * and also why this works UNCHANGED as a streaming aggregation with
+    * permanently bounded state (Ingest.cmsSketchStream).
+    */
+  def cmsCellsOf(bucketed: DataFrame, depth: Int): DataFrame =
+    bucketed
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), col(s"__b$r").as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
   def cmsHeavyHitters(
       docs: DataFrame,
       textCol: String,
@@ -568,21 +598,8 @@ object TextOps {
       width: Int = 1024,
       minAbs: Long = 5L,
       minDen: Long = 2000L): DataFrame = {
-    require((16L * 16 * 16 * 16 * 16) % width == 0, "width must divide 16^5")
-    val grams = docs
-      .select(tokens(col(textCol)).as("__w"))
-      .select(explode(tokenNgramsOfTokens(col("__w"), 2)).as("gram"))
-    val bucketed = grams.select(col("gram") +:
-      (0 until depth).map { r =>
-        (conv(substring(md5(col("gram")), 1 + 5 * r, 5), 16, 10)
-          .cast("long") % width).as(s"__b$r")
-      }: _*)
-    val cells = bucketed
-      .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), col(s"__b$r").as("b"))): _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
+    val bucketed = cmsBucketed(docs, textCol, depth, width)
+    val cells = cmsCellsOf(bucketed, depth).collect()
     val cms = Array.fill(depth * width)(0L)
     cells.foreach(row => cms(row.getInt(0) * width + row.getLong(1).toInt) = row.getLong(2))
     val total = (0 until width).map(b => cms(b)).sum // row 0 sums to the gram count

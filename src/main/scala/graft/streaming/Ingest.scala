@@ -124,6 +124,24 @@ object Ingest {
       maxDupWordFrac: Double = 0.9): DataFrame =
     graft.operators.TextOps.curationVerdict(docs, minTokens, maxDupWordFrac)
 
+  /** L61's streaming twin — a running count-min sketch over the bigram
+    * stream. The aggregation state is the depth×width cell grid
+    * (3072 counters by default): FIXED SIZE by construction, so unlike
+    * every other keyed-state twin this one needs no watermark to stay
+    * bounded on an unbounded crawl — the sketch simply keeps absorbing
+    * occurrences, and any batch can read heavy-hitter estimates off the
+    * current cells (min over rows; never an undercount, the batch
+    * operator's exact-verify contract applies when candidates are
+    * re-counted). Run in update/complete output mode.
+    */
+  def cmsSketchStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      depth: Int = 3,
+      width: Int = 1024): DataFrame =
+    graft.operators.TextOps.cmsCellsOf(
+      graft.operators.TextOps.cmsBucketed(docs, textCol, depth, width), depth)
+
   /** Sequence chunking's streaming twin — the same per-document
     * sequence+posexplode body the batch operator uses (Packing.chunk,
     * q72), applied to a document stream: stateless, shuffle-free,

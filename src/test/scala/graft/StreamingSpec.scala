@@ -132,6 +132,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("cms sketch stream: fixed-size cells accumulate across batches, estimates never undercount") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val depth = 3; val width = 1024
+    val q = Ingest.cmsSketchStream(mem.toDF(), depth = depth, width = width)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val batch1 = Seq(doc(1, "foo bar foo bar foo bar"), doc(2, "one two three"))
+      val batch2 = Seq(doc(3, "foo bar baz qux"), doc(4, "one two one two"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamCells = spark.table("cms")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // state stays inside the fixed grid
+      assert(streamCells.size <= depth * width)
+      assert(streamCells.keys.forall { case (r, b) => r < depth && b < width })
+      // the running sketch equals the batch sketch over the union
+      val batchCells = graft.operators.TextOps.cmsCellsOf(
+          graft.operators.TextOps.cmsBucketed(
+            (batch1 ++ batch2).toDF(), "text", depth, width), depth)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamCells == batchCells)
+      // CMS law: min-over-rows estimate >= true count for every gram
+      val trueCounts = (batch1 ++ batch2).toDF()
+        .select(explode(graft.operators.TextOps.tokenNgramsOfTokens(
+          graft.operators.TextOps.tokens(col("text")), 2)).as("gram"))
+        .groupBy("gram").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val bucketsOf = (g: String) => (0 until depth).map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        r -> java.lang.Long.parseLong(hex.substring(5 * r, 5 * r + 5), 16) % width
+      }
+      trueCounts.foreach { case (g, c) =>
+        val est = bucketsOf(g).map { case (r, b) => streamCells.getOrElse((r, b), 0L) }.min
+        assert(est >= c, s"CMS undercounts '$g': est $est < true $c")
+      }
+    } finally q.stop()
+  }
+
   test("chunk stream emits window plans statelessly, matching batch (q72 twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
