@@ -1059,6 +1059,11 @@ object SparkEntry {
     "q99_pmi_collocations" -> ((s, dir) => {
       TextOps.pmiCollocations(Tables.documents(s, dir), "text")
     }),
+    // Dedup — MinHash estimator calibration on the q19 pair set
+    // (engine-portable md5 permutations, hex-string component minima)
+    "q100_minhash_calibration" -> ((s, dir) => {
+      Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2960,5 +2965,35 @@ object SparkEntry {
          JOIN uc ca ON string_split(gc.gram, ' ')[1] = ca.tok
          JOIN uc cb ON string_split(gc.gram, ' ')[2] = cb.tok
          ORDER BY pmi DESC, gram LIMIT 25""",
+    // MinHash calibration: permutation k of a shingle is the first 16
+    // hex chars of md5(shingle || '#' || k); component minima compare
+    // as hex STRINGS (identical order to the unsigned 64-bit value), so
+    // both engines build the same signature. Estimates are multiples of
+    // 1/16 — exactly representable — and abs_err subtracts the
+    // UNROUNDED jaccard, mirroring the Spark expression shape.
+    "q100_minhash_calibration" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         sig AS (SELECT doc_id, k,
+                   min(substring(md5(e || '#' || k::VARCHAR), 1, 16)) AS sg
+                 FROM (SELECT doc_id, unnest(sh) AS e FROM s), range(16) r(k)
+                 GROUP BY doc_id, k),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         q AS (SELECT i, j, jac FROM p WHERE jac >= 0.7),
+         ag AS (SELECT q.i, q.j, q.jac,
+                  sum(CASE WHEN sa.sg = sb.sg THEN 1 ELSE 0 END)::DOUBLE / 16 AS est
+                FROM q
+                JOIN sig sa ON sa.doc_id = q.i
+                JOIN sig sb ON sb.doc_id = q.j AND sb.k = sa.k
+                GROUP BY q.i, q.j, q.jac)
+         SELECT i, j, round(jac, 6) AS jac, round(est, 6) AS jac_est,
+           round(abs(est - jac), 6) + 0.0 AS abs_err
+         FROM ag ORDER BY i, j""",
   )
 }

@@ -837,6 +837,61 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator calibration: for every exact near-dup pair
+    * (Jaccard ≥ threshold), the k-permutation MinHash ESTIMATE of that
+    * Jaccard (fraction of agreeing signature components) next to the
+    * exact value and the absolute error — the readout that tells you
+    * whether k is large enough before you trust banding at corpus
+    * scale.
+    *
+    * The signature is engine-portable by construction: permutation k of
+    * a shingle is the first 16 hex chars of md5(shingle + "#" + k), and
+    * the component minimum is taken over the HEX STRINGS — fixed-length
+    * lowercase hex compares lexicographically exactly like the unsigned
+    * 64-bit value it encodes, so both engines agree without any integer
+    * conversion. Estimates are exact multiples of 1/k (exactly
+    * representable doubles), so est/err round identically everywhere.
+    *
+    * Scale shape: signatures are one map-side fold per document (k·|sh|
+    * md5 calls, no exchange); the pair set is [[minhashLsh]]'s
+    * (banded + exact-verified), so this adds only a k·16-byte signature
+    * join onto pairs that already exist.
+    */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.7,
+      numPerms: Int = 16): DataFrame = {
+    val shingleStrs = {
+      val w = split(col(textCol), " ")
+      when(size(w) < shingleN, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(0), size(w) - shingleN),
+          i => concat_ws(" ", slice(w, i + 1, lit(shingleN))))))
+    }
+    val sigs = df.select(col(idCol).as("doc_id"), shingleStrs.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        array((0 until numPerms).map { k =>
+          array_min(transform(col("__sh"),
+            s => substring(md5(concat(s, lit("#" + k))), 1, 16)))
+        }: _*).as("sig"))
+    val pairs = minhashLsh(df, idCol, textCol, shingleN, threshold = threshold)
+    pairs
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("__si")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("__sj")), "j")
+      .withColumn("__agree",
+        size(filter(zip_with(col("__si"), col("__sj"), (a, b) => a === b),
+          x => x)))
+      .select(col("i"), col("j"),
+        round(col("jac"), 6).as("jac"),
+        round(col("__agree").cast("double") / numPerms, 6).as("jac_est"),
+        round(abs(col("__agree").cast("double") / numPerms - col("jac")), 6)
+          .as("abs_err"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Asymmetric near-containment pairs: ordered (i, j) with
     * |shingles(i) ∩ shingles(j)| / |shingles(i)| ≥ threshold — the
     * near-contained / quotation / superset-dup relation that symmetric

@@ -131,6 +131,28 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b a", 4L, pmi(4, 5, 5))))
   }
 
+  test("minhashCalibration: identical docs estimate 1.0 with zero error; est is k-quantized") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical → jac 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")   // near dup of 1
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val exact = rows.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(exact._3 == 1.0 && exact._4 == 1.0 && exact._5 == 0.0)
+    // every estimate is a multiple of 1/16 and err = |est - jac| (6 dp)
+    rows.foreach { case (_, _, jac, est, err) =>
+      assert((est * 16).isWhole, s"est $est not k-quantized")
+      // jac is reported rounded while err subtracts the unrounded value,
+      // so allow the 6-dp rounding slack
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6,
+        s"err $err inconsistent with |est-jac| = ${math.abs(est - jac)}")
+    }
+  }
+
   test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
     val docs = corpus()
     val got = Dedup.containmentPairs(docs, "doc_id", "text")
