@@ -1064,6 +1064,11 @@ object SparkEntry {
     "q100_minhash_calibration" -> ((s, dir) => {
       Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Dedup — τ-tuning sweep: pair/doc counts per candidate threshold
+    // off ONE exact PPJoin pass at the lowest τ
+    "q101_jaccard_threshold_sweep" -> ((s, dir) => {
+      Dedup.jaccardThresholdSweep(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2995,5 +3000,27 @@ object SparkEntry {
          SELECT i, j, round(jac, 6) AS jac, round(est, 6) AS jac_est,
            round(abs(est - jac), 6) + 0.0 AS abs_err
          FROM ag ORDER BY i, j""",
+    // Threshold sweep off the brute-force pair set; zero thresholds
+    // keep their row. jac is the same one-division double both engines
+    // compute, so >= against the same literals agrees bit-for-bit.
+    "q101_jaccard_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold),
+         q AS (SELECT threshold, i, j FROM th JOIN p ON p.jac >= th.threshold),
+         np AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM q GROUP BY 1),
+         nd AS (SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+                FROM (SELECT threshold, unnest([i, j]) AS doc FROM q) GROUP BY 1)
+         SELECT th.threshold, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(n_docs, 0)::BIGINT AS n_docs
+         FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         ORDER BY threshold""",
   )
 }

@@ -892,6 +892,43 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Jaccard threshold sweep — the τ-tuning readout run BEFORE
+    * committing a dedup threshold at corpus scale: for each candidate
+    * threshold, how many near-dup pairs qualify and how many distinct
+    * documents they touch. One pass of the exact PPJoin pair engine at
+    * the LOWEST threshold, then a tiny thresholds×pairs re-aggregation —
+    * the expensive pair generation is never repeated per τ. Thresholds
+    * with no qualifying pairs still emit a zero row (the sweep's whole
+    * point is seeing where the curve dies). n_docs avoids any
+    * collect_list: pairs explode to (threshold, doc) and count-distinct,
+    * so nothing pair-set-sized ever accumulates in one task.
+    */
+  def jaccardThresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardJoin(df, idCol, textCol, shingleN,
+      threshold = thresholds.min)
+    val th = thresholds.toDF("threshold")
+    val q = pairs
+      .select(col("i"), col("j"), col("jac"),
+        explode(typedlit(thresholds)).as("threshold"))
+      .filter(col("jac") >= col("threshold"))
+    val nPairs = q.groupBy(col("threshold")).agg(count(lit(1)).as("__np"))
+    val nDocs = q.select(col("threshold"), explode(array(col("i"), col("j"))).as("__d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("__d")).as("__nd"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Asymmetric near-containment pairs: ordered (i, j) with
     * |shingles(i) ∩ shingles(j)| / |shingles(i)| ≥ threshold — the
     * near-contained / quotation / superset-dup relation that symmetric

@@ -153,6 +153,26 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("jaccardThresholdSweep: monotone counts, zero rows kept, matches per-τ filters") {
+    val docs = corpus()
+    val got = Dedup.jaccardThresholdSweep(docs, "doc_id", "text")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // counts must be monotone non-increasing in τ
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    // each row equals an independent single-τ run of the exact pair join
+    got.foreach { case (t, np, nd) =>
+      val p = Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = t)
+      assert(p.count() == np, s"τ=$t n_pairs")
+      val docsTouched = p.select(explode(array(col("i"), col("j"))))
+        .distinct().count()
+      assert(docsTouched == nd, s"τ=$t n_docs")
+    }
+    // the exact-dup pair (docs 1,2) survives every τ
+    assert(got.last._2 >= 1L)
+  }
+
   test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
     val docs = corpus()
     val got = Dedup.containmentPairs(docs, "doc_id", "text")
