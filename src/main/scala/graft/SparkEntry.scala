@@ -1069,6 +1069,14 @@ object SparkEntry {
     "q101_jaccard_threshold_sweep" -> ((s, dir) => {
       Dedup.jaccardThresholdSweep(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Embedding QA — L2-norm z-score outlier flags (rounded-z compare)
+    "q102_norm_outliers" -> ((s, dir) => {
+      Similarity.normOutliers(Tables.embeddings(s, dir))
+    }),
+    // Embedding QA — Matryoshka prefix energy (16/32 of 64 dims)
+    "q103_matryoshka_energy" -> ((s, dir) => {
+      Similarity.matryoshkaEnergy(Tables.embeddings(s, dir))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3022,5 +3030,46 @@ object SparkEntry {
            coalesce(n_docs, 0)::BIGINT AS n_docs
          FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
          ORDER BY threshold""",
+    // Peak (max |x_i|) is the scored stat — unit-normalized corpora
+    // make the norm degenerate. Stats round to 6 dp before the corpus
+    // moments (q74 pattern); zero std short-circuits z to 0; the
+    // outlier flag compares the ROUNDED z on both engines.
+    "q102_norm_outliers" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id,
+                 round(sqrt(list_reduce(list_concat([0.0],
+                   list_transform(v, x -> x * x)), (a, b) -> a + b)), 6) AS norm,
+                 round(list_max(list_transform(v, x -> abs(x))), 6) AS peak
+               FROM e),
+         m AS (SELECT round(avg(peak), 6) AS m FROM n),
+         s AS (SELECT round(sqrt(avg((peak - (SELECT m FROM m))
+                                     * (peak - (SELECT m FROM m)))), 6) AS s
+               FROM n),
+         z AS (SELECT vec_id, norm, peak,
+                 CASE WHEN (SELECT s FROM s) = 0 THEN 0.0
+                      ELSE round((peak - (SELECT m FROM m))
+                                 / (SELECT s FROM s), 6) END AS z
+               FROM n)
+         SELECT vec_id, norm, peak, z, abs(z) > 2.0 AS outlier
+         FROM z ORDER BY vec_id""",
+    // Per-row index-order folds and one division each — no corpus-wide
+    // float state, parity is exact.
+    "q103_matryoshka_energy" ->
+      """WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, label,
+                 list_reduce(list_concat([0.0],
+                   list_transform(v, x -> x * x)), (a, b) -> a + b) AS n2,
+                 list_reduce(list_concat([0.0],
+                   list_transform(v[1:16], x -> x * x)), (a, b) -> a + b) AS p16,
+                 list_reduce(list_concat([0.0],
+                   list_transform(v[1:32], x -> x * x)), (a, b) -> a + b) AS p32
+               FROM e)
+         SELECT vec_id, label, round(p16 / n2, 6) AS energy_16,
+           round(p32 / n2, 6) AS energy_32
+         FROM n ORDER BY vec_id""",
   )
 }

@@ -610,6 +610,53 @@ object Similarity {
     * carries no direction — its cos_shift is defined 0 (same guard
     * class as nearDupPairsBlocked's zero-norm exclusion).
     */
+  /** Embedding outlier flags: per-vector L2 norm plus the PEAK
+    * component (max |x_i|) z-scored against the corpus — the broken-row
+    * detector (truncated writes, scale bugs, spike corruption) run
+    * before any similarity op trusts the column. Peak is the scored
+    * statistic because production embeddings are typically
+    * unit-normalized (this corpus included), which makes the norm
+    * degenerate — it is still reported, since norm ≠ 1 IS the anomaly
+    * on such a corpus. Stats round to 6 dp BEFORE the corpus moments
+    * (the q74 pattern: rounding bounds summation-order drift), the
+    * mean and population std re-enter as two bounded driver scalars, a
+    * zero std short-circuits z to 0 on both engines, and the outlier
+    * flag compares the ROUNDED z so both engines flag identical rows.
+    */
+  def normOutliers(vectors: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val sumD = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", round(sqrt(sumD(transform(col("v"), x => x * x))), 6))
+      .withColumn("peak", round(array_max(transform(col("v"), x => abs(x))), 6))
+    val m = v.select(round(avg(col("peak")), 6)).head().getDouble(0)
+    val s = v.select(round(sqrt(avg((col("peak") - m) * (col("peak") - m))), 6))
+      .head().getDouble(0)
+    val z = if (s == 0.0) lit(0.0) else round((col("peak") - m) / s, 6)
+    v.select(col("vec_id"), col("norm"), col("peak"), z.as("z"))
+      .withColumn("outlier", abs(col("z")) > zThreshold)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Matryoshka truncation fidelity: the fraction of each vector's
+    * energy (squared L2 norm) captured by its first 16 and 32
+    * dimensions — the keep-how-many-dims readout before committing to
+    * MRL-style truncation (Kusupati et al. 2022). Pure per-row
+    * index-order folds and one division each: no corpus-wide float
+    * state at all, so parity is exact.
+    */
+  def matryoshkaEnergy(vectors: DataFrame): DataFrame = {
+    val sumD = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    vectors
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("__n2", sumD(transform(col("v"), x => x * x)))
+      .select(col("vec_id"), col("label"),
+        round(sumD(transform(slice(col("v"), 1, 16), x => x * x)) / col("__n2"), 6)
+          .as("energy_16"),
+        round(sumD(transform(slice(col("v"), 1, 32), x => x * x)) / col("__n2"), 6)
+          .as("energy_32"))
+      .orderBy(col("vec_id"))
+  }
+
   def centeringReadout(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._

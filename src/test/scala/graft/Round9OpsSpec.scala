@@ -173,6 +173,39 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.last._2 >= 1L)
   }
 
+  test("normOutliers flags the spiked vector; zero-std corpus short-circuits z") {
+    val s = spark; import s.implicits._
+    import graft.operators.Similarity
+    // 9 flat-ish unit vectors + 1 spike-corrupted one
+    val flat = (1L to 9L).map(i => (i, Array.fill(4)(0.5f), 0))
+    val spiked = Seq((10L, Array(0.99f, 0.01f, 0.01f, 0.01f), 0))
+    val df = (flat ++ spiked).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.normOutliers(df)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(rows(10L), "spiked vector must be flagged")
+    assert((1L to 9L).forall(!rows(_)), "flat vectors must not be flagged")
+    // identical vectors → std 0 → z must be 0 everywhere, no flags
+    val same = (1L to 5L).map(i => (i, Array.fill(4)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val z0 = Similarity.normOutliers(same)
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    assert(z0.forall { case (z, o) => z == 0.0 && !o })
+  }
+
+  test("matryoshkaEnergy: energy monotone in prefix, exact on a hand case") {
+    val s = spark; import s.implicits._
+    import graft.operators.Similarity
+    // 64-dim: first 16 dims carry 1.0 each, rest 0 → energy_16 = 1.0
+    val front = (Array.fill(16)(1.0f) ++ Array.fill(48)(0.0f), 1)
+    // uniform: energy_16 = 16/64, energy_32 = 32/64
+    val unif = (Array.fill(64)(1.0f), 2)
+    val df = Seq((1L, front._1, front._2), (2L, unif._1, unif._2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.matryoshkaEnergy(df)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 1.0, 1.0), (2L, 0.25, 0.5)))
+  }
+
   test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
     val docs = corpus()
     val got = Dedup.containmentPairs(docs, "doc_id", "text")
