@@ -1077,6 +1077,10 @@ object SparkEntry {
     "q103_matryoshka_energy" -> ((s, dir) => {
       Similarity.matryoshkaEnergy(Tables.embeddings(s, dir))
     }),
+    // Curation — deterministic training-order reshard (seed-keyed)
+    "q104_shard_assignment" -> ((s, dir) => {
+      TextOps.shardAssignment(Tables.documents(s, dir), "doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3071,5 +3075,19 @@ object SparkEntry {
          SELECT vec_id, label, round(p16 / n2, 6) AS energy_16,
            round(p32 / n2, 6) AS energy_32
          FROM n ORDER BY vec_id""",
+    // Shard = first hex digit of md5(doc_id:42); pos = rank within the
+    // shard by (hex hash, doc_id) — fixed-length lowercase hex orders
+    // lexicographically like the value, so both engines rank alike.
+    "q104_shard_assignment" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS hh
+                    FROM documents),
+         z AS (SELECT doc_id,
+                 strpos('0123456789abcdef', substring(hh, 1, 1)) - 1 AS shard,
+                 row_number() OVER (PARTITION BY
+                     strpos('0123456789abcdef', substring(hh, 1, 1)) - 1
+                   ORDER BY hh, doc_id) AS pos
+               FROM h)
+         SELECT doc_id, shard::INTEGER AS shard, pos::INTEGER AS pos
+         FROM z ORDER BY doc_id""",
   )
 }

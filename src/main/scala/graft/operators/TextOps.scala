@@ -707,6 +707,33 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Deterministic training-order resharding: every document gets a
+    * shard (first hex digit of md5(doc_id:seed) — 16-way, uniform) and
+    * a position within its shard (hex-hash order, doc_id tie-break).
+    * This is the global-shuffle step a training run needs to be
+    * reproducible across re-runs and re-shards: content-independent,
+    * seed-keyed, no RNG state. The within-shard rank is a
+    * shard-partitioned window — the sort IS the reshard shuffle, and
+    * each of the 16 partitions sorts independently (at 100 TB you'd
+    * raise the shard count to match your writer parallelism; the shape
+    * is unchanged). Never a global single-task window.
+    */
+  def shardAssignment(
+      docs: DataFrame,
+      idCol: String,
+      seed: Int = 42): DataFrame = {
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    docs
+      .select(col(idCol).as("doc_id"), h.as("__h"))
+      .withColumn("shard", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("__h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

@@ -206,6 +206,24 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 1.0, 1.0), (2L, 0.25, 0.5)))
   }
 
+  test("shardAssignment: deterministic, seed-sensitive, contiguous within-shard positions") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.shardAssignment(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val b = TextOps.shardAssignment(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(a == b, "must be deterministic across runs")
+    val c = TextOps.shardAssignment(docs, "doc_id", seed = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(a != c, "a different seed must produce a different shuffle")
+    // shards in range; positions within each shard are 1..n contiguous
+    assert(a.forall { case (_, sh, _) => sh >= 0 && sh < 16 })
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+    }
+  }
+
   test("containmentPairs equals brute-force intersect/|A| over distinct shingles") {
     val docs = corpus()
     val got = Dedup.containmentPairs(docs, "doc_id", "text")
