@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: a full 72-query bench session accumulates enough
-  // old-gen debris that the tail queries' string-heavy aggregations
-  // GC-thrash at 8g (q70 measured 12x its isolated cost); the machine
-  // has 128 GiB, so headroom is the cheaper fix than a smaller surface
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: a full 104-query x 3-repeat bench session accumulates
+  // enough old-gen debris that tail queries' string-heavy aggregations
+  // GC-thrash (q70 measured 12x its isolated cost at 8g in round 6;
+  // q85/q84 measured 23x/19x at 16g on the grown round-9 surface); the
+  // machine has 128 GiB, so headroom is the cheaper fix than a smaller
+  // surface. Bench.scala additionally clears cache + GCs per query.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

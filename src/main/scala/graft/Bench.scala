@@ -38,6 +38,15 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = names.map { case (name, fn) =>
+      // Session hygiene between queries: a 104-query x 3-repeat session
+      // accumulates old-gen debris (cached relations, broadcast blocks,
+      // codegen classes) that the round-9 artifact showed taxing tail
+      // queries 5-23x on unchanged plans. Clear cached state and give
+      // the collector an explicit chance BEFORE the timer starts, so
+      // each query is measured against a quiet heap rather than 100
+      // predecessors' garbage.
+      spark.catalog.clearCache()
+      System.gc()
       // only successful executions count toward the median; a query
       // that throws must surface as -1, not as a near-zero time that
       // LOWERS the total (a broken query would read as a speedup)

@@ -1059,8 +1059,9 @@ object SparkEntry {
     "q99_pmi_collocations" -> ((s, dir) => {
       TextOps.pmiCollocations(Tables.documents(s, dir), "text")
     }),
-    // Dedup — MinHash estimator calibration on the q19 pair set
-    // (engine-portable md5 permutations, hex-string component minima)
+    // Dedup — MinHash estimator calibration on the exact PPJoin pair
+    // set (recall 1, so the brute-force oracle is covered uncondition-
+    // ally; engine-portable md5 permutations, hex component minima)
     "q100_minhash_calibration" -> ((s, dir) => {
       Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
     }),
@@ -1077,9 +1078,18 @@ object SparkEntry {
     "q103_matryoshka_energy" -> ((s, dir) => {
       Similarity.matryoshkaEnergy(Tables.embeddings(s, dir))
     }),
-    // Curation — deterministic training-order reshard (seed-keyed)
+    // Curation — deterministic training-order reshard (seed-keyed,
+    // numShards-parametrized; default 16)
     "q104_shard_assignment" -> ((s, dir) => {
       TextOps.shardAssignment(Tables.documents(s, dir), "doc_id")
+    }),
+    // Dedup — the combinatorial-chunk scale swap for q94 (8×8-bit
+    // chunks, C(8,5) combination buckets): same exact hamming<=3
+    // contract, same oracle — occupancy N/2^40 instead of N/65k
+    "q105_simhash_pairs_combinatorial" -> ((s, dir) => {
+      Dedup.simhashHammingPairsCombinatorial(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("i"), col("j"))
     }),
   )
 
@@ -2912,6 +2922,29 @@ object SparkEntry {
                    AS hamming
                FROM sd a JOIN sd b ON a.doc_id < b.doc_id)
          SELECT i, j, hamming FROM p WHERE hamming <= 3 ORDER BY i, j""",
+    // Identical contract to q94 (the signature bit vector and chunk-
+    // concatenated hamming are chunking-invariant), so the same brute-
+    // force oracle gates the combinatorial swap.
+    "q105_simhash_pairs_combinatorial" ->
+      """WITH t AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+                    FROM documents),
+         bits AS (SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substring(h, 16 - b // 4, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+           FROM t, range(64) r(b)),
+         votes AS (SELECT doc_id, b, sum(v) AS vt FROM bits GROUP BY 1, 2),
+         sig AS (SELECT doc_id, b // 16 AS chunk,
+                   sum(CASE WHEN vt > 0 THEN (1::BIGINT << (b % 16))
+                       ELSE 0 END)::BIGINT AS cv
+                 FROM votes GROUP BY 1, 2),
+         sd AS (SELECT doc_id, list(cv ORDER BY chunk) AS s FROM sig GROUP BY 1),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 (bit_count(xor(a.s[1], b.s[1])) + bit_count(xor(a.s[2], b.s[2]))
+                  + bit_count(xor(a.s[3], b.s[3])) + bit_count(xor(a.s[4], b.s[4])))::BIGINT
+                   AS hamming
+               FROM sd a JOIN sd b ON a.doc_id < b.doc_id)
+         SELECT i, j, hamming FROM p WHERE hamming <= 3 ORDER BY i, j""",
     // Exact bigram heavy hitters — the CMS pre-filter never undercounts,
     // so the Spark side's candidate-verified output equals plain
     // HAVING count >= max(5, ceil(total/2000)).
@@ -3054,7 +3087,7 @@ object SparkEntry {
          z AS (SELECT vec_id, norm, peak,
                  CASE WHEN (SELECT s FROM s) = 0 THEN 0.0
                       ELSE round((peak - (SELECT m FROM m))
-                                 / (SELECT s FROM s), 6) END AS z
+                                 / (SELECT s FROM s), 6) + 0.0 END AS z
                FROM n)
          SELECT vec_id, norm, peak, z, abs(z) > 2.0 AS outlier
          FROM z ORDER BY vec_id""",
@@ -3081,12 +3114,17 @@ object SparkEntry {
     "q104_shard_assignment" ->
       """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS hh
                     FROM documents),
-         z AS (SELECT doc_id,
-                 strpos('0123456789abcdef', substring(hh, 1, 1)) - 1 AS shard,
-                 row_number() OVER (PARTITION BY
-                     strpos('0123456789abcdef', substring(hh, 1, 1)) - 1
+         p AS (SELECT doc_id, hh,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) % 16
+                   AS shard
+               FROM h),
+         z AS (SELECT doc_id, shard,
+                 row_number() OVER (PARTITION BY shard
                    ORDER BY hh, doc_id) AS pos
-               FROM h)
+               FROM p)
          SELECT doc_id, shard::INTEGER AS shard, pos::INTEGER AS pos
          FROM z ORDER BY doc_id""",
   )

@@ -837,6 +837,49 @@ object Dedup {
       .distinct()
   }
 
+  /** The billion-document scale swap for [[simhashHammingPairs]]
+    * (Manku et al., WWW'07 §3's multi-table scheme): the 4×16-bit
+    * single-chunk bucketing grows per-bucket occupancy as N/65k, so at
+    * billions of documents each (chunk, value) bucket self-join goes
+    * quadratic. Splitting the SAME 64-bit signature into more, smaller
+    * chunks and bucketing on every (nChunks − maxHamming)-sized chunk
+    * COMBINATION keeps the pigeonhole guarantee — ≤ maxHamming bit
+    * errors corrupt ≤ maxHamming chunks, so some keep-subset agrees
+    * exactly — while widening the bucket key: with the 8×8-bit default,
+    * keys carry 40 signature bits (occupancy N/2⁴⁰) at the price of
+    * C(8,5) = 56 postings per document instead of 4. Output is
+    * IDENTICAL to simhashHammingPairs — the signature bit vector and
+    * the chunk-concatenated hamming are chunking-invariant — so the
+    * same brute-force oracle gates both (and the swap is drop-in, the
+    * q62→q78 pattern).
+    */
+  def simhashHammingPairsCombinatorial(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nChunks: Int = 8,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nChunks, "pigeonhole completeness needs maxHamming < nChunks")
+    val keep = nChunks - maxHamming
+    val combos = (0 until nChunks).combinations(keep).map(_.toSeq).toSeq
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Signatures.simhash_chunks(
+        transform(split(col(textCol), " "), md5TokenHash _), nChunks).as("sig"))
+    val keys = base.select(col("doc_id"), col("sig"),
+      explode(array(combos.zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("cid"),
+          array(c.map(i => element_at(col("sig"), i + 1)): _*).as("vals"))
+      }: _*)).as("k"))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        hammingChunks(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** MinHash estimator calibration: for every exact near-dup pair
     * (Jaccard ≥ threshold), the k-permutation MinHash ESTIMATE of that
     * Jaccard (fraction of agreeing signature components) next to the
@@ -853,9 +896,11 @@ object Dedup {
     * representable doubles), so est/err round identically everywhere.
     *
     * Scale shape: signatures are one map-side fold per document (k·|sh|
-    * md5 calls, no exchange); the pair set is [[minhashLsh]]'s
-    * (banded + exact-verified), so this adds only a k·16-byte signature
-    * join onto pairs that already exist.
+    * md5 calls, no exchange); the pair set is [[ngramJaccardJoin]]'s
+    * (prefix-filtered, recall 1 by the PPJoin theorem — banded LSH
+    * would silently drop the boundary pairs a calibration exists to
+    * measure), so this adds only a k·16-byte signature join onto the
+    * exact pair engine's output.
     */
   def minhashCalibration(
       df: DataFrame,
@@ -877,7 +922,14 @@ object Dedup {
           array_min(transform(col("__sh"),
             s => substring(md5(concat(s, lit("#" + k))), 1, 16)))
         }: _*).as("sig"))
-    val pairs = minhashLsh(df, idCol, textCol, shingleN, threshold = threshold)
+    // Pair source is the EXACT PPJoin engine, not banded LSH: banding's
+    // recall at τ is probabilistic (1−(1−τ^r)^b < 1 on boundary pairs,
+    // plus the hot-bucket cap), while the prefix-filter theorem gives
+    // recall 1 — so the calibration covers every qualifying pair, which
+    // is the whole point of a calibration (and what a brute-force
+    // oracle checks). Same jac expression either way.
+    val pairs = ngramJaccardJoin(df, idCol, textCol, shingleN,
+      threshold = threshold)
     pairs
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("__si")), "i")
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("__sj")), "j")
@@ -941,11 +993,22 @@ object Dedup {
     * ≤ t_i − 1) — we order by the shingle hash itself, so no global
     * document-frequency exchange is needed and recall stays exact. Only
     * the probe side is prefix-pruned (the containment denominator is
-    * |sh_i|); the indexed side posts all shingles. The verify step
+    * |sh_i|); the indexed side posts all shingles up to the
+    * `maxPosting` straggler cap. The verify step
     * compares integers (5·inter ≥ 3·|sh_i| for τ = 0.6), so no float
     * threshold hazard. Hash-only shuffles throughout; text stays in the
     * scan. Sibling of the PPJoin Jaccard path (q53), which adds the
     * frequency-ordered prefix as a further (exchange-costing) prune.
+    */
+  /** @param maxPosting last-resort straggler cap on the INDEX posting
+    *   lists (the probe side is already prefix-pruned): a corpus-hot
+    *   shingle ("the end of" class) would otherwise make one join
+    *   key's posting list corpus-sized — the exact straggler q53's
+    *   prefix cap guards against. Dropping a hot index posting loses a
+    *   pair only when EVERY probe-prefix shingle it shares is hot
+    *   (each pair has prefixLen independent chances to survive), and
+    *   the default bound is a no-op on honest data (DedupSpec proves
+    *   cap-at-1 ≠ cap-at-default only via hot shingles).
     */
   def containmentPairs(
       df: DataFrame,
@@ -953,7 +1016,9 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       thresholdNum: Int = 3,
-      thresholdDen: Int = 5): DataFrame = {
+      thresholdDen: Int = 5,
+      maxPosting: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(
       col(idCol).as("doc_id"),
       sort_array(array_distinct(org.apache.spark.sql.graft.Signatures
@@ -966,7 +1031,12 @@ object Dedup {
     val probe = base
       .select(col("doc_id"), col("sh"),
         explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    // straggler cap: the count window shares the pairing join's hash
+    // partitioning (no extra exchange), mirroring the q53 prefix cap
     val index = base.select(col("doc_id").as("j"), explode(col("sh")).as("h"))
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__pn") <= maxPosting)
+      .drop("__pn")
     val cand = probe.as("a")
       .join(index, col("a.h") === index("h") && col("a.doc_id") =!= col("j"))
       .select(col("a.doc_id").as("i"), col("j"))

@@ -622,7 +622,12 @@ object TextOps {
     * (documents contributing mostly already-seen n-grams add little).
     * Gram-hash keyed throughout: the min-doc groupBy and the join back
     * move 8-byte hashes, never gram text, so the shuffle is bounded by
-    * occurrence count × 16 bytes at any corpus size.
+    * occurrence count × 16 bytes at any corpus size. Documented risk
+    * (shared with every hashed-shingle path in this repo): a 64-bit
+    * xxhash64 collision would silently merge two distinct grams;
+    * expected collisions ≈ V²/2⁶⁵ stay below one until the distinct
+    * gram count V reaches ~6×10⁹ — an accepted envelope, chosen over
+    * putting gram text on the exchanges.
     */
   def ngramNovelty(
       docs: DataFrame,
@@ -651,7 +656,10 @@ object TextOps {
     * anywhere in the corpus keeps; later copies count as dups, wherever
     * the keeper lives) — the standard which-crawl-is-dirty curation
     * readout. Text-hash keyed like L1: the groupBy and join-back move
-    * (hash, id) pairs, never text.
+    * (hash, id) pairs, never text. Documented risk (the L1 envelope):
+    * a 64-bit collision would merge two distinct texts into one dup
+    * group; expected collisions ≈ N²/2⁶⁵ stay below one until ~6×10⁹
+    * documents — accepted over shuffling document text.
     */
   def dupRateBySource(
       docs: DataFrame,
@@ -695,10 +703,20 @@ object TextOps {
       .filter(col("cnt") >= minCount)
       .withColumn("__a", split(col("gram"), " ").getItem(0))
       .withColumn("__b", split(col("gram"), " ").getItem(1))
+    // Broadcast BOUND (the round-5 q50 lesson): the raw unigram count
+    // frame is open-vocabulary — corpus-sized on a web crawl — so it
+    // must never carry a broadcast hint. Semi-joining it down to the
+    // terms that actually appear in the minCount-filtered bigram frame
+    // bounds the broadcast side by 2·|gc| regardless of corpus size,
+    // and cannot change the result: the subsequent equi-joins only ever
+    // look up those same terms.
+    val cand = gc.select(col("__a").as("tok"))
+      .union(gc.select(col("__b").as("tok"))).distinct()
+    val ucB = uc.join(cand, Seq("tok"), "left_semi")
     val nUni = uni.count()
     val nBi = bi.count()
-    gc.join(broadcast(uc.withColumnRenamed("tok", "__a").withColumnRenamed("__c", "__ca")), "__a")
-      .join(broadcast(uc.withColumnRenamed("tok", "__b").withColumnRenamed("__c", "__cb")), "__b")
+    gc.join(broadcast(ucB.withColumnRenamed("tok", "__a").withColumnRenamed("__c", "__ca")), "__a")
+      .join(broadcast(ucB.withColumnRenamed("tok", "__b").withColumnRenamed("__c", "__cb")), "__b")
       .select(col("gram"), col("cnt"),
         round(log(col("cnt").cast("double") / lit(nBi.toDouble)
           * (lit(nUni.toDouble) / col("__ca"))
@@ -708,28 +726,57 @@ object TextOps {
   }
 
   /** Deterministic training-order resharding: every document gets a
-    * shard (first hex digit of md5(doc_id:seed) — 16-way, uniform) and
-    * a position within its shard (hex-hash order, doc_id tie-break).
-    * This is the global-shuffle step a training run needs to be
-    * reproducible across re-runs and re-shards: content-independent,
-    * seed-keyed, no RNG state. The within-shard rank is a
-    * shard-partitioned window — the sort IS the reshard shuffle, and
-    * each of the 16 partitions sorts independently (at 100 TB you'd
-    * raise the shard count to match your writer parallelism; the shape
-    * is unchanged). Never a global single-task window.
+    * shard (16-bit md5(doc_id:seed) prefix mod `numShards` — uniform
+    * for any shard count up to 65536) and a position within its shard
+    * (hex-hash order, doc_id tie-break). This is the global-shuffle
+    * step a training run needs to be reproducible across re-runs and
+    * re-shards: content-independent, seed-keyed, no RNG state. Raise
+    * `numShards` to match writer parallelism at scale — membership of
+    * the corpus and determinism of the order are invariant under the
+    * shard count (ShardSpec proves it); only the (shard, pos)
+    * labelling permutes.
+    *
+    * The within-shard rank is NEVER one task's sort: each shard is
+    * sub-bucketed by the hash's most-significant hex digit (which is
+    * order-aligned with the `__h` sort, so ranks compose), local
+    * row_numbers run over (shard, subbucket) windows — 16·numShards
+    * independent sorts — and the cross-bucket offsets are a bounded
+    * 16·numShards-row driver fold re-entering as a literal map (the
+    * q77 distributed-prefix-sum discipline, Curation.tokenBudgetSelect).
     */
   def shardAssignment(
       docs: DataFrame,
       idCol: String,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      numShards: Int = 16): DataFrame = {
+    require(numShards > 0 && numShards <= 65536,
+      "numShards must be in [1, 65536] (16-bit hash prefix)")
     val h = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
-    docs
+    val base = docs
       .select(col(idCol).as("doc_id"), h.as("__h"))
-      .withColumn("shard", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))
-      .withColumn("pos", row_number().over(
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 4), 16, 10).cast("int"),
+          lit(numShards)).cast("int"))
+      .withColumn("__sub", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))
+      .localCheckpoint()
+    // exclusive prefix offsets: rows in the same shard living in a
+    // strictly smaller sub-bucket; 16·numShards rows, driver-bounded
+    val counts = base.groupBy(col("shard"), col("__sub"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toSeq
+    val offsets: Map[Int, Long] = counts.map { case ((sh, sb), _) =>
+      (sh * 16 + sb) -> counts.filter { case ((s2, b2), _) => s2 == sh && b2 < sb }
+        .map(_._2).sum
+    }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedlit(offsets), col("shard") * 16 + col("__sub")), lit(0L))
+    base
+      .withColumn("pos", (row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard"))
-          .orderBy(col("__h"), col("doc_id"))))
+          .partitionBy(col("shard"), col("__sub"))
+          .orderBy(col("__h"), col("doc_id"))) + offExpr).cast("int"))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))
   }

@@ -360,4 +360,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"q95: candidate filter must be below the count exchange\n${p.take(2000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q99's broadcast side is candidate-bounded, never the open vocabulary") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // the unigram count frame is open-vocabulary (corpus-scaling on a
+    // web crawl — the round-5 q50 lesson); before it may carry a
+    // broadcast hint it must be semi-joined down to the bigram
+    // candidate terms, which are bounded by the minCount filter. The
+    // executed plan therefore must (a) keep the PMI lookups broadcast
+    // and (b) show a LeftSemi join INSIDE at least one broadcast
+    // exchange subtree — proof the broadcast input is the bounded
+    // frame, not the raw vocabulary
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = SparkEntry.queries("q99_pmi_collocations")(spark, sf)
+        .queryExecution.executedPlan
+      val bes = root.collect { case b: BroadcastExchangeExec => b }
+      assert(bes.nonEmpty, root.toString.take(3000))
+      val bounded = bes.exists { b =>
+        b.collect {
+          case j: BaseJoinExec if j.joinType.toString == "LeftSemi" => j
+        }.nonEmpty
+      }
+      assert(bounded,
+        s"no broadcast subtree contains the candidate semi-join\n${root.toString.take(3000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Dedup, TextOps}
+
+/** Round-10 hardening: shard-count-parametrized resharding (membership
+  * and determinism invariant under numShards; the two-phase prefix-sum
+  * rank equals the single-window definition), the containment-join
+  * posting cap (straggler backstop, no-op on honest data), and the
+  * calibration pair source's exact recall.
+  */
+class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("shardAssignment: numShards permutes only (shard, pos), never membership or determinism") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val byCount = Seq(4, 16, 64).map { n =>
+      n -> TextOps.shardAssignment(docs, "doc_id", numShards = n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    }.toMap
+    // membership: every shard count covers exactly the same corpus
+    byCount.values.foreach { rows =>
+      assert(rows.map(_._1).sorted == (1L to 300L).toSeq)
+    }
+    // shards in range, positions dense 1..n within each shard
+    byCount.foreach { case (n, rows) =>
+      assert(rows.forall { case (_, sh, _) => sh >= 0 && sh < n })
+      rows.groupBy(_._2).foreach { case (_, g) =>
+        assert(g.map(_._3).sorted == (1 to g.size).toSeq)
+      }
+    }
+    // determinism: a repeated run with the same count is identical
+    val again = TextOps.shardAssignment(docs, "doc_id", numShards = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(again == byCount(64))
+    // the global hash order is the SAME order under every shard count:
+    // sorting any count's rows by hash rank must list doc_ids in one
+    // canonical sequence (shard/pos relabel, the shuffle itself is
+    // invariant). Reconstruct the per-count order via (hash, doc_id).
+    val hashes = docs.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val canonical = hashes.toSeq.sortBy { case (id, h) => (h, id) }.map(_._1)
+    byCount.values.foreach { rows =>
+      val perShard = rows.groupBy(_._2).map { case (sh, g) =>
+        sh -> g.sortBy(_._3).map(_._1)
+      }
+      // within every shard, pos order == canonical hash order restricted
+      // to that shard's members
+      perShard.foreach { case (_, ids) =>
+        val want = canonical.filter(ids.toSet)
+        assert(ids == want)
+      }
+    }
+  }
+
+  test("shardAssignment two-phase rank equals the single-window definition") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 250L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val got = TextOps.shardAssignment(docs, "doc_id", numShards = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // reference: plain partitionBy(shard) row_number — the definition
+    // the two-phase (sub-bucket + offset literal) plan must reproduce
+    val h = md5(concat(col("doc_id").cast("string"), lit(":42")))
+    val want = docs.select(col("doc_id"), h.as("hh"))
+      .withColumn("shard",
+        pmod(conv(substring(col("hh"), 1, 4), 16, 10).cast("int"), lit(5)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("containment posting cap is a no-op on the sf0.001 corpus") {
+    // the probe side is prefix-pruned, so a qualifying pair reaches the
+    // verify step through ANY of its probe-prefix shingles; capping the
+    // index postings changes nothing on real-shaped data — the cap is a
+    // straggler backstop, not a recall knob
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(cap: Int) = Dedup.containmentPairs(docs, "doc_id", "text",
+        maxPosting = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiny = run(16)
+    val default = run(100000)
+    assert(default.nonEmpty, "no containment pairs at sf0.001; test is vacuous")
+    assert(tiny == default)
+  }
+
+  test("containment cap drops only pairs whose every shared shingle is hot") {
+    val s = spark; import s.implicits._
+    // 30 identical boilerplate docs: every shingle's posting list has 30
+    // members; one contained pair shares only rare shingles
+    val boiler = (1L to 30L).map(i => (i, "all rights reserved by the site operator"))
+    val pairA = (101L, "battery charged eleven kilowatt hours overnight")
+    val pairB = (102L, "battery charged eleven kilowatt hours overnight at low tariff")
+    val docs = (boiler :+ pairA :+ pairB).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", maxPosting = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // A's shingles are all inside B: containment(A→B) = 1.0 survives the
+    // cap; the 30·29 ordered boilerplate pairs are exactly what it drops
+    assert(capped == Set((101L, 102L)), s"got $capped")
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (i, j) => i <= 30L && j <= 30L } == 30 * 29)
+    assert(uncapped.contains((101L, 102L)))
+  }
+
+  test("combinatorial simhash swap equals simhashHammingPairs on the sf0.001 corpus") {
+    // the signature bit vector and the chunk-concatenated hamming are
+    // chunking-invariant, and both bucket schemes are pigeonhole-
+    // complete at hamming <= 3 — so the scale swap must be drop-in
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val four = rows(Dedup.simhashHammingPairs(docs, "doc_id", "text"))
+    val combi = rows(Dedup.simhashHammingPairsCombinatorial(docs, "doc_id", "text"))
+    assert(four.nonEmpty, "no hamming<=3 pairs at sf0.001; test is vacuous")
+    assert(combi == four)
+  }
+
+  test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
+    val s = spark; import s.implicits._
+    // boundary-heavy fixture: pairs hovering right at jac = 0.7, where
+    // banded LSH's miss probability is highest — the exact PPJoin pair
+    // source must still cover all of them
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over distinct 3-shingle sets
+    val base = docs.select(col("doc_id"),
+      array_distinct(org.apache.spark.sql.graft.Signatures
+        .shingle_hashes(split(col("text"), " "), 3)).as("sh"))
+    val want = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jac"))
+      .filter(col("jac") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce boundary pairs")
+    assert(got == want)
+  }
+}
