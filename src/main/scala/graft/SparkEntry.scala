@@ -1091,6 +1091,22 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("i"), col("j"))
     }),
+    // Curation — Gopher-style per-rule quality gate (rounded-before-
+    // compare floats make the whole verdict oracle-exact)
+    "q106_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+    }),
+    // Curation — per-source distinct-n-gram diversity (template/
+    // boilerplate detector at source granularity)
+    "q107_ngram_diversity" -> ((s, dir) => {
+      TextOps.distinctNgramDiversity(Tables.documents(s, dir), "text", "source")
+    }),
+    // Curation — per-source shared-prefix boilerplate rate (head-dup
+    // detector; catches mirrors/banners full-text dedup misses)
+    "q108_prefix_boilerplate" -> ((s, dir) => {
+      TextOps.sharedPrefixBoilerplate(Tables.documents(s, dir),
+        "doc_id", "text", "source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2945,6 +2961,61 @@ object SparkEntry {
                    AS hamming
                FROM sd a JOIN sd b ON a.doc_id < b.doc_id)
          SELECT i, j, hamming FROM p WHERE hamming <= 3 ORDER BY i, j""",
+    // Gopher rules: every float rounded to 6 dp BEFORE its threshold
+    // compare, keep = conjunction — verdict is oracle-exact
+    "q106_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         r AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                 round(list_avg(list_transform(w, x -> len(x))), 6)
+                   AS mean_word_len,
+                 len(list_intersect(list_distinct(w),
+                   ['the','a','and','of','to','in','is','it','for','on']))::BIGINT
+                   AS n_stop_distinct,
+                 round(list_max(list_transform(list_distinct(w),
+                   t -> len(list_filter(w, x -> x = t))))::DOUBLE / len(w), 6)
+                   AS top_frac
+               FROM t)
+         SELECT doc_id, n_words, mean_word_len, n_stop_distinct, top_frac,
+           (n_words BETWEEN 30 AND 80) AS r_wordcount,
+           (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS r_meanlen,
+           (n_stop_distinct >= 2) AS r_stopwords,
+           (top_frac <= 0.1) AS r_repetition,
+           ((n_words BETWEEN 30 AND 80)
+            AND mean_word_len >= 4.0 AND mean_word_len <= 5.0
+            AND n_stop_distinct >= 2 AND top_frac <= 0.1) AS keep
+         FROM r ORDER BY doc_id""",
+    // Distinct-n-gram diversity per source (hash-keyed on the Spark
+    // side; string-keyed here — the documented q96/q98 collision
+    // envelope covers the difference)
+    "q107_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT source, 1 AS n, unnest(w) AS g FROM t
+           UNION ALL
+           SELECT source, 2 AS n,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM t
+           UNION ALL
+           SELECT source, 3 AS n,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)]) AS g
+           FROM t)
+         SELECT source, n, count(*)::BIGINT AS n_total,
+           count(DISTINCT g)::BIGINT AS n_distinct,
+           round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Shared-prefix boilerplate rate: prefix df computed corpus-wide,
+    // aggregated per source
+    "q108_prefix_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         p AS (SELECT doc_id, source, array_to_string(w[1:8], ' ') AS pfx
+               FROM t),
+         d AS (SELECT pfx, count(*) AS df FROM p GROUP BY 1)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_prefix,
+           round(avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END), 6) AS shared_frac
+         FROM p JOIN d USING (pfx) GROUP BY 1 ORDER BY 1""",
     // Exact bigram heavy hitters — the CMS pre-filter never undercounts,
     // so the Spark side's candidate-verified output equals plain
     // HAVING count >= max(5, ceil(total/2000)).

@@ -781,6 +781,105 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard pre-training keep/drop gate), as a per-rule readout: word
+    * count inside [minWords, maxWords], mean word length inside
+    * [minMeanLen, maxMeanLen], at least `minStopHits` DISTINCT
+    * stopwords present (the "real prose" check), and the most frequent
+    * token's share at most `maxTopFrac` (the repetition check q51
+    * exposes raw). Every float is rounded to 6 dp BEFORE its threshold
+    * compare — both engines then compare identical doubles — and `keep`
+    * is the conjunction, so the whole verdict is oracle-exact. Pure
+    * Column expressions over the token array: scan speed, no shuffle,
+    * per-doc cost bounded by document length at any corpus size.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 30,
+      maxWords: Int = 80,
+      minMeanLen: Double = 4.0,
+      maxMeanLen: Double = 5.0,
+      minStopHits: Int = 2,
+      maxTopFrac: Double = 0.10): DataFrame = {
+    val w = tokens(col(textCol))
+    val nWords = size(w).cast("long")
+    val meanLen = round(
+      aggregate(w, lit(0L), (a, t) => a + length(t)).cast("double") / size(w), 6)
+    val stopHits = size(array_intersect(array_distinct(w),
+      typedlit(EnStopwords))).cast("long")
+    val topFrac = round(topTokenFrac(col(textCol)), 6)
+    val rWc = nWords >= minWords && nWords <= maxWords
+    val rMl = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSt = stopHits >= minStopHits
+    val rRep = topFrac <= maxTopFrac
+    docs.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        stopHits.as("n_stop_distinct"), topFrac.as("top_frac"),
+        rWc.as("r_wordcount"), rMl.as("r_meanlen"),
+        rSt.as("r_stopwords"), rRep.as("r_repetition"),
+        (rWc && rMl && rSt && rRep).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source distinct-n-gram diversity for n = 1..maxN — the
+    * template/boilerplate detector at source granularity (a crawl
+    * whose bigram diversity is far below its peers is generating from
+    * templates; also the standard distinct-n generation-diversity
+    * metric applied to training data). Gram-hash keyed: the
+    * count-distinct shuffles (source, n, 8-byte hash), never gram text
+    * — the q96/q98 collision envelope (≈ V²/2⁶⁵ expected collisions)
+    * applies and is accepted for the same reason. One corpus scan per
+    * n; each is scan-speed with a map-side pre-aggregated count.
+    */
+  def distinctNgramDiversity(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      maxN: Int = 3): DataFrame = {
+    val perN = (1 to maxN).map { n =>
+      docs.select(col(sourceCol).as("source"),
+          explode(tokenNgramsOfTokens(tokens(col(textCol)), n)).as("__g"))
+        .select(col("source"), lit(n).as("n"), xxhash64(col("__g")).as("__gh"))
+    }.reduce(_ unionByName _)
+    perN.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("__gh")).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_total"), 6)
+          .as("diversity"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  /** Per-source shared-prefix boilerplate rate: the fraction of a
+    * source's documents whose first-k-token prefix is shared by at
+    * least `minDf` documents ANYWHERE in the corpus — the
+    * crawl-boilerplate head detector (mirror pages, scraper banners,
+    * and truncation dups share heads long before they share full
+    * texts; q18/q98 catch only verbatim full-document copies).
+    * Prefix-hash keyed like q98: the df groupBy and join-back move
+    * (hash, source) pairs, never text; same 64-bit collision envelope.
+    */
+  def sharedPrefixBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      k: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val p = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      xxhash64(concat_ws(" ", slice(tokens(col(textCol)), 1, k))).as("__p"))
+    val dfreq = p.groupBy(col("__p")).agg(count(lit(1)).as("__df"))
+    p.join(dfreq, "__p")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_shared_prefix"),
+        round(avg(when(col("__df") >= minDf, 1.0).otherwise(0.0)), 6)
+          .as("shared_frac"))
+      .orderBy(col("source"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

@@ -132,6 +132,67 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(combi == four)
   }
 
+  test("gopherRules: each rule fails independently on a crafted doc") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // 30 words, mean (7+27·5)/30 = 4.7333, 3 stopwords, top 1/30 → keep
+      (1L, "the of is " + (1 to 27).map(i => f"wrd$i%02d").mkString(" ")),
+      // 10 words < 30 → r_wordcount fails (mean 2.0 < 4 also fails)
+      (2L, "the of " + (1 to 8).map(i => s"x$i").mkString(" ")),
+      // 30 words but mean (5+28·3)/30 = 2.97 < 4 → only r_meanlen fails
+      (3L, "the of " + (1 to 28).map(i => f"w$i%02d").mkString(" ")),
+      // 30 distinct 5-char words, mean exactly 5.0, no stopwords → only r_stopwords fails
+      (4L, (1 to 30).map(i => f"wrd$i%02d").mkString(" ")),
+      // mean (5+40+90)/30 = 4.5, but 'spam' is 10/30 > 0.1 → only r_repetition fails
+      (5L, "the of " + Seq.fill(10)("spam").mkString(" ") + " " +
+        (1 to 18).map(i => f"wrd$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toSeq
+    assert(got == Seq(
+      (1L, true, true, true, true, true),
+      (2L, false, false, true, true, false),
+      (3L, true, false, true, true, false),
+      (4L, true, true, false, true, false),
+      (5L, true, true, true, false, false)))
+  }
+
+  test("distinctNgramDiversity: hand-counted per-source gram ratios") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("a", "x y x y"),     // uni: 4 occ / 2 distinct; bi: 3 occ ("x y","y x","x y") / 2; tri: 2 occ / 2
+      ("a", "x y z"),       // uni +3/+1(z); bi: +2 ("x y" dup, "y z" new); tri: +1 new
+      ("b", "p q"))         // uni 2/2; bi 1/1; tri 0
+      .toDF("source", "text")
+    val got = TextOps.distinctNgramDiversity(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("a", 1, 7L, 3L, 0.428571),
+      ("a", 2, 5L, 3L, 0.6),
+      ("a", 3, 3L, 3L, 1.0),
+      ("b", 1, 2L, 2L, 1.0),
+      ("b", 2, 1L, 1L, 1.0)))
+    // n=3 for source b: zero grams → no row (count of nothing), matching
+    // the oracle's GROUP BY over an empty gram set
+  }
+
+  test("sharedPrefixBoilerplate: corpus-wide prefix df, per-source aggregation") {
+    val s = spark; import s.implicits._
+    val head = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, "a", s"$head tail one"),
+      (2L, "a", "totally different document body here entirely unique words"),
+      (3L, "b", s"$head tail two"),          // shares its 8-prefix with doc 1 (cross-source)
+      (4L, "b", "another body of unshared text with its own head entirely"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sharedPrefixBoilerplate(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(("a", 2L, 1L, 0.5), ("b", 2L, 1L, 0.5)))
+  }
+
   test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
     val s = spark; import s.implicits._
     // boundary-heavy fixture: pairs hovering right at jac = 0.7, where
