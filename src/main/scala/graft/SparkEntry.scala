@@ -1107,6 +1107,18 @@ object SparkEntry {
       TextOps.sharedPrefixBoilerplate(Tables.documents(s, dir),
         "doc_id", "text", "source")
     }),
+    // Similarity — ANN recall@k audit: IVF multiprobe vs brute-force
+    // top-k overlap per query (the measure-before-you-trust readout)
+    "q109_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfRecallReadout(e, e.filter(col("vec_id") < 5), k = 5)
+    }),
+    // Dedup — canonical selection per near-dup cluster: keeper chosen
+    // by quality score (stopword ratio), not crawl order; ties to
+    // lowest doc_id. Singletons keep themselves.
+    "q110_cluster_canonical" -> ((s, dir) => {
+      Dedup.clusterCanonicalSelect(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1684,6 +1696,137 @@ object SparkEntry {
                FROM s)
          SELECT qid, nid, round(cos, 6) + 0.0 AS cos, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+    // Reuses the full q23 Lloyd-replay CTE chain for the IVF side, a
+    // q21-shape brute-force for the exact side, then per-query overlap.
+    "q109_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         probes AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c
+             WHERE e.vec_id < 5)
+           WHERE rk <= 2),
+         s AS (
+           SELECT q.vec_id AS qid, x.vec_id AS nid,
+             list_inner_product(q.v, x.v) /
+             (sqrt(list_inner_product(q.v, q.v)) *
+              sqrt(list_inner_product(x.v, x.v))) AS cos
+           FROM probes q JOIN members x ON q.cell = x.cell AND x.vec_id <> q.vec_id),
+         r AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+               FROM s),
+         iv AS (SELECT qid, nid FROM r WHERE rank <= 5),
+         bf AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+                  list_inner_product(q.v, x.v) /
+                  (sqrt(list_inner_product(q.v, q.v)) *
+                   sqrt(list_inner_product(x.v, x.v))) AS cos
+                FROM e q JOIN e x ON q.vec_id < 5 AND x.vec_id <> q.vec_id),
+         bfr AS (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                     AS rank
+                 FROM bf),
+         bf5 AS (SELECT qid, nid FROM bfr WHERE rank <= 5),
+         ov AS (SELECT iv.qid, count(*) AS n_overlap
+                FROM iv JOIN bf5 ON iv.qid = bf5.qid AND iv.nid = bf5.nid
+                GROUP BY 1)
+         SELECT q.vec_id AS qid, 5 AS k,
+           coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(ov.n_overlap, 0)::DOUBLE / 5, 6) AS recall
+         FROM (SELECT vec_id FROM e WHERE vec_id < 5) q
+         LEFT JOIN ov ON q.vec_id = ov.qid
+         ORDER BY qid""",
+    // Canonical selection per near-dup cluster: the q49 recursive-CTE
+    // clustering replay, then per-cluster argmax (rounded stopword
+    // score desc, doc_id asc)
+    "q110_cluster_canonical" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u),
+         m AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN lab l USING (doc_id)),
+         sc AS (SELECT doc_id,
+                  round(len(list_filter(string_split(text, ' '),
+                    t2 -> list_contains(
+                      ['the','a','and','of','to','in','is','it','for','on'],
+                      t2)))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS q_score
+                FROM documents),
+         r AS (SELECT m.cluster, m.doc_id, sc.q_score,
+                 row_number() OVER (PARTITION BY m.cluster
+                   ORDER BY sc.q_score DESC, m.doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY m.cluster) AS n_members
+               FROM m JOIN sc USING (doc_id))
+         SELECT cluster, doc_id AS keeper, q_score,
+           n_members::BIGINT AS n_members
+         FROM r WHERE rk = 1 ORDER BY cluster""",
     // Identical Lloyd recurrence as q23 (seed = first 8 vectors, two
     // assign/mean steps with 6-decimal centroid rounding), summarized
     // per final cell instead of searched.

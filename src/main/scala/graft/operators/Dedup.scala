@@ -62,6 +62,41 @@ object Dedup {
     singles.union(verified)
   }
 
+  /** Canonical-document selection per near-dup cluster: after
+    * clustering (LSH pairs → connected components, the q49 machinery),
+    * pick each cluster's keeper as the member maximizing (rounded
+    * quality score, then lowest doc_id on ties) — the step that turns
+    * "these N documents are near-identical" into "train on THIS one".
+    * Min-id keepers (what raw CC gives you) keep whatever the crawler
+    * saw first; a mixing pipeline wants the best-quality variant kept
+    * and the rest dropped. Unlike verbatim-dup groups (where any
+    * text-derived score is constant across copies), near-dup cluster
+    * members genuinely differ, so the quality argmax is meaningful.
+    *
+    * Scale shape: rides the existing cluster labels (pair-set-bounded
+    * CC) plus one map-side score scan; the argmax is a struct max
+    * inside the cluster-keyed aggregation — no window over the corpus,
+    * no text on any exchange.
+    */
+  def clusterCanonicalSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.7,
+      scoreOf: Column => Column = t => TextOps.stopwordRatio(t)): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, shingleN, threshold)
+    val scored = df.select(col(idCol).as("doc_id"),
+      round(scoreOf(col(textCol)), 6).as("q_score"))
+    clusters.join(scored, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("q_score").as("s"), (-col("doc_id")).as("negid"))).as("__m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("__m.negid")).as("keeper"),
+        col("__m.s").as("q_score"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val w = split(text, " ")

@@ -254,6 +254,40 @@ object Similarity {
         round(min(col("sim")), 6).as("min_cos"))
   }
 
+  /** ANN recall@k readout: per query, how much of the exact brute-force
+    * top-k the IVF multiprobe search actually returned — the
+    * measure-before-you-trust audit every approximate index needs
+    * before it replaces the exact path at corpus scale (the same
+    * discipline as the q62→q78 gated swap, made a first-class,
+    * oracle-gated readout instead of a one-off BASELINE probe). Runs
+    * the two searches the library already ships and joins their
+    * (qid, nid) sets; cost is one brute-force pass over the QUERY set
+    * (small by contract — this is an audit run on a sample, not the
+    * production search) plus the IVF search being audited.
+    */
+  def ivfRecallReadout(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCells: Int = 8,
+      iters: Int = 2,
+      probes: Int = 2): DataFrame = {
+    val ivf = ivfTopKMultiprobe(vectors, queries, k, numCells, iters, probes)
+      .select(col("qid"), col("nid"))
+    val bf = bruteForceTopK(vectors, queries, k)
+      .select(col("qid").as("__q"), col("nid").as("__n"))
+    val overlap = ivf
+      .join(bf, col("qid") === col("__q") && col("nid") === col("__n"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    queries.select(col("vec_id").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** IVF top-k with a real k-means index and query-side multiprobe:
     * vectors live in their single nearest cell; each query probes its
     * `probes` nearest cells and ranks exact cosine within them. The

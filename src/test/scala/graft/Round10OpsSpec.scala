@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Round-10 hardening: shard-count-parametrized resharding (membership
   * and determinism invariant under numShards; the two-phase prefix-sum
@@ -191,6 +191,40 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got == Seq(("a", 2L, 1L, 0.5), ("b", 2L, 1L, 0.5)))
+  }
+
+  test("ivfRecallReadout: exhaustive probing recovers recall 1.0 exactly") {
+    // with probes = numCells every query scans every cell, so the IVF
+    // candidate set IS the corpus and recall must be exactly 1 — the
+    // structural identity that pins the readout's join/count logic
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.ivfRecallReadout(e, e.filter(col("vec_id") < 4),
+        k = 5, numCells = 8, iters = 2, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(full.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(full.forall { case (_, n, rec) => n == 5L && rec == 1.0 },
+      s"exhaustive probing must be exact: $full")
+    // and the default 2-probe recall is a valid fraction of k
+    val part = Similarity.ivfRecallReadout(e, e.filter(col("vec_id") < 4), k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(part.forall { case (n, rec) =>
+      n >= 0L && n <= 5L && rec >= 0.0 && rec <= 1.0 })
+  }
+
+  test("clusterCanonicalSelect keeps the highest-quality member, not the first") {
+    val s = spark; import s.implicits._
+    // docs 1-3 are one near-dup cluster; doc 3 has the highest stopword
+    // ratio (the quality proxy) and must be the keeper despite the
+    // min-id representative being 1. Doc 9 is a singleton.
+    val docs = Seq(
+      (1L, "grid power peaked at nine kilowatt hours during the evening window x1 y1"),
+      (2L, "grid power peaked at nine kilowatt hours during the evening window x2 y2"),
+      (3L, "grid power peaked at nine kilowatt hours during the evening window of it"),
+      (9L, "completely unrelated standalone document about nothing in particular"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterCanonicalSelect(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 3L), (9L, 9L, 1L)), s"got $got")
   }
 
   test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
