@@ -361,6 +361,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("round-10 additions: gram/prefix text is hashed in the scan, never exchanged (q107/q108)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q107's count-distinct and q108's df groupBy must key on the
+      // 8-byte hash — the only string allowed on an exchange is the
+      // bounded `source` dimension; raw grams (`__g`) or prefixes
+      // would make the shuffle corpus-text-sized
+      for (q <- Seq("q107_ngram_diversity", "q108_prefix_boilerplate")) {
+        val root = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val leaked = for {
+          e <- root.collect { case e: ShuffleExchangeExec => e }
+          a <- e.output
+          if a.dataType.simpleString.contains("string") && a.name != "source"
+        } yield s"${a.name}: ${a.dataType.simpleString}"
+        assert(leaked.isEmpty,
+          s"$q: raw text rides an exchange: ${leaked.mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q99's broadcast side is candidate-bounded, never the open vocabulary") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
