@@ -1095,6 +1095,7 @@ object SparkEntry {
     // compare floats make the whole verdict oracle-exact)
     "q106_gopher_rules" -> ((s, dir) => {
       TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
     // Curation — per-source distinct-n-gram diversity (template/
     // boilerplate detector at source granularity)

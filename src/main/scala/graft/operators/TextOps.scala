@@ -814,13 +814,15 @@ object TextOps {
     val rMl = meanLen >= minMeanLen && meanLen <= maxMeanLen
     val rSt = stopHits >= minStopHits
     val rRep = topFrac <= maxTopFrac
+    // no terminal sort: the body must stay streaming-legal (it IS the
+    // streaming twin, Ingest.gopherStream) — batch callers order at the
+    // query level
     docs.select(col(idCol).as("doc_id"),
         nWords.as("n_words"), meanLen.as("mean_word_len"),
         stopHits.as("n_stop_distinct"), topFrac.as("top_frac"),
         rWc.as("r_wordcount"), rMl.as("r_meanlen"),
         rSt.as("r_stopwords"), rRep.as("r_repetition"),
         (rWc && rMl && rSt && rRep).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-source distinct-n-gram diversity for n = 1..maxN — the

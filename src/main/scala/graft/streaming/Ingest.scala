@@ -124,6 +124,18 @@ object Ingest {
       maxDupWordFrac: Double = 0.9): DataFrame =
     graft.operators.TextOps.curationVerdict(docs, minTokens, maxDupWordFrac)
 
+  /** L72's streaming twin — the Gopher rule gate applied at ingest
+    * time, so a crawl stream carries its keep/drop verdict from the
+    * first moment it exists (per-document, stateless, shuffle-free;
+    * the batch body IS the twin — no second implementation to drift,
+    * the curationStream/chunkStream discipline).
+    */
+  def gopherStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.gopherRules(docs, idCol, textCol)
+
   /** L61's streaming twin — a running count-min sketch over the bigram
     * stream. The aggregation state is the depth×width cell grid
     * (3072 counters by default): FIXED SIZE by construction, so unlike

@@ -100,6 +100,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("gopher stream gates documents at ingest, matching the batch body row-for-row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.gopherStream(mem.toDF())
+      .writeStream.format("memory").queryName("gopher")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val input = Seq(
+        doc(1, "the of is " + (1 to 27).map(i => f"wrd$i%02d").mkString(" ")), // keep
+        doc(2, "the of tiny"),                                                 // too short
+        doc(3, (1 to 30).map(i => f"wrd$i%02d").mkString(" ")))                // no stopwords
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val rows = spark.table("gopher")
+        .select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> false))
+      val batch = graft.operators.TextOps
+        .gopherRules(input.toDF(), "doc_id", "text")
+        .select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
   test("curation stream scores and filters documents statelessly, matching batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
