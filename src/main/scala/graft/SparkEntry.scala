@@ -1120,6 +1120,20 @@ object SparkEntry {
     "q110_cluster_canonical" -> ((s, dir) => {
       Dedup.clusterCanonicalSelect(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Text — Zipf rank-frequency slope over the top-100 unigrams
+    // (order-pinned regression sums; one-row corpus-health readout)
+    "q111_zipf_slope" -> ((s, dir) => {
+      TextOps.zipfSlope(Tables.documents(s, dir), "text")
+    }),
+    // Curation — per-source token-count KS drift vs the whole corpus
+    "q112_length_drift" -> ((s, dir) => {
+      Curation.lengthDriftKS(Tables.documents(s, dir), "text", "source")
+    }),
+    // Embedding QA — pairwise cosine between per-label mean embeddings
+    // (rounded-mean centroids, the q47 discipline)
+    "q113_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1828,6 +1842,69 @@ object SparkEntry {
          SELECT cluster, doc_id AS keeper, q_score,
            n_members::BIGINT AS n_members
          FROM r WHERE rk = 1 ORDER BY cluster""",
+    // Zipf slope: identical order-pinned folds — lists sorted by rank,
+    // sequentially reduced from a 0.0 seed, so every sum is the same
+    // double in both engines; slope/intercept share the unrounded
+    // slope expression
+    "q111_zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         uc AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+         top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+                 FROM uc QUALIFY rank <= 100),
+         p AS (SELECT rank, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM top),
+         l AS (SELECT count(*)::BIGINT AS k,
+                 list(x ORDER BY rank) AS lx,
+                 list(y ORDER BY rank) AS ly,
+                 list(x * y ORDER BY rank) AS lxy,
+                 list(x * x ORDER BY rank) AS lxx
+               FROM p),
+         s AS (SELECT k,
+                 list_reduce(list_concat([0.0], lx), (a, b) -> a + b) AS sx,
+                 list_reduce(list_concat([0.0], ly), (a, b) -> a + b) AS sy,
+                 list_reduce(list_concat([0.0], lxy), (a, b) -> a + b) AS sxy,
+                 list_reduce(list_concat([0.0], lxx), (a, b) -> a + b) AS sxx
+               FROM l)
+         SELECT k,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+             AS intercept
+         FROM s""",
+    // KS drift: CDFs are single divisions of integer cumsums — same
+    // doubles in both engines; sup is an exact max, rounded at output
+    "q112_length_drift" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' '))::BIGINT AS l
+                    FROM documents),
+         pl AS (SELECT l, count(*)::BIGINT AS ct FROM t GROUP BY 1),
+         ns AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY 1),
+         nt AS (SELECT count(*)::BIGINT AS n FROM t),
+         sl AS (SELECT source, l, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         g AS (SELECT ns.source, ns.n, pl.l, pl.ct, coalesce(sl.c, 0) AS c
+               FROM ns CROSS JOIN pl
+               LEFT JOIN sl ON sl.source = ns.source AND sl.l = pl.l),
+         cum AS (SELECT source, n, l,
+                   sum(c) OVER (PARTITION BY source ORDER BY l) AS cs,
+                   sum(ct) OVER (PARTITION BY source ORDER BY l) AS ctt
+                 FROM g)
+         SELECT source, n AS n_docs,
+           round(max(abs(cs::DOUBLE / n - ctt::DOUBLE / (SELECT n FROM nt))), 6)
+             AS ks
+         FROM cum GROUP BY 1, 2 ORDER BY 1""",
+    // Label centroids: 6-dp rounded elementwise means (the q47
+    // discipline) before the cosine; + 0.0 normalizes a -0.0 round
+    "q113_label_centroids" ->
+      """WITH e AS (SELECT label,
+                      unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+                      generate_subscripts(embedding, 1) - 1 AS i
+                    FROM embeddings),
+         c AS (SELECT label, i, round(avg(x), 6) AS m FROM e GROUP BY 1, 2),
+         v AS (SELECT label, list(m ORDER BY i) AS cv FROM c GROUP BY 1),
+         p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 list_inner_product(a.cv, b.cv) /
+                 (sqrt(list_inner_product(a.cv, a.cv)) *
+                  sqrt(list_inner_product(b.cv, b.cv))) AS cos
+               FROM v a JOIN v b ON a.label < b.label)
+         SELECT label_a, label_b, round(cos, 6) + 0.0 AS cos
+         FROM p ORDER BY 1, 2""",
     // Identical Lloyd recurrence as q23 (seed = first 8 vectors, two
     // assign/mean steps with 6-decimal centroid rounding), summarized
     // per final cell instead of searched.

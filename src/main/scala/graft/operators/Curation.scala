@@ -312,4 +312,39 @@ object Curation {
         size(filter(typedLit(cuts), c => col("q_score") > c)))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source document-length drift: the Kolmogorov–Smirnov statistic
+    * sup_l |CDF_source(l) − CDF_corpus(l)| over token counts — the
+    * standard did-this-crawl-change / is-this-source-an-outlier
+    * distribution check, run per source against the whole corpus. All
+    * probability mass lives in integer length counts, so both engines
+    * compute identical CDF doubles (one division each) and the sup is
+    * an exact max; only the output is rounded. The length grid is
+    * (distinct sources × distinct lengths) — dimension-bounded, built
+    * with an explicitly broadcast nested-loop of two tiny aggregates,
+    * never a corpus-sized cartesian; the cumulative sums run on
+    * source-partitioned windows over that grid.
+    */
+  def lengthDriftKS(
+      docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val lens = docs.select(col(sourceCol).as("source"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("len"))
+    val perSrcLen = lens.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val perLen = lens.groupBy(col("len")).agg(count(lit(1)).as("ct"))
+    val nSrc = lens.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nTot = lens.count()
+    val grid = nSrc.crossJoin(broadcast(perLen))
+      .join(perSrcLen, Seq("source", "len"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+    grid
+      .withColumn("__cs", sum(col("c")).over(w))
+      .withColumn("__ct", sum(col("ct")).over(w))
+      .withColumn("__d", abs(col("__cs").cast("double") / col("n_docs")
+        - col("__ct").cast("double") / lit(nTot.toDouble)))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(round(max(col("__d")), 6).as("ks"))
+      .orderBy(col("source"))
+  }
 }

@@ -288,6 +288,31 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Label-centroid similarity matrix: the pairwise cosine between
+    * per-label mean embeddings — the embedding-space drift/separation
+    * readout (two labels whose centroids sit at cosine ≈ 1 are
+    * indistinguishable to a linear probe; a label whose centroid
+    * drifts between corpus versions flags a pipeline change). Means
+    * are 6-dp rounded elementwise BEFORE the cosine (the q47
+    * discipline — rounding absorbs cross-engine summation-order
+    * drift), and the pairwise join runs over #labels rows — a
+    * dimension-bounded frame, never the corpus.
+    */
+  def labelCentroidSimilarity(
+      vectors: DataFrame, labelCol: String = "label"): DataFrame = {
+    val e = vectors.select(col(labelCol).as("lbl"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cent = e.groupBy(col("lbl"), col("i"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val v = cent.groupBy(col("lbl"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    v.as("a").join(v.as("b"), col("a.lbl") < col("b.lbl"))
+      .select(col("a.lbl").as("label_a"), col("b.lbl").as("label_b"),
+        round(cosine(col("a.cv"), col("b.cv")), 6).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** IVF top-k with a real k-means index and query-side multiprobe:
     * vectors live in their single nearest cell; each query probes its
     * `probes` nearest cells and ranks exact cosine within them. The

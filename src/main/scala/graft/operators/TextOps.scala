@@ -882,6 +882,50 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Zipf rank-frequency slope over the top-K unigrams: least-squares
+    * fit of ln(freq) on ln(rank) — the one-number corpus-health readout
+    * (natural language sits near −1; templated/generated corpora
+    * flatten, token-salad steepens). The global rank is computed on the
+    * TakeOrdered top-K only (K rows, bounded — never a vocab-wide
+    * single-task window), and all four regression sums are order-pinned
+    * sequential folds over rank-sorted lists (the L38–L40 discipline)
+    * so the DuckDB list_reduce oracle reproduces each double
+    * bit-for-bit.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // TakeOrdered K rows first; the unpartitioned window then ranks a
+    // K-row frame — bounded by construction, not by data
+    val top = uc.orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val lists = top.agg(
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("rank"), col("x")))).as("lx"),
+      sort_array(collect_list(struct(col("rank"), col("y")))).as("ly"),
+      sort_array(collect_list(struct(col("rank"),
+        (col("x") * col("y")).as("v")))).as("lxy"),
+      sort_array(collect_list(struct(col("rank"),
+        (col("x") * col("x")).as("v")))).as("lxx"))
+    def foldSum(c: Column, field: String) =
+      aggregate(transform(c, s => s.getField(field)), lit(0.0), (a, b) => a + b)
+    lists
+      .select(col("k"),
+        foldSum(col("lx"), "x").as("__sx"), foldSum(col("ly"), "y").as("__sy"),
+        foldSum(col("lxy"), "v").as("__sxy"), foldSum(col("lxx"), "v").as("__sxx"))
+      .select(col("k"),
+        round((col("k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("k") * col("__sxx") - col("__sx") * col("__sx")), 6).as("slope"),
+        round((col("__sy") - ((col("k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("k") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+          col("k"), 6).as("intercept"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

@@ -227,6 +227,60 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 3L, 3L), (9L, 9L, 1L)), s"got $got")
   }
 
+  test("zipfSlope recovers an exact power law's exponent") {
+    val s = spark; import s.implicits._
+    // a corpus whose rank-r token appears round(1000/r) times is an
+    // exact Zipf(1) law on the raw counts; the ln-ln least squares must
+    // recover slope ~= -1 (rounding of counts to integers perturbs the
+    // fit only in the far tail)
+    val docs = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"tok$r%02d")
+    }.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextOps.zipfSlope(docs, "text", topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(got._1 == 20L)
+    assert(math.abs(got._2 - (-1.0)) < 0.01, s"slope ${got._2} not ~ -1")
+  }
+
+  test("lengthDriftKS: identical distributions score 0, disjoint ones near 1") {
+    val s = spark; import s.implicits._
+    // src_a and src_b have identical length profiles -> their CDFs
+    // EQUAL the corpus CDF of their union... only if the corpus is just
+    // them in equal measure; add src_c with disjoint lengths to pull
+    // the corpus CDF and give a/b equal nonzero drift and c the largest
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = (
+      (1 to 10).map(_ => ("src_a", mk(5))) ++
+      (1 to 10).map(_ => ("src_b", mk(5))) ++
+      (1 to 10).map(_ => ("src_c", mk(50)))).toDF("source", "text")
+    val ks = graft.operators.Curation.lengthDriftKS(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    // corpus CDF at len 5 = 20/30; src_a CDF at 5 = 1 -> KS = 1/3
+    // src_c CDF at 5 = 0 -> KS = 2/3
+    assert(ks("src_a") == 0.333333 && ks("src_b") == 0.333333)
+    assert(ks("src_c") == 0.666667)
+    // one source alone == the corpus -> KS exactly 0
+    val solo = graft.operators.Curation.lengthDriftKS(
+        (1 to 5).map(i => ("only", mk(i))).toDF("source", "text"),
+        "text", "source")
+      .collect().map(r => r.getDouble(2)).head
+    assert(solo == 0.0)
+  }
+
+  test("labelCentroidSimilarity: identical labels cos 1, orthogonal labels cos 0") {
+    val s = spark; import s.implicits._
+    val ex = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val ey = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (1L, ex, 0), (2L, ex, 0),          // label 0 centroid = e_x
+      (3L, ey, 1), (4L, ey, 1),          // label 1 centroid = e_y
+      (5L, ex, 2), (6L, ex, 2))          // label 2 centroid = e_x too
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSimilarity(df)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got == Map((0, 1) -> 0.0, (0, 2) -> 1.0, (1, 2) -> 0.0))
+  }
+
   test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
     val s = spark; import s.implicits._
     // boundary-heavy fixture: pairs hovering right at jac = 0.7, where
