@@ -1134,6 +1134,12 @@ object SparkEntry {
     "q113_label_centroids" -> ((s, dir) => {
       Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir))
     }),
+    // Curation — per-source contamination attribution (which crawl
+    // leaks the benchmark); same bench slice as q42
+    "q114_contamination_by_source" -> ((s, dir) => {
+      Dedup.contaminationBySource(Tables.documents(s, dir), "doc_id", "text",
+        "source", benchPredicate = col("doc_id") < 5)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1148,6 +1154,25 @@ object SparkEntry {
       """SELECT date_trunc('minute', ts) AS bucket,
          round(avg(value), 6) AS avg_value, count(*) AS n
          FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""",
+    // q42's chain + per-source attribution (minShared = 1)
+    "q114_contamination_by_source" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         s AS (SELECT doc_id, source,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 5),
+         x AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 5),
+         hits AS (SELECT DISTINCT x.doc_id FROM x JOIN bench ON x.g = bench.g),
+         nb AS (SELECT doc_id, source FROM documents WHERE doc_id >= 5)
+         SELECT nb.source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(avg(CASE WHEN hits.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS contam_rate
+         FROM nb LEFT JOIN hits USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "q03_last_entry" ->
       """SELECT user_id, event_type AS series,
          round(max_by(value, ts), 6) AS last_value,

@@ -283,6 +283,35 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Per-source contamination attribution: for each source, how many of
+    * its (non-bench) documents share at least `minShared` distinct
+    * n-grams with the benchmark slice, and the rate — the WHICH-crawl-
+    * leaks-the-benchmark readout that turns the corpus-wide q42 scan
+    * into a curation decision (drop or re-filter the leaking source).
+    * Rides [[contamination]]'s broadcast semi-join verbatim; the
+    * attribution is one id-keyed join + a source-keyed aggregation,
+    * nothing text-sized on any exchange.
+    */
+  def contaminationBySource(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      benchPredicate: Column,
+      shingleN: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    val c = contamination(df, idCol, textCol, benchPredicate, shingleN)
+    val hit = coalesce(col("n_shared"), lit(0L)) >= minShared
+    df.filter(!benchPredicate)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(c, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_contaminated"),
+        round(avg(when(hit, 1.0).otherwise(0.0)), 6).as("contam_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Bloom-gated contamination scan — [[contamination]]'s exact
     * semantics behind a sketch prefilter, for when the reference
     * n-gram set is too large to broadcast exactly (the

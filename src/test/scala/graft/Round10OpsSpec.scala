@@ -281,6 +281,25 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((0, 1) -> 0.0, (0, 2) -> 1.0, (1, 2) -> 0.0))
   }
 
+  test("contaminationBySource attributes leaks to the right crawl") {
+    val s = spark; import s.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, "bench", benchText),                                   // bench slice
+      (10L, "src_clean", "entirely original content with no benchmark overlap at all"),
+      (11L, "src_dirty", benchText + " plus some extra tail words"),  // shares bench 3-grams
+      (12L, "src_dirty", "another fully original document nothing shared here"),
+      (13L, "src_clean", "more original material without any leak whatsoever"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.contaminationBySource(docs, "doc_id", "text", "source",
+        benchPredicate = col("source") === "bench")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      ("src_clean", 2L, 0L, 0.0),
+      ("src_dirty", 2L, 1L, 0.5)), s"got $got")
+  }
+
   test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
     val s = spark; import s.implicits._
     // boundary-heavy fixture: pairs hovering right at jac = 0.7, where
