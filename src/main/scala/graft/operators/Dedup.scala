@@ -73,10 +73,13 @@ object Dedup {
     * text-derived score is constant across copies), near-dup cluster
     * members genuinely differ, so the quality argmax is meaningful.
     *
-    * Scale shape: rides the existing cluster labels (pair-set-bounded
-    * CC) plus one map-side score scan; the argmax is a struct max
-    * inside the cluster-keyed aggregation — no window over the corpus,
-    * no text on any exchange.
+    * Scale shape: rides the raw CC labels (pair-set-bounded) plus one
+    * map-side score scan; cluster membership for singletons is a
+    * coalesce, NOT labelClusters' corpus-wide n_members window (this
+    * aggregation computes its own member count, so paying that window
+    * would duplicate work); the argmax is a struct max inside the
+    * cluster-keyed aggregation — no window over the corpus, no text on
+    * any exchange.
     */
   def clusterCanonicalSelect(
       df: DataFrame,
@@ -85,10 +88,14 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7,
       scoreOf: Column => Column = t => TextOps.stopwordRatio(t)): DataFrame = {
-    val clusters = nearDupClusters(df, idCol, textCol, shingleN, threshold)
+    val pairs = minhashLsh(df, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cc = connectedComponents(pairs.select(col("i"), col("j")))
+      .withColumnRenamed("node", "doc_id")
     val scored = df.select(col(idCol).as("doc_id"),
       round(scoreOf(col(textCol)), 6).as("q_score"))
-    clusters.join(scored, "doc_id")
+    scored.join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("rep"), col("doc_id")))
       .groupBy(col("cluster"))
       .agg(max(struct(col("q_score").as("s"), (-col("doc_id")).as("negid"))).as("__m"),
         count(lit(1)).as("n_members"))
