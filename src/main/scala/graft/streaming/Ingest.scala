@@ -136,6 +136,34 @@ object Ingest {
       textCol: String = "text"): DataFrame =
     graft.operators.TextOps.gopherRules(docs, idCol, textCol)
 
+  /** L6's streaming twin — ingest-time benchmark contamination guard:
+    * every arriving document is probed against the STATIC benchmark
+    * shingle set (the realistic deployment — the held-out suite is
+    * fixed while the crawl streams) via a stream-static broadcast
+    * semi-join, then one streaming aggregation counts shared shingles
+    * per document. Shingles are array_distinct'd BEFORE the explode so
+    * a plain count equals the batch operator's countDistinct (exact
+    * distinct aggregation isn't streaming-legal; per-doc pre-distinct
+    * makes it unnecessary). Run in update/complete mode.
+    */
+  def contaminationStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.Signatures.shingle_hashes
+    val benchSh = bench.select(
+      explode(array_distinct(shingle_hashes(split(col(textCol), " "), shingleN)))
+        .as("h")).distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingle_hashes(split(col(textCol), " "), shingleN)))
+          .as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** L61's streaming twin — a running count-min sketch over the bigram
     * stream. The aggregation state is the depth×width cell grid
     * (3072 counters by default): FIXED SIZE by construction, so unlike

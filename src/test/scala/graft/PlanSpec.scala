@@ -335,7 +335,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // text reduces to longs inside the scan; every exchange must carry
       // only ids / hashes / signatures
       for (q <- Seq("q94_simhash_hamming_pairs", "q96_ngram_novelty",
-          "q97_containment_pairs")) {
+          "q97_containment_pairs", "q105_simhash_pairs_combinatorial")) {
         val root = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val chars = for {
           e <- root.collect { case e: ShuffleExchangeExec => e }

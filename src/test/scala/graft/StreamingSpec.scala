@@ -128,6 +128,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("contamination stream counts shared bench shingles, matching batch exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.contaminationStream(mem.toDF(), bench)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("complete").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val input = Seq(
+        doc(1, benchText + " and some tail"),                // many shared 3-grams
+        doc(2, "entirely original content with no benchmark overlap at all"),
+        doc(3, "the quick brown fox went elsewhere entirely today"))  // shares 2
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val rows = spark.table("contam")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch operator on the union frame with the bench predicate must
+      // agree exactly (the twin contract)
+      val batch = graft.operators.Dedup.contamination(
+          (input.map(d => (d.doc_id, d.text)) :+ ((100L, benchText)))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", benchPredicate = col("doc_id") === 100L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == batch, s"stream $rows vs batch $batch")
+      assert(rows.contains(1L) && rows.contains(3L) && !rows.contains(2L))
+    } finally q.stop()
+  }
+
   test("curation stream scores and filters documents statelessly, matching batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
