@@ -1140,6 +1140,17 @@ object SparkEntry {
       Dedup.contaminationBySource(Tables.documents(s, dir), "doc_id", "text",
         "source", benchPredicate = col("doc_id") < 5)
     }),
+    // Curation — seeded per-source downsample (mixture EXECUTION:
+    // exact integer-threshold keep/drop off the md5 prefix; src0 at
+    // 1/4, src1 at 3/4, everything else the default 1/2)
+    "q115_seeded_sample" -> ((s, dir) => {
+      Curation.seededSourceSample(Tables.documents(s, dir), "doc_id", "source",
+        rates = Map("src0" -> (1, 4), "src1" -> (3, 4)))
+    }),
+    // Dedup — the executive dedup-savings summary (one row)
+    "q116_dedup_savings" -> ((s, dir) => {
+      Dedup.dedupSavings(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1867,6 +1878,47 @@ object SparkEntry {
          SELECT cluster, doc_id AS keeper, q_score,
            n_members::BIGINT AS n_members
          FROM r WHERE rk = 1 ORDER BY cluster""",
+    // Seeded sample: the q104 hash polynomial, exact integer threshold
+    "q115_seeded_sample" ->
+      """WITH h AS (SELECT doc_id, source, md5(doc_id::VARCHAR || ':42') AS hh
+                    FROM documents),
+         p AS (SELECT doc_id, source,
+                 (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1) AS h16
+               FROM h)
+         SELECT doc_id, source,
+           CASE WHEN source = 'src0' THEN h16 * 4 < 65536 * 1
+                WHEN source = 'src1' THEN h16 * 4 < 65536 * 3
+                ELSE h16 * 2 < 65536 * 1 END AS kept
+         FROM p ORDER BY doc_id""",
+    // Dedup savings: the q49 clustering chain reduced to one summary row
+    "q116_dedup_savings" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u),
+         m AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN lab l USING (doc_id))
+         SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT cluster)::BIGINT AS n_clusters,
+           (count(*) - count(DISTINCT cluster))::BIGINT AS n_dropped,
+           round((count(*) - count(DISTINCT cluster))::DOUBLE / count(*), 6)
+             AS drop_frac
+         FROM m""",
     // Zipf slope: identical order-pinned folds — lists sorted by rank,
     // sequentially reduced from a 0.0 seed, so every sum is the same
     // double in both engines; slope/intercept share the unrounded

@@ -313,6 +313,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Seeded per-source downsampling — the EXECUTION step of a mixture
+    * plan (q67 computes the weights, q68 caps the quotas; this
+    * materializes the keep/drop decision): document kept iff its
+    * 16-bit md5(doc_id:seed) prefix falls under the source's rate,
+    * compared in exact integer math (h·den < 65536·num — no float
+    * threshold anywhere). Content-independent, seed-keyed, no RNG
+    * state — the q104 hashing family — so the sample is reproducible
+    * across runs and engines, and changing one source's rate never
+    * perturbs another source's sample (per-doc independence). Rates
+    * ride a literal map; the whole op is a map-side project, no
+    * shuffle, no driver state.
+    */
+  def seededSourceSample(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, (Int, Int)],
+      defaultNum: Int = 1, defaultDen: Int = 2,
+      seed: Int = 42): DataFrame = {
+    require(defaultDen > 0 && rates.values.forall(_._2 > 0), "rates need den > 0")
+    val h16 = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
+      .cast("int")
+    val numExpr = coalesce(
+      element_at(typedlit(rates.map { case (k, v) => k -> v._1 }), col(sourceCol)),
+      lit(defaultNum))
+    val denExpr = coalesce(
+      element_at(typedlit(rates.map { case (k, v) => k -> v._2 }), col(sourceCol)),
+      lit(defaultDen))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .withColumn("kept", h16 * denExpr < lit(65536) * numExpr)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source document-length drift: the Kolmogorov–Smirnov statistic
     * sup_l |CDF_source(l) − CDF_corpus(l)| over token counts — the
     * standard did-this-crawl-change / is-this-source-an-outlier

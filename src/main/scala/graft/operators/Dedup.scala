@@ -319,6 +319,34 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Dedup-savings summary: the headline what-does-dedup-buy-us number
+    * — total documents, near-dup clusters (= documents that would
+    * remain after keeping one per cluster), documents dropped, and the
+    * drop fraction, in ONE row. The readout a curation run reports
+    * before committing a threshold (pair- and cluster-level detail
+    * lives in q49/q101/q110; this is their executive summary). Rides
+    * the LSH+CC labels; the summary is a two-value aggregation.
+    */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cc = connectedComponents(pairs.select(col("i"), col("j")))
+      .withColumnRenamed("node", "doc_id")
+    df.select(col(idCol).as("doc_id")).join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("rep"), col("doc_id")))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .select(col("n_docs"), col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_dropped"),
+        round((col("n_docs") - col("n_clusters")).cast("double") / col("n_docs"), 6)
+          .as("drop_frac"))
+  }
+
   /** Bloom-gated contamination scan — [[contamination]]'s exact
     * semantics behind a sketch prefilter, for when the reference
     * n-gram set is too large to broadcast exactly (the

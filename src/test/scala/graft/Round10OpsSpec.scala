@@ -300,6 +300,42 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("src_dirty", 2L, 1L, 0.5)), s"got $got")
   }
 
+  test("seededSourceSample: rate-proportional, reproducible, per-doc independent") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 2000L).map(i => (i, if (i <= 1000) "a" else "b"))
+      .toDF("doc_id", "source")
+    val run = (rates: Map[String, (Int, Int)]) =>
+      graft.operators.Curation.seededSourceSample(docs, "doc_id", "source", rates)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    val got = run(Map("a" -> (1, 4)))
+    // reproducible
+    assert(got == run(Map("a" -> (1, 4))))
+    // rate-proportional within binomial slack
+    val keptA = got.count { case (_, src, k) => src == "a" && k }
+    val keptB = got.count { case (_, src, k) => src == "b" && k }
+    assert(math.abs(keptA - 250) < 60, s"a kept $keptA, want ~250")
+    assert(math.abs(keptB - 500) < 60, s"b kept $keptB, want ~500")
+    // per-doc independence: changing a's rate never flips a b decision
+    val other = run(Map("a" -> (3, 4)))
+    assert(got.filter(_._2 == "b") == other.filter(_._2 == "b"))
+    // monotone: raising a's rate only ADDS a-keeps, never drops one
+    val keptSetLow = got.collect { case (id, "a", true) => id }.toSet
+    val keptSetHigh = other.collect { case (id, "a", true) => id }.toSet
+    assert(keptSetLow.subsetOf(keptSetHigh))
+  }
+
+  test("dedupSavings equals n_docs minus distinct clusters of the q49 labels") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val row = Dedup.dedupSavings(docs, "doc_id", "text").head()
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text")
+    val nDocs = labels.count()
+    val nClusters = labels.select("cluster").distinct().count()
+    assert(row.getLong(0) == nDocs)
+    assert(row.getLong(1) == nClusters)
+    assert(row.getLong(2) == nDocs - nClusters)
+    assert(row.getLong(2) > 0, "fixture has no near-dups; test is vacuous")
+  }
+
   test("minhashCalibration covers every exact pair at its threshold (recall 1)") {
     val s = spark; import s.implicits._
     // boundary-heavy fixture: pairs hovering right at jac = 0.7, where
