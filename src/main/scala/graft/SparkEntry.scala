@@ -1151,6 +1151,31 @@ object SparkEntry {
     "q116_dedup_savings" -> ((s, dir) => {
       Dedup.dedupSavings(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Retrieval — BM25 top-k for a fixed query-term set (targeted
+    // subset mining / contamination triage; one-row broadcast stats,
+    // scan-speed scoring, TakeOrdered top-k)
+    "q117_bm25_topk" -> ((s, dir) => {
+      TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "window"), k = 20)
+    }),
+    // Curation — blocklist gate (C4-style bad-words filter): per-doc
+    // hit stats against a literal term list, tolerance threshold 2
+    "q118_blocklist" -> ((s, dir) => {
+      TextOps.blocklistFilter(Tables.documents(s, dir), "doc_id", "text",
+        blocklist = Seq("slow", "leak", "crash"), maxHits = 2)
+    }),
+    // Curation — per-source language-mix chi-square drift (categorical
+    // counterpart of q112's KS)
+    "q119_lang_chisq_drift" -> ((s, dir) => {
+      Curation.categoricalChiSquareDrift(Tables.documents(s, dir),
+        "lang", "source")
+    }),
+    // Curation — per-source Gopher-rule funnel (cumulative survival
+    // counts in rule order; the executive pipeline report)
+    "q120_curation_funnel" -> ((s, dir) => {
+      Curation.curationFunnel(Tables.documents(s, dir), "doc_id", "text",
+        "source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3496,5 +3521,109 @@ object SparkEntry {
                FROM p)
          SELECT doc_id, shard::INTEGER AS shard, pos::INTEGER AS pos
          FROM z ORDER BY doc_id""",
+    // BM25: identical Lucene idf, per-term contributions summed
+    // left-to-right in query order; constants derived with the same
+    // literal arithmetic ((1.2 + 1.0), (1.0 - 0.75)) both engines
+    // constant-fold, so every double matches bit-for-bit
+    "q117_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(w))::DOUBLE / count(*) AS avgdl,
+                  sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                  sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                  sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_2
+                FROM t),
+         sc AS (SELECT doc_id, len(w)::DOUBLE AS dl,
+                  len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+                  len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1,
+                  len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf2
+                FROM t),
+         s2 AS (SELECT doc_id, round(
+                  (CASE WHEN tf0 > 0 THEN
+                     ln((n_docs::DOUBLE - df_0 + 0.5) / (df_0::DOUBLE + 0.5) + 1.0)
+                     * (tf0 * (1.2 + 1.0))
+                     / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END
+                 + CASE WHEN tf1 > 0 THEN
+                     ln((n_docs::DOUBLE - df_1 + 0.5) / (df_1::DOUBLE + 0.5) + 1.0)
+                     * (tf1 * (1.2 + 1.0))
+                     / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END
+                 + CASE WHEN tf2 > 0 THEN
+                     ln((n_docs::DOUBLE - df_2 + 0.5) / (df_2::DOUBLE + 0.5) + 1.0)
+                     * (tf2 * (1.2 + 1.0))
+                     / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END), 6) AS bm25
+                FROM sc CROSS JOIN st)
+         SELECT doc_id, bm25 FROM s2 WHERE bm25 > 0.0
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // Blocklist gate: integer hit counts + one rounded fraction
+    "q118_blocklist" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['slow', 'leak', 'crash'], x)))::BIGINT
+             AS n_hits,
+           len(list_intersect(list_distinct(w), ['slow', 'leak', 'crash']))::BIGINT
+             AS n_distinct_hits,
+           round(len(list_filter(w,
+             x -> list_contains(['slow', 'leak', 'crash'], x)))::DOUBLE / len(w), 6)
+             AS hit_frac,
+           len(list_filter(w, x -> list_contains(['slow', 'leak', 'crash'], x))) <= 2
+             AS keep
+         FROM t ORDER BY doc_id""",
+    // Chi-square drift: full source x lang grid from the two marginal
+    // aggregates; per-source cells fold in ascending-lang order from a
+    // 0.0 seed, mirroring the Spark-side sorted-struct fold
+    "q119_lang_chisq_drift" ->
+      """WITH o AS (SELECT source, lang AS cat, count(*)::BIGINT AS o
+                    FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, count(*)::BIGINT AS n_src
+                FROM documents GROUP BY 1),
+         ct AS (SELECT lang AS cat, count(*)::BIGINT AS n_cat
+                FROM documents GROUP BY 1),
+         tt AS (SELECT count(*)::BIGINT AS n_tot FROM documents),
+         g AS (SELECT st.source, st.n_src, ct.cat,
+                 (coalesce(o.o, 0)::DOUBLE
+                    - st.n_src::DOUBLE * ct.n_cat / tt.n_tot)
+                 * (coalesce(o.o, 0)::DOUBLE
+                    - st.n_src::DOUBLE * ct.n_cat / tt.n_tot)
+                 / (st.n_src::DOUBLE * ct.n_cat / tt.n_tot) AS c
+               FROM st CROSS JOIN ct CROSS JOIN tt
+               LEFT JOIN o ON o.source = st.source AND o.cat = ct.cat)
+         SELECT source, n_src, (count(*) - 1)::BIGINT AS dof,
+           round(list_reduce(list_concat([0.0], list(c ORDER BY cat)),
+             (a, b) -> a + b), 6) AS chi2
+         FROM g GROUP BY 1, 2 ORDER BY source""",
+    // Funnel: the q106 per-document rule CTE aggregated per source
+    // with cumulative-conjunction counts in the fixed rule order
+    "q120_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         r AS (SELECT doc_id, source, len(w)::BIGINT AS n_words,
+                 round(list_avg(list_transform(w, x -> len(x))), 6)
+                   AS mean_word_len,
+                 len(list_intersect(list_distinct(w),
+                   ['the','a','and','of','to','in','is','it','for','on']))::BIGINT
+                   AS n_stop,
+                 round(list_max(list_transform(list_distinct(w),
+                   t2 -> len(list_filter(w, x -> x = t2))))::DOUBLE / len(w), 6)
+                   AS top_frac
+               FROM t),
+         f AS (SELECT source,
+                 (n_words BETWEEN 30 AND 80) AS r1,
+                 (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS r2,
+                 (n_stop >= 2) AS r3,
+                 (top_frac <= 0.1) AS r4
+               FROM r)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS pass_wordcount,
+           sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)::BIGINT AS pass_meanlen,
+           sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)::BIGINT
+             AS pass_stopwords,
+           sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::BIGINT
+             AS n_keep,
+           round(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS keep_frac
+         FROM f GROUP BY 1 ORDER BY source""",
   )
 }

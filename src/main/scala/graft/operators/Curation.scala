@@ -379,4 +379,84 @@ object Curation {
       .agg(round(max(col("__d")), 6).as("ks"))
       .orderBy(col("source"))
   }
+
+  /** Per-source chi-square drift of a categorical column (language ID
+    * here) against the corpus-wide distribution — the categorical
+    * counterpart of [[lengthDriftKS]]: χ²_s = Σ_l (o_sl − e_sl)²/e_sl
+    * with e_sl = n_s · n_l / N. A crawl whose language mix diverges
+    * from the corpus shows up with a large χ² (compare against the
+    * (L−1) degrees of freedom also reported). KS sees ordinal drift;
+    * χ² sees categorical drift — pipelines run both.
+    *
+    * Shape: THREE tiny aggregates — (source, lang) observed counts,
+    * per-source totals, per-lang totals — plus a broadcast one-row N.
+    * The full source×lang grid (so absent cells contribute their full
+    * expected mass) is a broadcast nested-loop of the two marginal
+    * aggregates, dimension-bounded like the KS grid, never
+    * corpus-sized. The per-source sum folds in ascending-lang order
+    * from a 0.0 seed (the L38-L40 fixed-order float discipline), so
+    * χ² is bit-identical to the oracle's ordered list_reduce.
+    */
+  def categoricalChiSquareDrift(
+      docs: DataFrame, catCol: String, sourceCol: String): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+      col(catCol).as("cat"))
+    val obs = base.groupBy(col("source"), col("cat"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val srcTot = base.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_src"))
+    val catTot = base.groupBy(col("cat"))
+      .agg(count(lit(1)).cast("long").as("n_cat"))
+    val tot = base.agg(count(lit(1)).cast("long").as("n_tot"))
+    val e = col("n_src").cast("double") * col("n_cat") / col("n_tot")
+    val cell = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val grid = srcTot
+      .crossJoin(broadcast(catTot))
+      .crossJoin(broadcast(tot))
+      .join(obs, Seq("source", "cat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .select(col("source"), col("n_src"), col("cat"), cell.as("__c"))
+    grid.groupBy(col("source"), col("n_src"))
+      .agg(
+        (count(lit(1)) - lit(1L)).as("dof"),
+        sort_array(collect_list(struct(col("cat"), col("__c")))).as("__l"))
+      .select(col("source"), col("n_src"), col("dof"),
+        round(aggregate(transform(col("__l"), s => s.getField("__c")),
+          lit(0.0), (a, x) => a + x), 6).as("chi2"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source curation funnel over the Gopher rule gate
+    * (TextOps.gopherRules): how many documents survive each rule
+    * CUMULATIVELY, in the fixed rule order wordcount → mean-length →
+    * stopwords → repetition — the executive readout every pipeline
+    * report leads with ("rule 2 is where this crawl dies"). Counts are
+    * integer sums of the per-document flags; the final keep fraction
+    * is the one rounded float.
+    *
+    * Shape: rides the scan-speed gopherRules signals joined back to
+    * the source column on doc_id (hash join on the id, text never
+    * re-shuffles), then one source-keyed aggregate — group count =
+    * number of sources, tiny at any corpus scale.
+    */
+  def curationFunnel(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val g = TextOps.gopherRules(docs, idCol, textCol)
+    val j = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"))
+      .join(g, "doc_id")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    j.groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        cnt(col("r_wordcount")).as("pass_wordcount"),
+        cnt(col("r_wordcount") && col("r_meanlen")).as("pass_meanlen"),
+        cnt(col("r_wordcount") && col("r_meanlen") && col("r_stopwords"))
+          .as("pass_stopwords"),
+        cnt(col("keep")).as("n_keep"))
+      .withColumn("keep_frac",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
 }

@@ -949,4 +949,98 @@ object TextOps {
           .as("weight"))
       .orderBy(col("doc_id"), col("dim"))
   }
+
+  /** BM25 top-k retrieval for a FIXED small query-term set (Robertson/
+    * Lucene formula: idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf
+    * saturation k1, length normalization b) — the standard lexical
+    * retrieval op a curation pipeline uses to pull task-relevant
+    * documents out of a crawl (targeted-subset mining, dedup-audit
+    * spot checks, contamination triage).
+    *
+    * Shape built for 100 TB: corpus statistics collapse to ONE row —
+    * N, total token count (avgdl enters as an exact integer sum over
+    * doc lengths divided once; integer-valued doubles below 2⁵³ make
+    * the sum order-independent across engines), and one df column per
+    * query term (|Q| conditional counts in the same single aggregate).
+    * That row re-enters the scan as a broadcast, each document is
+    * scored at scan speed with |Q| codegen'd array scans (no explode,
+    * no posting-list shuffle — for a handful of query terms the
+    * explode+join inverted-index plan moves strictly more data), and
+    * the global top-k is TakeOrderedAndProject (per-partition partial
+    * top-k, k rows to the driver) — never an unpartitioned window.
+    * Per-term contributions sum LEFT-TO-RIGHT in the caller's query
+    * order (the L38-L40 fixed-order float discipline), so the score is
+    * bit-identical to the oracle's explicit c0 + c1 + … chain; ties
+    * after 6-dp rounding break by doc_id.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = tokens(col(textCol))
+    val statAggs =
+      count(lit(1)).cast("long").as("n_docs") +:
+      (sum(size(toks).cast("long")).cast("double") / count(lit(1)))
+        .as("avgdl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, lit(t)), 1L).otherwise(0L))
+          .as(s"df_$i")
+      }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val dl = size(toks).cast("double")
+    val contribs = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      val idf = log((col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
+        (col(s"df_$i").cast("double") + 0.5) + 1.0)
+      when(tf > 0,
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val score = contribs.reduceLeft(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col(idCol).as("doc_id"), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Blocklist gate — per-document hit statistics against a fixed term
+    * list (the bad-words/NSFW/PII-keyword filter every production
+    * pretraining pipeline runs first; Raffel et al. 2020's C4 "List of
+    * Dirty, Naughty …" step is the canonical instance). Reports total
+    * hits, distinct terms hit, hit fraction, and the keep verdict
+    * (hits ≤ maxHits — a tolerance threshold rather than zero because
+    * single incidental matches on polysemous terms are the documented
+    * C4 false-positive mode).
+    *
+    * Pure Column expressions over the token array — scan speed, zero
+    * shuffle, blocklist enters as a literal array (real lists are
+    * O(10³) terms: still a literal/broadcast, never a join side). All
+    * counts are integers; the one float is rounded to 6 dp, so the
+    * verdict is oracle-exact.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String],
+      maxHits: Int = 0): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter needs a non-empty list")
+    val toks = tokens(col(textCol))
+    val hits = size(filter(toks, t => t.isInCollection(blocklist)))
+      .cast("long")
+    val distinctHits = size(array_intersect(array_distinct(toks),
+      typedlit(blocklist))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+      hits.as("n_hits"),
+      distinctHits.as("n_distinct_hits"),
+      round(hits.cast("double") / size(toks), 6).as("hit_frac"),
+      (hits <= maxHits).as("keep"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 
 /** Round-10 hardening: shard-count-parametrized resharding (membership
   * and determinism invariant under numShards; the two-phase prefix-sum
@@ -361,5 +361,113 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty, "fixture must produce boundary pairs")
     assert(got == want)
+  }
+
+  test("bm25TopK: hand-computed Lucene-BM25 scores, scan-speed plan (no shuffle)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"),          // tf(cat)=2, dl=3
+      (2L, "cat bird"),             // tf(cat)=1, dl=2
+      (3L, "bird fish fish bird")). // no cat
+      toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("cat"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=3, avgdl=3, df(cat)=2, idf=ln((3-2+0.5)/(2+0.5)+1)
+    val idf = math.log((3.0 - 2 + 0.5) / (2.0 + 0.5) + 1.0)
+    def score(tf: Double, dl: Double) =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, score(2, 3)), (2L, score(1, 2))))
+    // docs with tf=0 never surface
+    assert(!got.map(_._1).contains(3L))
+    // plan: one broadcast of the 1-row stats frame, global top-k via
+    // TakeOrdered (partial per-partition top-k, never a range-partition
+    // global sort); the only legal shuffle is the SinglePartition
+    // collapse of the partial stats aggregates (rows = partition count)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // plan fixture must exceed k: a limit >= the relation's maxRows is
+    // optimized away entirely (EliminateLimits), leaving a global sort
+    // no real corpus would plan
+    val big = (1L to 50L).map(i => (i, if (i % 2 == 0) "cat dog" else "dog"))
+      .toDF("doc_id", "text")
+    val p =
+      try TextOps.bm25TopK(big, "doc_id", "text", Seq("cat"), 10)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+      s"bm25 scoring shuffles corpus rows:\n${p.toString.take(1500)}")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"global top-k is not TakeOrdered:\n${p.toString.take(1500)}")
+  }
+
+  test("blocklistFilter: hit counts, tolerance verdict, zero-shuffle plan") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "good clean text"),
+      (2L, "bad text bad again"),
+      (3L, "bad worse text")).toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(docs, "doc_id", "text",
+      blocklist = Seq("bad", "worse"), maxHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, true),   // no hits
+      (2L, 2L, 1L, false),  // "bad" twice = 2 hits, 1 distinct, over
+      (3L, 2L, 2L, false))) // two distinct terms
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try TextOps.blocklistFilter(docs, "doc_id", "text", Seq("bad"), 0)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "blocklist gate must run at scan speed")
+  }
+
+  test("categoricalChiSquareDrift: zero under no drift, positive under drift, dof = L-1") {
+    val s = spark; import s.implicits._
+    // srcA and srcB share the corpus lang mix exactly -> chi2 = 0 for
+    // both; srcC is all-'de' -> positive drift for every source
+    val uniform = Seq(
+      ("srcA", "en"), ("srcA", "fr"), ("srcB", "en"), ("srcB", "fr"))
+      .toDF("source", "lang")
+    val g0 = Curation.categoricalChiSquareDrift(uniform, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(g0.toSeq == Seq(("srcA", 1L, 0.0), ("srcB", 1L, 0.0)))
+    val skew = uniform.union(
+      Seq(("srcC", "de"), ("srcC", "de")).toDF("source", "lang"))
+    val rows = Curation.categoricalChiSquareDrift(skew, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    // 3 langs in the corpus now -> dof 2 everywhere; every source's mix
+    // differs from the corpus mix, so every chi2 > 0
+    assert(rows.forall(_._2 == 2L))
+    assert(rows.forall(_._3 > 0.0))
+    // absent cells contribute their expected mass: srcC never saw
+    // en/fr yet its chi2 includes those cells -> chi2(srcC) is the
+    // n_src-weighted extreme (all mass on one lang)
+    val bySrc = rows.map(r => r._1 -> r._3).toMap
+    assert(bySrc("srcC") > bySrc("srcA"))
+  }
+
+  test("curationFunnel: cumulative survival is monotone and matches gopherRules") {
+    val s = spark; import s.implicits._
+    // reuse the sf0.001 corpus for realistic rule attrition
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val f = Curation.curationFunnel(docs, "doc_id", "text", "source")
+      .collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (n, p1, p2, p3, keep) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(n >= p1 && p1 >= p2 && p2 >= p3 && p3 >= keep,
+        s"funnel not monotone for ${r.getString(0)}")
+    }
+    // totals agree with the per-doc gate
+    val g = TextOps.gopherRules(docs, "doc_id", "text")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
+    assert(f.map(_.getLong(5)).sum == g)
   }
 }
