@@ -1146,6 +1146,7 @@ object SparkEntry {
     "q115_seeded_sample" -> ((s, dir) => {
       Curation.seededSourceSample(Tables.documents(s, dir), "doc_id", "source",
         rates = Map("src0" -> (1, 4), "src1" -> (3, 4)))
+        .orderBy(col("doc_id"))
     }),
     // Dedup — the executive dedup-savings summary (one row)
     "q116_dedup_savings" -> ((s, dir) => {

@@ -340,9 +340,11 @@ object Curation {
     val denExpr = coalesce(
       element_at(typedlit(rates.map { case (k, v) => k -> v._2 }), col(sourceCol)),
       lit(defaultDen))
+    // no terminal sort: the body must stay streaming-legal (it IS the
+    // streaming twin, Ingest.sampleStream) — batch callers order at
+    // the query level, the gopherRules discipline
     docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
       .withColumn("kept", h16 * denExpr < lit(65536) * numExpr)
-      .orderBy(col("doc_id"))
   }
 
   /** Per-source document-length drift: the Kolmogorov–Smirnov statistic

@@ -136,6 +136,40 @@ object Ingest {
       textCol: String = "text"): DataFrame =
     graft.operators.TextOps.gopherRules(docs, idCol, textCol)
 
+  /** L84's streaming twin — the blocklist gate applied at ingest time
+    * (per-document, stateless, shuffle-free; the batch body IS the
+    * twin, the gopherStream discipline). A crawl stream drops
+    * blocklisted documents before anything is persisted — the filter
+    * every production ingest runs FIRST, since it's the cheapest.
+    */
+  def blocklistStream(
+      docs: DataFrame,
+      blocklist: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHits: Int = 0): DataFrame =
+    graft.operators.TextOps.blocklistFilter(docs, idCol, textCol,
+      blocklist, maxHits)
+
+  /** L81's streaming twin — the seeded per-source downsample applied
+    * at ingest time: a crawl stream is mixture-rebalanced as it
+    * arrives (kept iff 16-bit md5(doc_id:seed) prefix · den < 65536 ·
+    * num), so the persisted corpus already HAS the target mixture.
+    * Per-document, stateless, shuffle-free, and deterministic in
+    * doc_id — a replayed micro-batch reaches the same verdicts, so
+    * the sample composes with exactly-once sinks.
+    */
+  def sampleStream(
+      docs: DataFrame,
+      rates: Map[String, (Int, Int)],
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      defaultNum: Int = 1,
+      defaultDen: Int = 2,
+      seed: Int = 42): DataFrame =
+    graft.operators.Curation.seededSourceSample(docs, idCol, sourceCol,
+      rates, defaultNum, defaultDen, seed)
+
   /** L6's streaming twin — ingest-time benchmark contamination guard:
     * every arriving document is probed against the STATIC benchmark
     * shingle set (the realistic deployment — the held-out suite is

@@ -12,6 +12,7 @@ import graft.streaming.Ingest.Reading
   * watermark and the per-meter trapezoid interpolation state.
   */
 case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+case class SourcedDoc(doc_id: Long, text: String, source: String)
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class MaintWindow(user_id: Long, win_id: Long,
     start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
@@ -472,6 +473,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val v60 = day2.filter(col("ts") === new java.sql.Timestamp(60000L))
         .collect().map(_.getAs[scala.collection.Seq[Double]]("values").head)
       assert(v60.toSeq == Seq(5.0))
+    } finally q.stop()
+  }
+  test("blocklist stream gates documents at ingest, matching the batch body row-for-row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SourcedDoc]
+    val q = Ingest.blocklistStream(mem.toDF(), blocklist = Seq("bad", "worse"),
+        maxHits = 1)
+      .writeStream.format("memory").queryName("blockgate")
+      .outputMode("append").start()
+    try {
+      val input = Seq(
+        SourcedDoc(1L, "good clean text", "src0"),
+        SourcedDoc(2L, "bad text bad again", "src0"),
+        SourcedDoc(3L, "worse text", "src1"))
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val rows = spark.table("blockgate").select("doc_id", "n_hits", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows == Set((1L, 0L, true), (2L, 2L, false), (3L, 1L, true)))
+      val batch = graft.operators.TextOps
+        .blocklistFilter(input.toDF(), "doc_id", "text", Seq("bad", "worse"), 1)
+        .select("doc_id", "n_hits", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
+  test("sample stream rebalances the mixture at ingest, deterministically across replays") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SourcedDoc]
+    val rates = Map("src0" -> (1, 4), "src1" -> (3, 4))
+    val q = Ingest.sampleStream(mem.toDF(), rates)
+      .writeStream.format("memory").queryName("samplegate")
+      .outputMode("append").start()
+    try {
+      val input = (1L to 200L).map(i =>
+        SourcedDoc(i, s"doc $i", if (i % 2 == 0) "src0" else "src1"))
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val got = spark.table("samplegate").select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // identical verdicts to the batch operator (the stream IS the body)
+      val batch = graft.operators.Curation
+        .seededSourceSample(input.toDF(), "doc_id", "source", rates)
+        .select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == batch)
+      // a replayed micro-batch reaches the same verdicts (exactly-once
+      // composition): feed the same rows again, verdicts must not flip
+      mem.addData(input.take(50): _*)
+      q.processAllAvailable()
+      val replay = spark.table("samplegate").select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      replay.foreach { case (id, k) => assert(got(id) == k, s"doc $id flipped") }
+      // the mixture actually moved: src1 keeps ~3x the fraction of src0
+      val keptBySrc = input.groupBy(_.source).map { case (src, docs2) =>
+        src -> docs2.count(d => got(d.doc_id)).toDouble / docs2.size
+      }
+      assert(keptBySrc("src1") > keptBySrc("src0"))
     } finally q.stop()
   }
 }
