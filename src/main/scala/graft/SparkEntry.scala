@@ -1177,6 +1177,14 @@ object SparkEntry {
       Curation.curationFunnel(Tables.documents(s, dir), "doc_id", "text",
         "source")
     }),
+    // Similarity — IVF-PQ fused search (the FAISS IVFx,PQy
+    // configuration: coarse cells restrict, PQ tables score)
+    "q121_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCells = 8, cellIters = 2, probes = 2,
+        numSub = 4, codebookK = 8, pqIters = 2)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3626,5 +3634,154 @@ object SparkEntry {
            round(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS keep_frac
          FROM f GROUP BY 1 ORDER BY source""",
+    // IVF-PQ fusion: the q23 coarse-Lloyd CTE chain (members + query
+    // probes) composed with the q89 per-subspace PQ chain (p-prefixed)
+    // — the scoring join additionally requires the candidate's coarse
+    // cell to be among the query's probed cells
+    "q121_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         qprobes AS (
+           SELECT vec_id AS qid, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c
+             WHERE e.vec_id < 3)
+           WHERE rk <= 2),
+         sv AS (SELECT vec_id, sub,
+                  list_slice(v, sub * (len(v) // 4) + 1,
+                    (sub + 1) * (len(v) // 4)) AS s
+                FROM e CROSS JOIN range(4) t(sub)),
+         pcent0 AS (SELECT sub, vec_id::BIGINT AS cid, s AS cv
+                    FROM sv WHERE vec_id < 8),
+         pasn1 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent0 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         pm1 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                 FROM (SELECT sub, cell, unnest(s) AS x,
+                         generate_subscripts(s, 1) - 1 AS i FROM pasn1)
+                 GROUP BY 1, 2, 3),
+         pcent1 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                    FROM pm1 GROUP BY 1, 2),
+         pasn2 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent1 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         pm2 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                 FROM (SELECT sub, cell, unnest(s) AS x,
+                         generate_subscripts(s, 1) - 1 AS i FROM pasn2)
+                 GROUP BY 1, 2, 3),
+         pcent2 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                    FROM pm2 GROUP BY 1, 2),
+         fin AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT sv.vec_id, sv.sub, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent2 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, v,
+                 sqrt(list_inner_product(v, v)) AS qnrm
+               FROM e WHERE vec_id < 3),
+         part AS (SELECT q.qid, q.qnrm, c.sub, c.cid AS code,
+                    list_inner_product(list_slice(q.v,
+                      c.sub * (len(q.v) // 4) + 1,
+                      (c.sub + 1) * (len(q.v) // 4)), c.cv) AS pd,
+                    list_inner_product(c.cv, c.cv) AS cn2
+                  FROM q CROSS JOIN pcent2 c),
+         sc AS (SELECT p.qid, f.vec_id AS nid, min(p.qnrm) AS qnrm,
+                  list_reduce(list_concat([0.0], list(p.pd ORDER BY p.sub)),
+                    (a, b) -> a + b) AS adot,
+                  list_reduce(list_concat([0.0], list(p.cn2 ORDER BY p.sub)),
+                    (a, b) -> a + b) AS rec2
+                FROM fin f
+                  JOIN members mb ON mb.vec_id = f.vec_id
+                  JOIN qprobes qp ON qp.cell = mb.cell
+                  JOIN part p ON p.qid = qp.qid AND p.sub = f.sub
+                    AND p.code = f.code AND f.vec_id <> p.qid
+                GROUP BY 1, 2),
+         r AS (SELECT qid, nid,
+                 CASE WHEN qnrm > 0 AND rec2 > 0
+                   THEN round(adot / (qnrm * sqrt(rec2)), 6) + 0.0
+                   ELSE 0.0 END AS cos_adc
+               FROM sc),
+         rk AS (SELECT qid, nid, cos_adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_adc DESC, nid) AS rank
+                FROM r)
+         SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
+         ORDER BY qid, rank""",
   )
 }

@@ -954,4 +954,83 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** IVF-PQ fused top-k search — the configuration a billion-vector
+    * index actually runs (Jégou et al. 2011 §V; every FAISS
+    * `IVFx,PQy` deployment): the coarse IVF quantizer restricts each
+    * query to its `probes` nearest cells, and ONLY the codes inside
+    * those cells are ADC-scored. q23 alone scans full vectors in the
+    * probed cells (memory-bound at scale); q89 alone ADC-scans the
+    * WHOLE corpus (compute light but still corpus-sized per query).
+    * The fusion does neither: per query, work = codes in the probed
+    * cells only — corpus fraction ≈ probes/numCells — against
+    * table-lookup sums, which is why the pairing is the standard.
+    *
+    * Composition is exactly the shipped parts: [[kmeansCentroidSeq]]
+    * coarse centroids (k·d driver literals), [[assignCells]] for both
+    * corpus membership (probes=1) and query probing, [[pqCodebooks]] /
+    * the [[pqAdcTopK]] encode-and-table machinery for scoring — PQ
+    * over RAW vectors, not residuals (residual encoding, the
+    * production refinement, changes the training target but not one
+    * line of this plan shape). The broadcast side is (queries ×
+    * probes × numSub × codebookK) table rows — query-sized, corpus-
+    * independent; the big side carries (vec_id, cell, sub, code) ints
+    * only, the join is map-side on (cell, sub, code), and the fold /
+    * rounded-argmax discipline is pqAdcTopK's verbatim.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, cellIters: Int, probes: Int,
+      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+    require(k > 0 && probes > 0, s"bad search config: k=$k probes=$probes")
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val memberCells = assignCells(v, coarse, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    val qv = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probeCells = assignCells(qv, coarse, probes = probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val (w, books) = pqCodebooks(vectors, numSub, codebookK, pqIters)
+    val codes = books.map { case (sub, cent) =>
+      assignCells(v.select(col("vec_id"),
+        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionAll _)
+      .join(memberCells, "vec_id")
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val tableEntries = books.flatMap { case (sub, cent) =>
+      cent.map { case (cid, cv) =>
+        struct(lit(sub).as("sub"), lit(cid).as("code"),
+          dot_product(slice(col("qv"), lit(sub * w + 1), lit(w)),
+            typedLit(cv)).as("pd"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("cn2"))
+      }
+    }
+    val tables = q.select(col("qid"), col("qnrm"),
+      explode(array(tableEntries: _*)).as("e"))
+      .select(col("qid"), col("qnrm"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.pd").as("pd"), col("e.cn2").as("cn2"))
+      .join(probeCells, "qid")
+    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(min(col("qnrm")).as("qnrm"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")), lit(0.0), (a, x) => a + x).as("adot"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("cn2")))),
+          s => s.getField("cn2")), lit(0.0), (a, x) => a + x).as("rec2"))
+      .withColumn("cos_adc",
+        when(col("qnrm") > 0 && col("rec2") > 0,
+          round(col("adot") / (col("qnrm") * sqrt(col("rec2"))), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

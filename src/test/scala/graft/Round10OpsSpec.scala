@@ -452,6 +452,44 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySrc("srcC") > bySrc("srcA"))
   }
 
+  test("ivfPqTopK: exhaustive probing equals pqAdcTopK; pruned probing stays in probed cells") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    // probes = numCells makes the coarse filter a no-op: the fusion
+    // must reproduce the corpus-wide ADC search exactly (it only
+    // PRUNES — it never rescores)
+    val fused = rows(Similarity.ivfPqTopK(e, q, k = 5,
+      numCells = 8, cellIters = 2, probes = 8,
+      numSub = 4, codebookK = 8, pqIters = 2))
+    val adc = rows(Similarity.pqAdcTopK(e, q, k = 5,
+      numSub = 4, codebookK = 8, iters = 2))
+    assert(fused == adc)
+    // with real pruning, every returned neighbor's coarse cell must be
+    // among its query's probed cells
+    val pruned = Similarity.ivfPqTopK(e, q, k = 5,
+      numCells = 8, cellIters = 2, probes = 2,
+      numSub = 4, codebookK = 8, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.nonEmpty)
+    val coarse = Similarity.kmeansCentroidSeq(e, 8, 2)
+    val vv = e.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        _.cast("double")).as("v"))
+    val memberCell = Similarity.assignCells(vv, coarse, probes = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val probedCells = Similarity.assignCells(
+        vv.filter(col("vec_id") < 3), coarse, probes = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    pruned.foreach { case (qid, nid) =>
+      assert(probedCells(qid).contains(memberCell(nid)),
+        s"neighbor $nid of query $qid lies outside the probed cells")
+    }
+  }
+
   test("curationFunnel: cumulative survival is monotone and matches gopherRules") {
     val s = spark; import s.implicits._
     // reuse the sf0.001 corpus for realistic rule attrition
