@@ -1185,6 +1185,27 @@ object SparkEntry {
         numCells = 8, cellIters = 2, probes = 2,
         numSub = 4, codebookK = 8, pqIters = 2)
     }),
+    // Dedup — winnowed fingerprint readout (MOSS selection): per-doc
+    // gram/window/fingerprint counts + selection density vs the
+    // 2/(w+1) theoretical expectation
+    "q122_winnow_stats" -> ((s, dir) => {
+      Dedup.winnowFingerprintStats(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+    // Dedup — MOSS overlap pairs: docs sharing >= 8 winnowed
+    // fingerprint hashes (positional near-dup with the w+k-1
+    // shared-run detection guarantee)
+    "q123_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir),
+        "doc_id", "text", minShared = 8).orderBy("i", "j")
+    }),
+    // Sketch — HyperLogLog per-source vocabulary estimate (256
+    // md5-derived registers, engine-exact estimator) next to its
+    // exact-distinct audit column
+    "q124_hll_vocabulary" -> ((s, dir) => {
+      TextOps.hllVocabulary(Tables.documents(s, dir), "text", "source")
+        .orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3783,5 +3804,100 @@ object SparkEntry {
                 FROM r)
          SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
          ORDER BY qid, rank""",
+    // Winnowing (MOSS): the fixed-width key md5(gram)[1..12] ∥
+    // lpad(32767-p) makes lexicographic min = (min hash, rightmost
+    // pos), so one window min reproduces the selection verbatim
+    "q122_winnow_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest([{'p': i - 1,
+                   'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
+                         || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
+                 for i in range(1, len(w) - 1)], recursive := true)
+               FROM t),
+         s AS (SELECT doc_id, p, pk,
+                 min(pk) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+               FROM g),
+         f AS (SELECT DISTINCT doc_id, sel FROM s WHERE p <= m - 4),
+         c AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM f GROUP BY 1)
+         SELECT t.doc_id,
+           greatest(len(w) - 2, 0)::BIGINT AS n_grams,
+           greatest(len(w) - 5, 0)::BIGINT AS n_windows,
+           coalesce(c.n_fp, 0)::BIGINT AS n_fp,
+           CASE WHEN len(w) - 5 > 0
+             THEN round(coalesce(c.n_fp, 0)::DOUBLE / (len(w) - 5), 6)
+             ELSE 0.0 END AS density
+         FROM t LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
+    // MOSS overlap pairs off the same selection; overlap vs the
+    // smaller fingerprint set, 6-dp rounded
+    "q123_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest([{'p': i - 1,
+                   'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
+                         || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
+                 for i in range(1, len(w) - 1)], recursive := true)
+               FROM t),
+         s AS (SELECT doc_id, p, pk,
+                 min(pk) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+               FROM g),
+         fh AS (SELECT DISTINCT doc_id, sel[1:12] AS h FROM s WHERE p <= m - 4),
+         nf AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS n_shared
+                FROM fh a JOIN fh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT pr.i, pr.j, pr.n_shared,
+           round(pr.n_shared::DOUBLE / least(ni.nf, nj.nf), 6) AS overlap
+         FROM pr JOIN nf ni ON ni.doc_id = pr.i
+           JOIN nf nj ON nj.doc_id = pr.j
+         WHERE pr.n_shared >= 8
+         ORDER BY pr.i, pr.j""",
+    // HyperLogLog: registers from md5 hex (bucket = first 2 digits,
+    // rho = leading zeros of the next 13 + 1 via ltrim + digit-class
+    // CASE — no floating log); present registers fold 1/(1<<rho) in
+    // ascending-bucket order, empty ones enter as m - n_present;
+    // alpha spelled 0.7213/(1+1.079/256) so both engines compute the
+    // identical double; linear-counting branch on the same values
+    "q124_hll_vocabulary" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         h AS (SELECT source, md5(tok) AS hx FROM tok),
+         b AS (SELECT source,
+                 (16 * (strpos('0123456789abcdef', hx[1:1]) - 1)
+                  + (strpos('0123456789abcdef', hx[2:2]) - 1)) AS bucket,
+                 ltrim(hx[3:15], '0') AS t
+               FROM h),
+         r AS (SELECT source, bucket,
+                 CASE WHEN length(t) = 0 THEN 53
+                   ELSE (13 - length(t)) * 4 +
+                     CASE WHEN t[1:1] IN ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN t[1:1] IN ('4','5','6','7') THEN 1
+                          WHEN t[1:1] IN ('2','3') THEN 2 ELSE 3 END + 1 END
+                   AS rho
+               FROM b),
+         regs AS (SELECT source, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+         agg AS (SELECT source, count(*)::BIGINT AS n_present,
+                   list_reduce(list_concat([0.0],
+                     list_transform(
+                       list_sort(list({'b': bucket,
+                                       'i': 1.0 / (1::BIGINT << rho)})),
+                       s -> s.i)), (a, b) -> a + b) AS s_present
+                 FROM regs GROUP BY 1),
+         ex AS (SELECT source, count(DISTINCT tok)::BIGINT AS n_exact
+                FROM tok GROUP BY 1),
+         e AS (SELECT agg.source, n_exact,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                             / (s_present + (256 - n_present)::DOUBLE)
+                           <= 2.5 * 256.0
+                        AND (256 - n_present) > 0
+                   THEN 256.0 * ln(256.0 / (256 - n_present)::DOUBLE)
+                   ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                        / (s_present + (256 - n_present)::DOUBLE) END AS est
+               FROM agg JOIN ex USING (source))
+         SELECT source, n_exact, round(est, 6) AS hll_est,
+           round(abs(est - n_exact) / n_exact, 6) AS rel_err
+         FROM e ORDER BY source""",
   )
 }

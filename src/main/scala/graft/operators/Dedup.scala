@@ -1150,4 +1150,131 @@ object Dedup {
       .select(col("i"), col("j"),
         round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
   }
+
+  /** Winnowed fingerprint selection (Schleimer, Wilkerson, Aho 2003 —
+    * the MOSS algorithm): hash every token k-gram, slide a window of
+    * `w` consecutive gram hashes over the document, and in each window
+    * select the minimum hash (ties broken to the RIGHTMOST position,
+    * the paper's rule). The selected (hash, position) set is the
+    * document's fingerprint, with the paper's guarantee: any shared
+    * substring of at least w+k-1 tokens produces at least one shared
+    * fingerprint — a positional detection floor MinHash cannot offer.
+    *
+    * Engine-portable ordering trick that keeps the whole selection
+    * inside ONE doc-partitioned window pass: each gram row carries the
+    * fixed-width string key `md5(gram)[1..12] ∥ lpad(32767 − pos, 5)`.
+    * All keys share one length, so lexicographic min = (min 48-bit
+    * hash, rightmost position) in a single built-in `min` window
+    * aggregate — no struct-ordering dependence, reproducible verbatim
+    * in any SQL engine. Only full windows select (a document shorter
+    * than w+k−1 tokens has no fingerprint, per the paper).
+    *
+    * Scale shape: the gram explode and key hashing happen in the scan
+    * stage; the one exchange is the doc-keyed window shuffle carrying
+    * (doc_id, pos, 17-char key) — document text never leaves the scan,
+    * and the window partition is document-bounded, never corpus-wide.
+    * Envelope: 48-bit hashes ⇒ expected cross-doc collisions
+    * V²/2⁴⁹ (V = distinct grams) — below one until V ≈ 2×10⁷; raise to
+    * the full 16-hex prefix if a trillion-gram corpus needs it. The
+    * 32767 position bound caps documents at 32k grams; longer docs
+    * belong to the chunking path (Packing.chunkDocuments) first.
+    */
+  def winnowedFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      .select(col("doc_id"),
+        posexplode(TextOps.tokenNgramsOfTokens(col("__w"), k))
+          .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"),
+        concat(substring(md5(col("g")), 1, 12),
+          lpad((lit(32767) - col("p")).cast("string"), 5, "0")).as("pk"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val sel = grams
+      .withColumn("sel",
+        min(col("pk")).over(byDoc.orderBy(col("p")).rowsBetween(0, w - 1)))
+      .withColumn("__m", count(lit(1)).over(byDoc))
+      .filter(col("p") <= col("__m") - w)
+      .select(col("doc_id"), col("sel")).distinct()
+    sel.select(col("doc_id"),
+      substring(col("sel"), 1, 12).as("h"),
+      (lit(32767) - substring(col("sel"), 13, 5).cast("int")).as("pos"))
+  }
+
+  /** Per-document winnowing readout: gram count, full-window count,
+    * selected-fingerprint count, and density = n_fp / n_windows (the
+    * paper's expected density is 2/(w+1); a document whose density
+    * sits far above it is hash-diverse — far below it, repetitive).
+    * Short documents (no full window) report zero fingerprints.
+    */
+  def winnowFingerprintStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("__len"))
+      .select(col("doc_id"),
+        greatest(col("__len") - (k - 1), lit(0)).cast("long").as("n_grams"),
+        greatest(col("__len") - (k + w - 2), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("n_fp"), lit(0L)).cast("double")
+            / col("n_windows"), 6)).otherwise(lit(0.0)).as("density"))
+  }
+
+  /** Fingerprint-overlap pairs (the MOSS report): document pairs
+    * sharing at least `minShared` distinct winnowed fingerprint
+    * hashes, with overlap = shared / min(|fp_i|, |fp_j|). Positional
+    * near-dup detection with the winnowing guarantee — every pair
+    * sharing a run of ≥ w+k−1 tokens surfaces.
+    *
+    * The pairing join is keyed by the 12-hex fingerprint hash (12
+    * bytes + ids per posting, never text). `maxPosting` is the q53/q97
+    * straggler backstop: a corpus-hot fingerprint (boilerplate that
+    * winnowing itself selects in thousands of docs) would otherwise
+    * make one join key's bucket quadratic; the count window shares the
+    * join's hash partitioning, and the cap is a no-op on honest data
+    * (spec-asserted) — it exists so one templated shard cannot stall
+    * the stage at 100 TB.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxPosting: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val capped = fp
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__pn") <= maxPosting)
+      .drop("__pn")
+    capped.as("a")
+      .join(capped.select(col("doc_id").as("j"), col("h").as("hj")).as("b"),
+        col("a.h") === col("hj") && col("a.doc_id") < col("j"))
+      .groupBy(col("a.doc_id").as("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nf.select(col("doc_id").as("i"), col("nf").as("nf_i")), "i")
+      .join(nf.select(col("doc_id").as("j"), col("nf").as("nf_j")), "j")
+      .select(col("i"), col("j"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / least(col("nf_i"), col("nf_j")), 6).as("overlap"))
+  }
 }

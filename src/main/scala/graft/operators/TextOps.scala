@@ -616,6 +616,93 @@ object TextOps {
       .orderBy(col("cnt").desc, col("gram"))
   }
 
+  /** HyperLogLog (Flajolet et al. 2007) over per-group token streams —
+    * the CMS sibling for COUNT DISTINCT: per-source vocabulary size
+    * from 256 fixed registers instead of a vocabulary-sized
+    * count-distinct shuffle. Shared front half of the batch estimate
+    * and the streaming sketch twin (the cmsBucketed discipline): one
+    * row per token occurrence carrying its register index and rank,
+    * all md5-derived so any SQL engine reproduces the registers
+    * verbatim.
+    *
+    *   bucket — first 2 hex chars of md5(token): 8 bits, m = 256;
+    *   rho    — leading-zero count of the NEXT 52 bits + 1 (53 when
+    *            all zero), computed on the hex string itself (ltrim
+    *            of '0's + one CASE over the first surviving digit's
+    *            4-bit class) — no floating log, no libm, no
+    *            bit-twiddling an engine could round differently.
+    */
+  def hllBucketed(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val hx = md5(col("__tok"))
+    val t = ltrim(substring(hx, 3, 13), "0")
+    val d = substring(t, 1, 1)
+    val clz4 = when(d.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .when(d.isin("2", "3"), 2)
+      .otherwise(3)
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("grp"),
+        conv(substring(hx, 1, 2), 16, 10).cast("int").as("bucket"),
+        when(length(t) === 0, 53)
+          .otherwise((lit(13) - length(t)) * 4 + clz4 + 1).as("rho"))
+  }
+
+  /** Bucketed occurrences → (grp, bucket, rho) registers: max(rho) per
+    * register, the HLL state. The groupBy key space is 256·groups
+    * regardless of vocabulary — and, like the CMS cells, max is an
+    * idempotent monoid, so the SAME body is the streaming aggregation
+    * with permanently bounded state (Ingest.hllSketchStream), and
+    * region-sharded register sets union by max before estimating.
+    */
+  def hllRegisters(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy("grp", "bucket").agg(max("rho").as("rho"))
+
+  /** Per-group HLL vocabulary estimate next to its exact audit column.
+    *
+    * Estimator kept oracle-exact: empty registers contribute 2⁰ via
+    * the closed form m − n_present (no 256-cell grid join needed);
+    * present registers fold 1/(1<<ρ) in ascending-bucket order from a
+    * 0.0 seed (the L38-L40 float discipline — no libm pow, the shift
+    * is integer); α_256 is spelled as 0.7213/(1 + 1.079/256) in BOTH
+    * engines so the constant itself carries no rounding choice; the
+    * small-range linear-counting branch (raw ≤ 2.5m ∧ V>0 →
+    * m·ln(m/V)) compares and corrects on identically-computed doubles.
+    *
+    * n_exact is the AUDIT column — a real vocabulary-sized distinct
+    * shuffle that exists to prove the sketch (the q95 exact-verify
+    * contract). At 100 TB you keep the register path (256 rows per
+    * group on the exchange, mergeable across shards/streams) and drop
+    * the audit; the gate runs both so rel_err is a measured fact, not
+    * a claim.
+    */
+  def hllVocabulary(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val regs = hllRegisters(hllBucketed(docs, textCol, groupCol))
+      .withColumn("inv", expr("1.0 / cast(shiftleft(1L, rho) as double)"))
+    val est = regs.groupBy("grp").agg(
+      count(lit(1)).as("n_present"),
+      aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("inv")))),
+        lit(0.0), (a, x) => a + x.getField("inv")).as("s_present"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val m = lit(256.0)
+    val v = lit(256) - col("n_present")
+    val raw = alpha * m * m / (col("s_present") + v.cast("double"))
+    val corrected = when(raw <= lit(2.5) * m && v > 0,
+      m * log(m / v.cast("double"))).otherwise(raw)
+    val exact = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("grp").agg(countDistinct(col("t")).as("n_exact"))
+    est.join(exact, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        round(corrected, 6).as("hll_est"),
+        round(abs(corrected - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's n-gram
     * occurrences whose FIRST corpus appearance (minimum doc_id) is this
     * document — the standard train-order memorization/novelty readout

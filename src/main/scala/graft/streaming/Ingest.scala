@@ -216,6 +216,24 @@ object Ingest {
     graft.operators.TextOps.cmsCellsOf(
       graft.operators.TextOps.cmsBucketed(docs, textCol, depth, width), depth)
 
+  /** L90's streaming twin — HyperLogLog registers as a streaming
+    * aggregation (the cmsSketchStream discipline): max(rho) per
+    * (group, bucket) over the same md5-derived front half the batch
+    * estimate uses, so state is permanently bounded at 256 rows per
+    * group on an unbounded crawl — no watermark needed, max is an
+    * idempotent monoid, replayed micro-batches are absorbed. Any
+    * batch can read a per-source vocabulary estimate off the current
+    * registers at any time; register sets from independent
+    * streams/shards union by the same max before estimating.
+    * Run in update/complete output mode.
+    */
+  def hllSketchStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      groupCol: String = "source"): DataFrame =
+    graft.operators.TextOps.hllRegisters(
+      graft.operators.TextOps.hllBucketed(docs, textCol, groupCol))
+
   /** Sequence chunking's streaming twin — the same per-document
     * sequence+posexplode body the batch operator uses (Packing.chunk,
     * q72), applied to a document stream: stateless, shuffle-free,

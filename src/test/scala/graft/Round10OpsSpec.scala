@@ -508,4 +508,145 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
     assert(f.map(_.getLong(5)).sum == g)
   }
+
+  /** Reference winnowing (Schleimer et al. 2003, Fig. 5 semantics):
+    * per window of w gram hashes select the minimum, rightmost on
+    * ties — implemented directly on the same md5-prefix hashes.
+    */
+  private def referenceWinnow(
+      toks: Seq[String], k: Int, w: Int): Set[(String, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): String =
+      md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val grams = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+    val hs = grams.map(h)
+    (0 to hs.size - w).flatMap { j =>
+      val win = hs.slice(j, j + w)
+      val m = win.min
+      val pos = j + win.lastIndexOf(m)
+      Some((hs(pos), pos))
+    }.toSet
+  }
+
+  test("winnowedFingerprints matches the paper's rightmost-min selection rule") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f y z a b c d e f"),
+      (3L, "r r r r r r r r"), // degenerate: all grams identical
+      (4L, "one two three four five six seven eight nine ten eleven"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getString(1), r.getInt(2))).toSet
+      }
+    texts.foreach { case (id, t) =>
+      val want = referenceWinnow(t.split(" ").toSeq, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"selection mismatch for doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share the 6-token run "p q r s t u" (w+k-1 = 6);
+    // doc 3 shares nothing
+    val docs = Seq(
+      (1L, "aa bb p q r s t u cc dd ee ff"),
+      (2L, "zz yy xx p q r s t u ww vv"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "guaranteed shared fingerprint not detected")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowFingerprintStats: short docs report zero; counts are consistent") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // 3 grams, 0 full windows (needs 6 tokens)
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val st = Dedup.winnowFingerprintStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(st(0).getLong(1) == 3 && st(0).getLong(2) == 0 &&
+      st(0).getLong(3) == 0 && st(0).getDouble(4) == 0.0)
+    assert(st(1).getLong(1) == 6 && st(1).getLong(2) == 3)
+    assert(st(1).getLong(3) >= 1 && st(1).getLong(3) <= 3)
+  }
+
+  test("hllBucketed register derivation matches a reference MD5 implementation") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta alpha", "s0"),
+      (2L, "epsilon zeta beta", "s1")).toDF("doc_id", "text", "source")
+    val got = TextOps.hllRegisters(TextOps.hllBucketed(docs, "text", "source"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // reference: same md5-hex register derivation in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def reg(tok: String): (Int, Int) = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+      val t = hex.substring(2, 15).dropWhile(_ == '0')
+      val rho = if (t.isEmpty) 53 else {
+        val clz4 = "89abcdef".indexOf(t.head) match {
+          case -1 => if (t.head == '1') 3 else if ("23".contains(t.head)) 2 else 1
+          case _ => 0
+        }
+        (13 - t.length) * 4 + clz4 + 1
+      }
+      (bucket, rho)
+    }
+    val want = Seq(("s0", "alpha beta gamma delta alpha"),
+      ("s1", "epsilon zeta beta"))
+      .flatMap { case (src, txt) =>
+        txt.split(" ").map(tok => (src, reg(tok))) }
+      .groupBy { case (src, (b, _)) => (src, b) }
+      .map { case (k, vs) => k -> vs.map(_._2._2).max }
+    assert(got == want)
+  }
+
+  test("hllVocabulary: estimate within HLL error bounds, registers merge by max") {
+    val s = spark; import s.implicits._
+    // 2000 distinct tokens across two sources — large-range regime
+    val docs = (1L to 200L).map { i =>
+      (i, (0 until 10).map(j => s"tok_${i}_$j").mkString(" "),
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+    val est = TextOps.hllVocabulary(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    est.foreach { case (src, (exact, hll, rel)) =>
+      assert(exact == 1000L, s"$src exact")
+      // m=256 → typical error 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+      assert(rel < 0.26, s"$src rel_err $rel out of bounds (est $hll)")
+    }
+    // mergeability: max-union of per-half registers == whole registers
+    val half1 = docs.filter(col("doc_id") <= 100)
+    val half2 = docs.filter(col("doc_id") > 100)
+    val merged = TextOps.hllRegisters(
+        TextOps.hllBucketed(half1, "text", "source")
+          .unionAll(TextOps.hllBucketed(half2, "text", "source")))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val whole = TextOps.hllRegisters(TextOps.hllBucketed(docs, "text", "source"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = Dedup.winnowOverlapPairs(docs, "doc_id", "text", minShared = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      minShared = 8, maxPosting = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base == capped, "cap altered results on honest data")
+    val strangled = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      minShared = 8, maxPosting = 1)
+      .collect()
+    assert(strangled.length < base.size,
+      "a binding cap must drop hot-key pairs")
+  }
 }

@@ -239,6 +239,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("hll sketch stream: bounded registers accumulate across batches, equal the batch sketch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val withSrc = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("source",
+        when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    val q = Ingest.hllSketchStream(withSrc(mem.toDF()))
+      .writeStream.format("memory").queryName("hll")
+      .outputMode("complete").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val batch1 = Seq(doc(1, "foo bar foo baz"), doc(2, "one two three"))
+      val batch2 = Seq(doc(3, "foo qux quux corge"), doc(4, "one two four"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamRegs = spark.table("hll")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      // state stays inside the fixed register grid: <= 256 per group
+      assert(streamRegs.keys.forall { case (_, b) => b >= 0 && b < 256 })
+      assert(streamRegs.groupBy(_._1._1).forall(_._2.size <= 256))
+      // the running registers equal the batch registers over the union
+      val batchRegs = graft.operators.TextOps.hllRegisters(
+          graft.operators.TextOps.hllBucketed(
+            withSrc((batch1 ++ batch2).toDF()), "text", "source"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(streamRegs == batchRegs)
+    } finally q.stop()
+  }
+
   test("chunk stream emits window plans statelessly, matching batch (q72 twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
