@@ -1206,6 +1206,14 @@ object SparkEntry {
       TextOps.hllVocabulary(Tables.documents(s, dir), "text", "source")
         .orderBy("source")
     }),
+    // Embedding QA — top principal component by power iteration (the
+    // anisotropy readout: pc1_share says whether one common direction
+    // dominates cosine similarity); covariance never materialized,
+    // each iteration is one literal-fed corpus scan
+    "q125_power_iteration_pc1" -> ((s, dir) => {
+      Similarity.powerIterationPC1(Tables.embeddings(s, dir), iters = 3)
+        .orderBy("dim")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3899,5 +3907,74 @@ object SparkEntry {
          SELECT source, n_exact, round(est, 6) AS hll_est,
            round(abs(est - n_exact) / n_exact, 6) AS rel_err
          FROM e ORDER BY source""",
+    // Power iteration: the centered frame is computed once; each
+    // iteration's per-dim sums round to 6 dp, the norm folds in
+    // ascending-dim order from 0.0, and the normalized loadings
+    // re-round — the same recurrence the Spark driver runs
+    "q125_power_iteration_pc1" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         mu0 AS (SELECT i, round(avg(x), 6) AS m
+                 FROM (SELECT unnest(v) AS x,
+                         generate_subscripts(v, 1) - 1 AS i FROM e)
+                 GROUP BY 1),
+         mu AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+         v0 AS (SELECT [round(1.0 / sqrt(len(mu)::DOUBLE), 6)
+                        for i in range(len(mu))] AS pc FROM mu),
+         c0 AS (SELECT list_transform(range(len(v)),
+                  i -> v[i + 1] - mu[i + 1]) AS c
+                FROM e, mu),
+         w1 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v0))
+                GROUP BY 1),
+         n1 AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                  list_transform(list(w ORDER BY i), x -> x * x)),
+                  (a, b) -> a + b)) AS nrm,
+                  list(w ORDER BY i) AS wl
+                FROM w1),
+         v1 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v0)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n1),
+         w2 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v1))
+                GROUP BY 1),
+         n2_ AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                   list_transform(list(w ORDER BY i), x -> x * x)),
+                   (a, b) -> a + b)) AS nrm,
+                   list(w ORDER BY i) AS wl
+                 FROM w2),
+         v2 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v1)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n2_),
+         w3 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v2))
+                GROUP BY 1),
+         n3_ AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                   list_transform(list(w ORDER BY i), x -> x * x)),
+                   (a, b) -> a + b)) AS nrm,
+                   list(w ORDER BY i) AS wl
+                 FROM w3),
+         v3 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v2)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n3_),
+         fin AS (SELECT round(avg(p * p), 6) AS lambda1,
+                   round(avg(n2), 6) AS trace
+                 FROM (SELECT list_inner_product(c, pc) AS p,
+                         list_inner_product(c, c) AS n2
+                       FROM c0, v3))
+         SELECT i::BIGINT AS dim, pc_i AS loading, lambda1, trace,
+           round(lambda1 / trace, 6) AS pc1_share
+         FROM (SELECT unnest(pc) AS pc_i,
+                 generate_subscripts(pc, 1) - 1 AS i FROM v3), fin
+         ORDER BY dim""",
   )
 }

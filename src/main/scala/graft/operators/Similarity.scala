@@ -1033,4 +1033,78 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Round-half-away-from-zero to 6 dp on the driver — the exact
+    * semantics of Spark's `round` and DuckDB's `round(DOUBLE)`, so
+    * driver-side recurrence steps stay bit-identical to both engines.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Top principal component of the embedding corpus by power
+    * iteration — the anisotropy readout (Mu & Viswanath 2018's
+    * "all-but-the-top": contextual/static embedding spaces concentrate
+    * mass in a few directions; pc1_share tells you whether cosine
+    * similarity is being dominated by one common direction before you
+    * trust any of the ANN/dedup ops that consume it).
+    *
+    * Never materializes the d×d covariance: each iteration is ONE
+    * corpus scan computing w = Σ_x ((x−μ)·v)(x−μ) — a per-row dot
+    * against the broadcast-literal v plus a d-dim aggregate — the
+    * kmeansCentroidSeq discipline (driver holds d doubles, iterations
+    * are literal-fed scans, no lineage growth). Determinism and the
+    * exact SQL mirror: fixed iteration count, every per-dim sum
+    * rounded to 6 dp before the driver-side normalization, the norm
+    * folded in ascending-dim order, and the normalized loadings
+    * re-rounded — each iteration's vector is reproducible verbatim
+    * from any engine's rounded aggregates. λ₁ is the Rayleigh
+    * quotient of the FINAL rounded vector and the share is computed
+    * from the rounded λ₁ and trace, so the one-row summary is
+    * oracle-exact too.
+    *
+    * Output: one row per dimension (dim, loading) with the corpus
+    * summary (lambda1, trace, pc1_share) replicated — dimension-
+    * bounded (d rows) at any corpus size.
+    */
+  def powerIterationPC1(vectors: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .cache()
+    val mu: Seq[Double] = v
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(round(avg(col("x")), 6).as("m"))
+      .orderBy("d").select(col("m")).as[Double].collect().toSeq
+    val d = mu.size
+    val muLit = typedlit(mu)
+    var pc: Seq[Double] = Seq.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val vLit = typedlit(pc)
+      val centered = zip_with(col("v"), muLit, (a, b) => a - b)
+      val w: Seq[Double] = v
+        .select(centered.as("c"))
+        .select(col("c"), dot_product(col("c"), vLit).as("p"))
+        .select(posexplode(col("c")).as(Seq("d", "ci")), col("p"))
+        .groupBy("d").agg(round(sum(col("ci") * col("p")), 6).as("w"))
+        .orderBy("d").select(col("w")).as[Double].collect().toSeq
+      val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      pc = if (nrm == 0.0) pc else w.map(x => round6(x / nrm))
+    }
+    val vLit = typedlit(pc)
+    val centered = zip_with(col("v"), muLit, (a, b) => a - b)
+    val summary = v
+      .select(centered.as("c"))
+      .select(dot_product(col("c"), vLit).as("p"),
+        dot_product(col("c"), col("c")).as("n2"))
+      .agg(round(avg(col("p") * col("p")), 6).as("lambda1"),
+        round(avg(col("n2")), 6).as("trace"))
+      .withColumn("pc1_share", round(col("lambda1") / col("trace"), 6))
+    v.unpersist(false)
+    spark.createDataset(pc.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+      .toDF("dim", "loading")
+      .crossJoin(summary)
+      .select(col("dim"), col("loading"), col("lambda1"), col("trace"),
+        col("pc1_share"))
+  }
 }

@@ -634,6 +634,30 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == whole)
   }
 
+  test("powerIterationPC1 recovers a planted dominant direction") {
+    val s = spark; import s.implicits._
+    // x_n = s_n * u + tiny index-keyed off-axis noise, u = (3,4)/5;
+    // deterministic, no RNG. PC1 must align with u and dominate.
+    val u = Seq(0.6, 0.8)
+    val vecs = (0 until 40).map { n =>
+      val sn = (n % 7) - 3.0 // symmetric spread along u
+      val noise = 0.01 * ((n % 3) - 1.0)
+      (n.toLong, Array(
+        (sn * u(0) + noise).toFloat,
+        (sn * u(1) - noise).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.powerIterationPC1(vecs, iters = 5)
+      .orderBy("dim").collect()
+    val pc = out.map(_.getDouble(1))
+    val cosU = math.abs(pc(0) * u(0) + pc(1) * u(1))
+    assert(cosU > 0.999, s"pc1 $cosU misaligned: ${pc.toSeq}")
+    val share = out(0).getDouble(4)
+    assert(share > 0.99, s"pc1_share $share should dominate")
+    // loadings are unit up to the 6-dp rounding
+    val nrm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4)
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
