@@ -1214,6 +1214,21 @@ object SparkEntry {
       Similarity.powerIterationPC1(Tables.embeddings(s, dir), iters = 3)
         .orderBy("dim")
     }),
+    // Dedup — normalization-insensitive exact dedup: duplicate groups
+    // keyed by the canonical (lowercase/punct-stripped/ws-collapsed)
+    // text; n_variants > 1 marks groups byte-exact dedup missed
+    "q126_normalized_dedup" -> ((s, dir) => {
+      Dedup.normalizedDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("keeper")
+    }),
+    // Curation — mixture-epochs plan: target weights x token budget →
+    // implied passes over each source, over-capacity flags
+    "q127_mixture_epochs" -> ((s, dir) => {
+      Curation.mixtureEpochs(Tables.documents(s, dir), "text", "source",
+        weights = Map("src0" -> (3, 10), "src1" -> (1, 5),
+          "src2" -> (1, 4), "src3" -> (1, 4)),
+        budgetTokens = 1000000L)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3976,5 +3991,32 @@ object SparkEntry {
          FROM (SELECT unnest(pc) AS pc_i,
                  generate_subscripts(pc, 1) - 1 AS i FROM v3), fin
          ORDER BY dim""",
+    // String-keyed mirror of the hash-grouped normalized dedup (the
+    // q96/q98 collision envelope); DuckDB regexp_replace needs the
+    // 'g' flag — Spark's is global by default
+    "q126_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS ct
+               FROM documents)
+         SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n_copies,
+           count(DISTINCT text)::BIGINT AS n_variants
+         FROM n GROUP BY ct
+         ORDER BY keeper""",
+    // Integer-exact targets: (budget * num) // den, epochs off the
+    // rounded double, over_capacity compares the ROUNDED epochs
+    "q127_mixture_epochs" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+               FROM documents GROUP BY 1),
+         w(source, num, den) AS (VALUES
+           ('src0', 3, 10), ('src1', 1, 5), ('src2', 1, 4), ('src3', 1, 4))
+         SELECT per.source, n_docs, n_tokens,
+           round(num::DOUBLE / den, 6) AS weight,
+           ((1000000 * num) // den)::BIGINT AS target_tokens,
+           round(((1000000 * num) // den)::DOUBLE / n_tokens, 6) AS epochs,
+           (round(((1000000 * num) // den)::DOUBLE / n_tokens, 6) > 4.0)
+             AS over_capacity
+         FROM per JOIN w USING (source) ORDER BY source""",
   )
 }

@@ -461,4 +461,39 @@ object Curation {
         round(col("n_keep").cast("double") / col("n_docs"), 6))
       .orderBy(col("source"))
   }
+
+  /** Mixture-epochs planning readout: given target mixture weights and
+    * a total token budget, how many PASSES over each source does the
+    * plan imply — the Muennighoff et al. 2023 repeated-data question
+    * ("is any source asked for more epochs than repetition stays
+    * useful?") answered before a single training token is written.
+    * target_tokens = weight · budget exactly in integer space
+    * (weights as num/den pairs, floor division — no float budget
+    * drift); epochs = target/have, 6-dp; over_capacity flags epochs
+    * above `maxEpochs`. One corpus scan (token count per source) +
+    * a |sources|-row literal join; the weights frame is a broadcast
+    * literal like the q115 rate map.
+    */
+  def mixtureEpochs(
+      docs: DataFrame, textCol: String, sourceCol: String,
+      weights: Map[String, (Int, Int)], budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.map { case (s, (num, den)) => (s, num, den) }
+      .toDF("source", "__num", "__den")
+    val per = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    per.join(broadcast(w), Seq("source"), "inner")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__num").cast("double") / col("__den"), 6).as("weight"),
+        expr(s"CAST((${budgetTokens}L * __num) DIV __den AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("over_capacity", col("epochs") > maxEpochs)
+      .orderBy(col("source"))
+  }
 }

@@ -1151,6 +1151,34 @@ object Dedup {
         round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
   }
 
+  /** Canonical text form for normalization-insensitive dedup (the
+    * C4/RefinedWeb cleanup step): lowercase, every non-alphanumeric
+    * run → one space, whitespace collapsed, trimmed. Pure Column
+    * expression — scan speed, composes with any dedup path.
+    */
+  def canonicalText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(t), "[^a-z0-9 ]+", " "), " +", " "))
+
+  /** Normalization-insensitive exact dedup: duplicate groups keyed by
+    * the CANONICAL text — catches case/punctuation/whitespace variants
+    * that byte-exact dedup (L1) misses, the standard first escalation
+    * before paying MinHash. Hash-grouped like exactDedup phase 1: the
+    * exchange carries (16 bytes + id) per doc, never text. n_variants
+    * counts distinct RAW texts inside each group (variants > 1 ⇔ the
+    * normalization did work byte-dedup couldn't), hash-keyed under the
+    * documented q96/q98 xxhash64 collision envelope.
+    */
+  def normalizedDedup(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        xxhash64(canonicalText(col(textCol))).as("__nh"),
+        xxhash64(col(textCol)).as("__rh"))
+      .groupBy(col("__nh"))
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("n_copies"),
+        countDistinct(col("__rh")).as("n_variants"))
+      .select(col("keeper"), col("n_copies"), col("n_variants"))
+
   /** Winnowed fingerprint selection (Schleimer, Wilkerson, Aho 2003 —
     * the MOSS algorithm): hash every token k-gram, slide a window of
     * `w` consecutive gram hashes over the document, and in each window

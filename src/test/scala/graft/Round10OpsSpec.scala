@@ -634,6 +634,43 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == whole)
   }
 
+  test("normalizedDedup merges case/punct/whitespace variants byte-dedup misses") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (5L, "The quick, brown FOX!"),
+      (2L, "the  quick brown fox"),
+      (9L, "the quick brown fox."),
+      (7L, "a different document"),
+      (8L, "A DIFFERENT document")).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .orderBy("keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // fox group: ids {2,5,9}, 3 raw variants; different-doc group:
+    // ids {7,8}, 2 variants. Byte-exact dedup finds NOTHING here.
+    assert(got == Seq((2L, 3L, 3L), (7L, 2L, 2L)))
+    val byteDups = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).count()
+    assert(byteDups == 0)
+  }
+
+  test("mixtureEpochs: integer-exact targets, epoch flags") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "big"),   // 10 tokens
+      (2L, "a b c d e f g h i j", "big"),
+      (3L, "a b", "small"), (4L, "a b", "small")) // 4 tokens
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixtureEpochs(docs, "text", "source",
+      weights = Map("big" -> (1, 2), "small" -> (1, 2)),
+      budgetTokens = 40L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    // big: 20 tokens have, target 20 → 1 epoch; small: 4 have,
+    // target 20 → 5 epochs → over capacity
+    assert(out("big") == ((20L, 20L, 1.0, false)))
+    assert(out("small") == ((4L, 20L, 5.0, true)))
+  }
+
   test("powerIterationPC1 recovers a planted dominant direction") {
     val s = spark; import s.implicits._
     // x_n = s_n * u + tiny index-keyed off-axis noise, u = (3,4)/5;
