@@ -1188,79 +1188,88 @@ object Dedup {
     * substring of at least w+k-1 tokens produces at least one shared
     * fingerprint — a positional detection floor MinHash cannot offer.
     *
-    * Engine-portable ordering trick that keeps the whole selection
-    * inside ONE doc-partitioned window pass: each gram row carries the
-    * fixed-width string key `md5(gram)[1..12] ∥ lpad(32767 − pos, 5)`.
-    * All keys share one length, so lexicographic min = (min 48-bit
-    * hash, rightmost position) in a single built-in `min` window
-    * aggregate — no struct-ordering dependence, reproducible verbatim
-    * in any SQL engine. Only full windows select (a document shorter
-    * than w+k−1 tokens has no fingerprint, per the paper).
+    * Engine-portable ordering trick: each gram carries the fixed-width
+    * string key `md5(gram)[1..12] ∥ lpad(32767 − pos, 5)`. All keys
+    * share one length, so lexicographic min = (min 48-bit hash,
+    * rightmost position) in a plain string min — no struct-ordering
+    * dependence, reproducible verbatim in any SQL engine. Only full
+    * windows select (a document shorter than w+k−1 tokens has no
+    * fingerprint, per the paper).
     *
-    * Scale shape: the gram explode and key hashing happen in the scan
-    * stage; the one exchange is the doc-keyed window shuffle carrying
-    * (doc_id, pos, 17-char key) — document text never leaves the scan,
-    * and the window partition is document-bounded, never corpus-wide.
-    * Envelope: 48-bit hashes ⇒ expected cross-doc collisions
-    * V²/2⁴⁹ (V = distinct grams) — below one until V ≈ 2×10⁷; raise to
-    * the full 16-hex prefix if a trillion-gram corpus needs it. The
-    * 32767 position bound caps documents at 32k grams; longer docs
-    * belong to the chunking path (Packing.chunkDocuments) first.
+    * Scale shape: the ENTIRE selection runs inside the scan stage as
+    * ONE native kernel call (`Signatures.winnow_keys`, a compiled
+    * O(m·(k+w)) loop) — gram keys, window minima, and the per-doc
+    * distinct all happen on the document row, so the operator itself
+    * contributes ZERO exchanges (a window-function formulation would
+    * shuffle every gram key by doc_id for the same compute, and a
+    * nested higher-order-Column formulation gets re-inlined by
+    * predicate pushdown into an O(m³) interpreted tree — see the
+    * kernel's docstring). Downstream shuffles see only the selected
+    * ~2m/(w+1) fingerprints per doc. Being per-document and
+    * stateless, the same body IS the streaming twin
+    * (Ingest.winnowStream). Envelope: 48-bit hashes ⇒ expected
+    * cross-doc collisions V²/2⁴⁹ (V = distinct grams) — below one
+    * until V ≈ 2×10⁷; raise to the full 16-hex prefix if a
+    * trillion-gram corpus needs it. The 32767 position bound caps
+    * documents at 32k grams; longer docs belong to the chunking path
+    * first.
     */
   def winnowedFingerprints(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      w: Int = 4): DataFrame =
+    winnowSelectedCol(df, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("__sel")).as("sel"))
       .select(col("doc_id"),
-        posexplode(TextOps.tokenNgramsOfTokens(col("__w"), k))
-          .as(Seq("p", "g")))
-      .select(col("doc_id"), col("p"),
-        concat(substring(md5(col("g")), 1, 12),
-          lpad((lit(32767) - col("p")).cast("string"), 5, "0")).as("pk"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val sel = grams
-      .withColumn("sel",
-        min(col("pk")).over(byDoc.orderBy(col("p")).rowsBetween(0, w - 1)))
-      .withColumn("__m", count(lit(1)).over(byDoc))
-      .filter(col("p") <= col("__m") - w)
-      .select(col("doc_id"), col("sel")).distinct()
-    sel.select(col("doc_id"),
-      substring(col("sel"), 1, 12).as("h"),
-      (lit(32767) - substring(col("sel"), 13, 5).cast("int")).as("pos"))
-  }
+        substring(col("sel"), 1, 12).as("h"),
+        (lit(32767) - substring(col("sel"), 13, 5).cast("int")).as("pos"))
+
+  /** (doc_id, __sel) — the distinct selected window-min keys of each
+    * document, computed entirely on the document row (no exchange).
+    * Each stage (tokens → gram keys → window minima) is bound as its
+    * OWN projected column: a multi-referenced higher-order expression
+    * inlined into the next stage's lambdas would re-evaluate per
+    * element — O(m³) tokenize/md5 work per document interpreted —
+    * while staged attributes evaluate once per row, O(m·k + m·w).
+    * CollapseProject keeps the stages apart (it never duplicates
+    * non-cheap aliases referenced more than once).
+    */
+  private def winnowSelectedCol(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.Signatures
+        .winnow_keys(split(col(textCol), " "), k, w).as("__sel"))
 
   /** Per-document winnowing readout: gram count, full-window count,
     * selected-fingerprint count, and density = n_fp / n_windows (the
     * paper's expected density is 2/(w+1); a document whose density
     * sits far above it is hash-diverse — far below it, repetitive).
     * Short documents (no full window) report zero fingerprints.
+    * Pure projection — selection, counts, and density all on the
+    * document row; the whole readout is scan-speed with no exchange.
     */
   def winnowFingerprintStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      w: Int = 4): DataFrame = {
-    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      w: Int = 4): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).as("__len"))
+        size(split(col(textCol), " ")).as("__len"),
+        size(org.apache.spark.sql.graft.Signatures
+          .winnow_keys(split(col(textCol), " "), k, w)).as("__nfp"))
       .select(col("doc_id"),
         greatest(col("__len") - (k - 1), lit(0)).cast("long").as("n_grams"),
         greatest(col("__len") - (k + w - 2), lit(0)).cast("long")
-          .as("n_windows"))
-      .join(fp, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"), col("n_windows"),
-        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-        when(col("n_windows") > 0,
-          round(coalesce(col("n_fp"), lit(0L)).cast("double")
-            / col("n_windows"), 6)).otherwise(lit(0.0)).as("density"))
-  }
+          .as("n_windows"),
+        col("__nfp").cast("long").as("n_fp"),
+        when(col("__len") - (k + w - 2) > 0,
+          round(col("__nfp").cast("double")
+            / (col("__len") - (k + w - 2)), 6)).otherwise(lit(0.0))
+          .as("density"))
 
   /** Fingerprint-overlap pairs (the MOSS report): document pairs
     * sharing at least `minShared` distinct winnowed fingerprint
@@ -1286,23 +1295,29 @@ object Dedup {
       minShared: Int = 2,
       maxPosting: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
-      .select(col("doc_id"), col("h")).distinct()
-    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // per-doc distinct hashes AND their count computed on the document
+    // row (array_distinct + size) — no distinct shuffle, no
+    // count-aggregate joins; each posting carries its doc's nf along
+    val fp = winnowSelectedCol(df, idCol, textCol, k, w)
+      .select(col("doc_id"),
+        array_distinct(transform(col("__sel"),
+          s => substring(s, 1, 12))).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).as("nf"),
+        explode(col("__hs")).as("h"))
     val capped = fp
       .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__pn") <= maxPosting)
       .drop("__pn")
     capped.as("a")
-      .join(capped.select(col("doc_id").as("j"), col("h").as("hj")).as("b"),
+      .join(capped.select(col("doc_id").as("j"), col("nf").as("nf_j"),
+          col("h").as("hj")).as("b"),
         col("a.h") === col("hj") && col("a.doc_id") < col("j"))
       .groupBy(col("a.doc_id").as("i"), col("j"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.nf")).as("nf_i"), min(col("nf_j")).as("nf_jm"))
       .filter(col("n_shared") >= minShared)
-      .join(nf.select(col("doc_id").as("i"), col("nf").as("nf_i")), "i")
-      .join(nf.select(col("doc_id").as("j"), col("nf").as("nf_j")), "j")
       .select(col("i"), col("j"), col("n_shared"),
         round(col("n_shared").cast("double")
-          / least(col("nf_i"), col("nf_j")), 6).as("overlap"))
+          / least(col("nf_i"), col("nf_jm")), 6).as("overlap"))
   }
 }

@@ -234,6 +234,22 @@ object Ingest {
     graft.operators.TextOps.hllRegisters(
       graft.operators.TextOps.hllBucketed(docs, textCol, groupCol))
 
+  /** L88's streaming twin — winnowed MOSS fingerprints emitted at
+    * ingest: the selection is computed entirely on the document row
+    * (array higher-order functions, the chunkStream flatMap shape),
+    * so a crawl stream carries each document's fingerprint set from
+    * the moment it arrives — ready for a stream-static overlap join
+    * against an indexed corpus. Stateless, shuffle-free, append mode;
+    * the batch body IS the twin.
+    */
+  def winnowStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      w: Int = 4): DataFrame =
+    graft.operators.Dedup.winnowedFingerprints(docs, idCol, textCol, k, w)
+
   /** Sequence chunking's streaming twin — the same per-document
     * sequence+posexplode body the batch operator uses (Packing.chunk,
     * q72), applied to a document stream: stateless, shuffle-free,

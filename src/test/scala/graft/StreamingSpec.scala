@@ -272,6 +272,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("winnow stream: stateless append fingerprints equal the batch selection") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.winnowStream(mem.toDF())
+      .writeStream.format("memory").queryName("winnow")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      val batch1 = Seq(doc(1, "a b c d e f g h i j"), doc(2, "x y"))
+      val batch2 = Seq(doc(3, "p q r s t u v w"))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("winnow")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = graft.operators.Dedup.winnowedFingerprints(
+          (batch1 ++ batch2).toDF(), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // doc 2 is shorter than w+k-1: no fingerprint rows
+      assert(!streamed.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("chunk stream emits window plans statelessly, matching batch (q72 twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
