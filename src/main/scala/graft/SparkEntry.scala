@@ -1229,6 +1229,13 @@ object SparkEntry {
           "src2" -> (1, 4), "src3" -> (1, 4)),
         budgetTokens = 1000000L)
     }),
+    // Embedding QA — all-but-the-top post-processing: subtract the
+    // mean and project out PC1 (the q125 direction); map-only given
+    // the two literal vectors
+    "q128_all_but_top" -> ((s, dir) => {
+      Similarity.allButTopTransform(Tables.embeddings(s, dir), iters = 3)
+        .orderBy("vec_id", "dim")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4018,5 +4025,70 @@ object SparkEntry {
            (round(((1000000 * num) // den)::DOUBLE / n_tokens, 6) > 4.0)
              AS over_capacity
          FROM per JOIN w USING (source) ORDER BY source""",
+    // All-but-the-top: replays the q125 recurrence for (mu, v), then
+    // projects each centered vector off v; + 0.0 normalizes DuckDB's
+    // -0.0 (Spark's BigDecimal round never emits it)
+    "q128_all_but_top" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         mu0 AS (SELECT i, round(avg(x), 6) AS m
+                 FROM (SELECT unnest(v) AS x,
+                         generate_subscripts(v, 1) - 1 AS i FROM e)
+                 GROUP BY 1),
+         mu AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+         v0 AS (SELECT [round(1.0 / sqrt(len(mu)::DOUBLE), 6)
+                        for i in range(len(mu))] AS pc FROM mu),
+         c0 AS (SELECT vec_id, list_transform(range(len(v)),
+                  i -> v[i + 1] - mu[i + 1]) AS c
+                FROM e, mu),
+         w1 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v0))
+                GROUP BY 1),
+         n1 AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                  list_transform(list(w ORDER BY i), x -> x * x)),
+                  (a, b) -> a + b)) AS nrm,
+                  list(w ORDER BY i) AS wl
+                FROM w1),
+         v1 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v0)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n1),
+         w2 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v1))
+                GROUP BY 1),
+         n2_ AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                   list_transform(list(w ORDER BY i), x -> x * x)),
+                   (a, b) -> a + b)) AS nrm,
+                   list(w ORDER BY i) AS wl
+                 FROM w2),
+         v2 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v1)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n2_),
+         w3 AS (SELECT i, round(sum(ci * p), 6) AS w
+                FROM (SELECT p, unnest(c) AS ci,
+                        generate_subscripts(c, 1) - 1 AS i
+                      FROM (SELECT c, list_inner_product(c, pc) AS p
+                            FROM c0, v2))
+                GROUP BY 1),
+         n3_ AS (SELECT sqrt(list_reduce(list_concat([0.0],
+                   list_transform(list(w ORDER BY i), x -> x * x)),
+                   (a, b) -> a + b)) AS nrm,
+                   list(w ORDER BY i) AS wl
+                 FROM w3),
+         v3 AS (SELECT CASE WHEN nrm = 0 THEN (SELECT pc FROM v2)
+                  ELSE list_transform(wl, x -> round(x / nrm, 6)) END AS pc
+                FROM n3_),
+         pr AS (SELECT vec_id, c, pc, list_inner_product(c, pc) AS p
+                FROM c0, v3)
+         SELECT vec_id, i::BIGINT AS dim,
+           round(ci - p * pc[i + 1], 6) + 0.0 AS value
+         FROM (SELECT vec_id, p, pc, unnest(c) AS ci,
+                 generate_subscripts(c, 1) - 1 AS i FROM pr)
+         ORDER BY vec_id, dim""",
   )
 }

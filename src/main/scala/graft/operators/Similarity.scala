@@ -1066,12 +1066,14 @@ object Similarity {
     * summary (lambda1, trace, pc1_share) replicated — dimension-
     * bounded (d rows) at any corpus size.
     */
-  def powerIterationPC1(vectors: DataFrame, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    val spark = vectors.sparkSession
+  /** The shared driver recurrence behind [[powerIterationPC1]] and
+    * [[allButTopTransform]]: 6-dp-rounded mean vector and the
+    * power-iterated, per-step-rounded top principal direction.
+    */
+  private def pc1Recurrence(
+      v: DataFrame, iters: Int): (Seq[Double], Seq[Double]) = {
+    val spark = v.sparkSession
     import spark.implicits._
-    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .cache()
     val mu: Seq[Double] = v
       .select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(round(avg(col("x")), 6).as("m"))
@@ -1091,6 +1093,17 @@ object Similarity {
       val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
       pc = if (nrm == 0.0) pc else w.map(x => round6(x / nrm))
     }
+    (mu, pc)
+  }
+
+  def powerIterationPC1(vectors: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .cache()
+    val (mu, pc) = pc1Recurrence(v, iters)
+    val muLit = typedlit(mu)
     val vLit = typedlit(pc)
     val centered = zip_with(col("v"), muLit, (a, b) => a - b)
     val summary = v
@@ -1106,5 +1119,40 @@ object Similarity {
       .crossJoin(summary)
       .select(col("dim"), col("loading"), col("lambda1"), col("trace"),
         col("pc1_share"))
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    * x′ = (x − μ) − ((x − μ)·v₁)v₁ — subtract the common mean and
+    * project out the dominant direction the [[powerIterationPC1]]
+    * readout measures. The standard cheap fix when pc1_share says one
+    * direction is drowning cosine similarity; run it BEFORE the
+    * ANN/SemDeDup/clustering ops when the readout warrants.
+    *
+    * μ and v₁ come from the same rounded driver recurrence as the
+    * readout (so readout and transform agree exactly); the transform
+    * itself is map-only — two broadcast-literal vectors, one scan, no
+    * exchange — and emits (vec_id, dim, value) rows, 6-dp rounded so
+    * the oracle replays each double. d rows per vector at any corpus
+    * size.
+    */
+  def allButTopTransform(vectors: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .cache()
+    val (mu, pc) = pc1Recurrence(v, iters)
+    val muLit = typedlit(mu)
+    val pcLit = typedlit(pc)
+    val out = v
+      .select(col("vec_id"),
+        zip_with(col("v"), muLit, (a, b) => a - b).as("c"))
+      .select(col("vec_id"), col("c"),
+        dot_product(col("c"), pcLit).as("p"))
+      .select(col("vec_id"), posexplode(col("c")).as(Seq("d", "ci")),
+        col("p"))
+      .select(col("vec_id"), col("d").cast("long").as("dim"),
+        round(col("ci") - col("p") * element_at(pcLit, col("d") + 1), 6)
+          .as("value"))
+    v.unpersist(false)
+    out
   }
 }

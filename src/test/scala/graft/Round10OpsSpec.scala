@@ -695,6 +695,34 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(nrm - 1.0) < 1e-4)
   }
 
+  test("allButTopTransform zeroes the mean and the dominant direction") {
+    val s = spark; import s.implicits._
+    val u = Seq(0.6, 0.8)
+    val vecs = (0 until 40).map { n =>
+      val sn = (n % 7) - 3.0
+      val noise = 0.01 * ((n % 3) - 1.0)
+      (n.toLong, Array(
+        (sn * u(0) + noise).toFloat,
+        (sn * u(1) - noise).toFloat))
+    }.toDF("vec_id", "embedding")
+    val t = Similarity.allButTopTransform(vecs, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byVec = t.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.toSeq.sortBy(_._1._2).map(_._2)
+    }
+    // every transformed vector is (near-)orthogonal to u
+    byVec.values.foreach { x =>
+      val proj = math.abs(x(0) * u(0) + x(1) * u(1))
+      assert(proj < 0.02, s"residual projection $proj on the top direction")
+    }
+    // and the residual mean is (near-)zero per dimension
+    val n = byVec.size.toDouble
+    (0 until 2).foreach { d =>
+      val m = byVec.values.map(_(d)).sum / n
+      assert(math.abs(m) < 1e-3, s"dim $d residual mean $m")
+    }
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
