@@ -1236,6 +1236,18 @@ object SparkEntry {
       Similarity.allButTopTransform(Tables.embeddings(s, dir), iters = 3)
         .orderBy("vec_id", "dim")
     }),
+    // Curation — deterministic 80/10/10 split census: per-(source,
+    // split) doc/token counts off the md5-cutoff assignment
+    "q129_split_census" -> ((s, dir) => {
+      Curation.splitCensus(Tables.documents(s, dir), "doc_id", "text",
+        "source").orderBy("source", "split")
+    }),
+    // Curation — log2-bucketed sequence-length histogram (packing/
+    // curriculum planning readout)
+    "q130_length_histogram" -> ((s, dir) => {
+      TextOps.lengthHistogram(Tables.documents(s, dir), "text")
+        .orderBy("bucket")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4090,5 +4102,42 @@ object SparkEntry {
          FROM (SELECT vec_id, p, pc, unnest(c) AS ci,
                  generate_subscripts(c, 1) - 1 AS i FROM pr)
          ORDER BY vec_id, dim""",
+    // Split census: 16-bit md5(doc_id:42) prefix vs integer cutoffs
+    // (the q115 hash mechanics), then a (source, split) census
+    "q129_split_census" ->
+      """WITH a AS (SELECT doc_id, source,
+                 len(string_split(text, ' '))::BIGINT AS nt,
+                 (4096 * (strpos('0123456789abcdef',
+                    md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                  + 256 * (strpos('0123456789abcdef',
+                    md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                  + 16 * (strpos('0123456789abcdef',
+                    md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                  + (strpos('0123456789abcdef',
+                    md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) AS h
+               FROM documents)
+         SELECT source,
+           CASE WHEN h < 52429 THEN 'train'
+                WHEN h < 58982 THEN 'valid' ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         FROM a GROUP BY 1, 2 ORDER BY source, split""",
+    // Length histogram: floor(log2 n) = length(bin(n)) - 1, integer-
+    // exact in both engines; shares off one total
+    "q130_length_histogram" ->
+      """WITH n AS (SELECT len(string_split(text, ' '))::BIGINT AS nt
+                    FROM documents),
+         b AS (SELECT (length(bin(nt)) - 1)::INT AS bucket, nt FROM n),
+         per AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   min(nt)::BIGINT AS min_len, max(nt)::BIGINT AS max_len
+                 FROM b GROUP BY 1),
+         tot AS (SELECT sum(n_docs)::BIGINT AS td,
+                   sum(n_tokens)::BIGINT AS tt FROM per)
+         SELECT bucket, (1::BIGINT << bucket)::BIGINT AS lo,
+           ((1::BIGINT << (bucket + 1)) - 1)::BIGINT AS hi,
+           n_docs, n_tokens, min_len, max_len,
+           round(n_docs::DOUBLE / td, 6) AS doc_share,
+           round(n_tokens::DOUBLE / tt, 6) AS token_share
+         FROM per, tot ORDER BY bucket""",
   )
 }

@@ -462,6 +462,48 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deterministic train/valid/test split assignment: split by the
+    * 16-bit md5(doc_id:seed) prefix against two integer cutoffs
+    * (h < cut1 → train, h < cut2 → valid, else test) — the q115
+    * hash-threshold mechanics applied to the PARTITION question every
+    * training run asks first. Properties that matter at 100 TB: the
+    * verdict is a pure map-side Column expression (no shuffle, no RNG
+    * state, no sort); per-doc independence means growing the corpus
+    * never moves an existing document between splits (the leakage
+    * property train/test splits exist for); and the same expression
+    * is streaming-legal, so an ingest stream can carry its split from
+    * the first moment it exists. Defaults 52429/58982 ≈ 80/10/10.
+    */
+  def splitAssignment(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      cut1: Int = 52429, cut2: Int = 58982,
+      seed: Int = 42): DataFrame = {
+    require(0 < cut1 && cut1 < cut2 && cut2 < 65536,
+      s"need 0 < cut1 < cut2 < 65536: $cut1 $cut2")
+    val h16 = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
+      .cast("int")
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      when(h16 < cut1, "train").when(h16 < cut2, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-(source, split) census over [[splitAssignment]] — the
+    * stratification check: does every source appear in every split at
+    * roughly the target rate. One id-keyed join of the map-side
+    * verdicts back to token counts + one dimension-bounded agg.
+    */
+  def splitCensus(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      cut1: Int = 52429, cut2: Int = 58982, seed: Int = 42): DataFrame = {
+    val assigned = splitAssignment(docs, idCol, sourceCol, cut1, cut2, seed)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__nt"))
+    assigned.join(toks, "doc_id")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+  }
+
   /** Mixture-epochs planning readout: given target mixture weights and
     * a total token budget, how many PASSES over each source does the
     * plan imply — the Muennighoff et al. 2023 repeated-data question

@@ -660,6 +660,33 @@ object TextOps {
   def hllRegisters(bucketed: DataFrame): DataFrame =
     bucketed.groupBy("grp", "bucket").agg(max("rho").as("rho"))
 
+  /** Log₂-bucketed sequence-length histogram — the packing/curriculum
+    * planning readout (which length buckets hold the token mass drives
+    * maxLen/stride for Packing.chunk and bin sizes for Packing.pack).
+    * The bucket is integer-exact in both engines: floor(log₂ n) =
+    * length(bin(n)) − 1 — no floating log to straddle an exact power
+    * of two. One map-side projection + a buckets-sized agg + a 1-row
+    * broadcast total; shares 6-dp rounded.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val n = tokenCount(col(textCol)).cast("long")
+    val per = docs
+      .select((length(bin(n)) - 1).cast("int").as("bucket"), n.as("__nt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        min(col("__nt")).as("min_len"), max(col("__nt")).as("max_len"))
+    val tot = per.agg(sum(col("n_docs")).as("__td"),
+      sum(col("n_tokens")).as("__tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, bucket) AS BIGINT)").as("lo"),
+        expr("CAST(shiftleft(1L, bucket + 1) - 1 AS BIGINT)").as("hi"),
+        col("n_docs"), col("n_tokens"), col("min_len"), col("max_len"),
+        round(col("n_docs").cast("double") / col("__td"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("__tt"), 6)
+          .as("token_share"))
+  }
+
   /** Per-group HLL vocabulary estimate next to its exact audit column.
     *
     * Estimator kept oracle-exact: empty registers contribute 2⁰ via

@@ -723,6 +723,42 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("splitAssignment: disjoint total partition, stable under corpus growth, near-target rates") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 10000L).map(i => (i, "src")).toDF("doc_id", "source")
+    val a = Curation.splitAssignment(docs, "doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.size == 10000) // exactly one split per doc
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 10000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.02, frac.toMap.toString)
+    assert(math.abs(frac("valid") - 0.1) < 0.01)
+    assert(math.abs(frac("test") - 0.1) < 0.01)
+    // growing the corpus never moves an existing document
+    val bigger = (1L to 20000L).map(i => (i, "src")).toDF("doc_id", "source")
+    val b = Curation.splitAssignment(bigger, "doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (id, sp) => b(id) == sp })
+  }
+
+  test("lengthHistogram: integer-exact log2 buckets, shares sum to 1") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e f g"),
+      (6L, "a b c d e f g h")).toDF("doc_id", "text")
+    val h = TextOps.lengthHistogram(docs, "text").orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // lengths 1|2,3|4,7|8 → buckets 0,1,2,3
+    assert(h.map(_._1) == Seq(0, 1, 2, 3))
+    assert(h.map(x => (x._2, x._3)) ==
+      Seq((1L, 1L), (2L, 3L), (4L, 7L), (8L, 15L)))
+    assert(h.map(_._4) == Seq(1L, 2L, 2L, 1L)) // doc counts
+    val shares = TextOps.lengthHistogram(docs, "text")
+      .agg(sum(col("doc_share")), sum(col("token_share"))).collect()(0)
+    assert(math.abs(shares.getDouble(0) - 1.0) < 1e-5)
+    assert(math.abs(shares.getDouble(1) - 1.0) < 1e-5)
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
