@@ -1248,6 +1248,13 @@ object SparkEntry {
       TextOps.lengthHistogram(Tables.documents(s, dir), "text")
         .orderBy("bucket")
     }),
+    // Dedup — cross-source duplicate-flow matrix: exact Jaccard pairs
+    // attributed to (src_a <= src_b) cells; diagonal = within-source
+    // duplication, off-diagonal = mirror/syndication flow
+    "q131_dup_flow_matrix" -> ((s, dir) => {
+      Dedup.dupFlowMatrix(Tables.documents(s, dir), "doc_id", "text",
+        "source").orderBy("src_a", "src_b")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4139,5 +4146,27 @@ object SparkEntry {
            round(n_docs::DOUBLE / td, 6) AS doc_share,
            round(n_tokens::DOUBLE / tt, 6) AS token_share
          FROM per, tot ORDER BY bucket""",
+    // Dup-flow matrix off the q53 brute-force pair set (the exact
+    // join's recall-1 contract); mean jac folds raw divisions in
+    // ascending (i, j) order, rounded only at the end
+    "q131_dup_flow_matrix" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         s AS (SELECT doc_id, source,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 least(a.source, b.source) AS src_a,
+                 greatest(a.source, b.source) AS src_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         q AS (SELECT * FROM p WHERE jac >= 0.5)
+         SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+           round(list_reduce(list_concat([0.0],
+             list_transform(list_sort(list({'i': i, 'j': j, 'x': jac})),
+               s -> s.x)), (a, b) -> a + b) / count(*), 6) AS mean_jac
+         FROM q GROUP BY 1, 2 ORDER BY src_a, src_b""",
   )
 }

@@ -1151,6 +1151,40 @@ object Dedup {
         round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
   }
 
+  /** Cross-source duplicate-flow matrix: near-dup pairs (exact
+    * n-gram-Jaccard join, recall 1 by the PPJoin prefix theorem — no
+    * banding caveat in the contract) attributed to their
+    * source-pair cell, (src_a ≤ src_b) ordered so within-source
+    * duplication sits on the diagonal and mirror/syndication flows
+    * off it — "which two crawls are copying each other" as one
+    * dimension-bounded matrix. Rides the L4 machinery verbatim, then
+    * two id-keyed joins against the (id, source) projection and a
+    * sources²-bounded agg; mean jac per cell is a 6-dp
+    * ascending-(i,j)-ordered fold so the oracle replays it exactly.
+    */
+  def dupFlowMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardJoin(df, idCol, textCol, shingleN, threshold)
+    val srcs = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs
+      .join(srcs.select(col("__id").as("i"), col("__src").as("__si")), "i")
+      .join(srcs.select(col("__id").as("j"), col("__src").as("__sj")), "j")
+      .select(least(col("__si"), col("__sj")).as("src_a"),
+        greatest(col("__si"), col("__sj")).as("src_b"),
+        col("i"), col("j"), col("jac"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(aggregate(transform(
+          array_sort(collect_list(struct(col("i"), col("j"), col("jac")))),
+          s => s.getField("jac")), lit(0.0), (a, x) => a + x)
+          / count(lit(1)), 6).as("mean_jac"))
+  }
+
   /** Canonical text form for normalization-insensitive dedup (the
     * C4/RefinedWeb cleanup step): lowercase, every non-alphanumeric
     * run → one space, whitespace collapsed, trimmed. Pure Column

@@ -250,6 +250,23 @@ object Ingest {
       w: Int = 4): DataFrame =
     graft.operators.Dedup.winnowedFingerprints(docs, idCol, textCol, k, w)
 
+  /** L95's streaming twin — train/valid/test assignment at ingest:
+    * the same pure map-side md5-cutoff verdict (stateless,
+    * shuffle-free, deterministic in doc_id), so an arriving crawl
+    * stream routes to split-partitioned sinks immediately and a
+    * replayed micro-batch reaches identical verdicts. The batch body
+    * IS the twin.
+    */
+  def splitStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      cut1: Int = 52429,
+      cut2: Int = 58982,
+      seed: Int = 42): DataFrame =
+    graft.operators.Curation.splitAssignment(
+      docs, idCol, sourceCol, cut1, cut2, seed)
+
   /** Sequence chunking's streaming twin — the same per-document
     * sequence+posexplode body the batch operator uses (Packing.chunk,
     * q72), applied to a document stream: stateless, shuffle-free,

@@ -382,6 +382,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("session additions: winnow selection and split verdicts are exchange-free; HLL exchanges registers, not tokens") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      // q122 stats and the split assignment are pure scans: their
+      // plans must contain NO shuffle exchange at all
+      for ((name, df) <- Seq(
+        "winnowFingerprintStats" ->
+          graft.operators.Dedup.winnowFingerprintStats(docs, "doc_id", "text"),
+        "splitAssignment" ->
+          graft.operators.Curation.splitAssignment(docs, "doc_id", "source"))) {
+        val ex = df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"$name: expected a map-only plan, found shuffle")
+      }
+      // the HLL register path must exchange only (grp, bucket, rho) —
+      // the 256-per-group register grid — never token strings
+      val regs = graft.operators.TextOps.hllRegisters(
+        graft.operators.TextOps.hllBucketed(docs, "text", "source"))
+      val leaked = for {
+        e <- regs.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output
+        if a.dataType.simpleString.contains("string") && a.name != "grp"
+      } yield a.name
+      assert(leaked.isEmpty, s"HLL exchange carries strings: $leaked")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q99's broadcast side is candidate-bounded, never the open vocabulary") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec

@@ -759,6 +759,23 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(shares.getDouble(1) - 1.0) < 1e-5)
   }
 
+  test("dupFlowMatrix: within-source dups on the diagonal, cross-source flow off it") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog", "B"), // A<->B copy
+      (3L, "completely different text about spark engines here", "C"),
+      (4L, "completely different text about spark engines here", "C"), // C dup
+      (5L, "unrelated content with no duplicate partner at all", "A"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.dupFlowMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set(("A", "B"), ("C", "C")))
+    assert(m(("A", "B")) == ((1L, 1.0)))
+    assert(m(("C", "C")) == ((1L, 1.0)))
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

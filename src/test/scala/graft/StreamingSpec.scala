@@ -299,6 +299,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("split stream: stateless verdicts equal the batch assignment across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocEvent]
+    val withSrc = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("source", lit("crawl"))
+    val q = Ingest.splitStream(withSrc(mem.toDF()))
+      .writeStream.format("memory").queryName("splits")
+      .outputMode("append").start()
+    try {
+      def doc(id: Long) = DocEvent(id, s"text $id",
+        new java.sql.Timestamp(id * 1000L))
+      mem.addData((1L to 50L).map(doc): _*)
+      q.processAllAvailable()
+      mem.addData((51L to 100L).map(doc): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("splits")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val batch = graft.operators.Curation.splitAssignment(
+          withSrc((1L to 100L).map(doc).toDF()), "doc_id", "source")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.toSet.subsetOf(Set("train", "valid", "test")))
+    } finally q.stop()
+  }
+
   test("chunk stream emits window plans statelessly, matching batch (q72 twin)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
