@@ -1255,6 +1255,25 @@ object SparkEntry {
       Dedup.dupFlowMatrix(Tables.documents(s, dir), "doc_id", "text",
         "source").orderBy("src_a", "src_b")
     }),
+    // Dedup×Curation — split-leakage gate: near-dup pairs CROSSING the
+    // train/valid/test boundary (the q129 assignment) — the check every
+    // eval depends on; diagonal cells are benign within-split dups
+    "q132_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val assigned = Curation.splitAssignment(docs, "doc_id", "source")
+        .select(col("doc_id"), col("split"))
+      val withSplit = docs.select(col("doc_id"), col("text"))
+        .join(assigned, "doc_id")
+      Dedup.dupFlowMatrix(withSplit, "doc_id", "text", "split")
+        .select(col("src_a").as("split_a"), col("src_b").as("split_b"),
+          col("n_pairs"), col("mean_jac"))
+        .orderBy("split_a", "split_b")
+    }),
+    // Text — Heaps'-law vocabulary-growth fit across sources (pairs
+    // with q111's Zipf frequency decay)
+    "q133_heaps_law" -> ((s, dir) => {
+      TextOps.heapsLaw(Tables.documents(s, dir), "text", "source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4168,5 +4187,73 @@ object SparkEntry {
              list_transform(list_sort(list({'i': i, 'j': j, 'x': jac})),
                s -> s.x)), (a, b) -> a + b) / count(*), 6) AS mean_jac
          FROM q GROUP BY 1, 2 ORDER BY src_a, src_b""",
+    // Split leakage: the q131 chain keyed by the q129 md5-cutoff split
+    "q132_split_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                 CASE WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 52429
+                      THEN 'train'
+                      WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 58982
+                      THEN 'valid' ELSE 'test' END AS split
+               FROM documents),
+         s AS (SELECT doc_id, split,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 least(a.split, b.split) AS split_a,
+                 greatest(a.split, b.split) AS split_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         q AS (SELECT * FROM p WHERE jac >= 0.5)
+         SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+           round(list_reduce(list_concat([0.0],
+             list_transform(list_sort(list({'i': i, 'j': j, 'x': jac})),
+               s -> s.x)), (a, b) -> a + b) / count(*), 6) AS mean_jac
+         FROM q GROUP BY 1, 2 ORDER BY split_a, split_b""",
+    // Heaps' law: ln V on ln N least squares across sources; all four
+    // sums fold in ascending-source order from 0.0
+    "q133_heaps_law" ->
+      """WITH per AS (SELECT source,
+                 count(*)::BIGINT AS n_tok,
+                 count(DISTINCT tok)::BIGINT AS n_voc
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY 1),
+         pt AS (SELECT source, ln(n_tok::DOUBLE) AS x, ln(n_voc::DOUBLE) AS y
+                FROM per),
+         ag AS (SELECT count(*)::BIGINT AS k,
+                 list_reduce(list_concat([0.0], list_transform(
+                   list_sort(list({'s': source, 'v': x})), e -> e.v)),
+                   (a, b) -> a + b) AS sx,
+                 list_reduce(list_concat([0.0], list_transform(
+                   list_sort(list({'s': source, 'v': y})), e -> e.v)),
+                   (a, b) -> a + b) AS sy,
+                 list_reduce(list_concat([0.0], list_transform(
+                   list_sort(list({'s': source, 'v': x * y})), e -> e.v)),
+                   (a, b) -> a + b) AS sxy,
+                 list_reduce(list_concat([0.0], list_transform(
+                   list_sort(list({'s': source, 'v': x * x})), e -> e.v)),
+                   (a, b) -> a + b) AS sxx
+               FROM pt)
+         SELECT k AS n_sources,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+             AS ln_k
+         FROM ag""",
   )
 }

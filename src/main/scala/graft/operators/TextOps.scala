@@ -1046,6 +1046,50 @@ object TextOps {
           col("k"), 6).as("intercept"))
   }
 
+  /** Heaps'-law fit over per-source (token count, vocabulary size)
+    * points: V ≈ K·N^β, estimated as the least-squares line of ln V on
+    * ln N across sources — the vocabulary-GROWTH corpus-health readout
+    * that pairs with [[zipfSlope]]'s frequency decay (natural text
+    * sits near β ≈ 0.5-0.8; templated corpora flatten toward 0, and a
+    * source far off the corpus line has an anomalous vocabulary for
+    * its size). Per-source aggregates are the only corpus-scale work
+    * (the exact-distinct shuffle is vocabulary-bounded per source);
+    * the regression runs on a |sources|-row frame with all four sums
+    * as source-ordered sequential folds (the zipfSlope/L38-L40 float
+    * discipline), so both engines produce bit-identical doubles.
+    * Output: one row (n_sources, beta, ln_k) — ln K rather than K so
+    * no exp() crosses the engine boundary.
+    */
+  def heapsLaw(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val per = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("t")).as("n_voc"))
+      .select(col("src"),
+        log(col("n_tok").cast("double")).as("x"),
+        log(col("n_voc").cast("double")).as("y"))
+    val lists = per.agg(
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("src"), col("x")))).as("lx"),
+      sort_array(collect_list(struct(col("src"), col("y")))).as("ly"),
+      sort_array(collect_list(struct(col("src"),
+        (col("x") * col("y")).as("v")))).as("lxy"),
+      sort_array(collect_list(struct(col("src"),
+        (col("x") * col("x")).as("v")))).as("lxx"))
+    def foldSum(c: Column, field: String) =
+      aggregate(transform(c, s => s.getField(field)), lit(0.0), (a, b) => a + b)
+    lists
+      .select(col("k"),
+        foldSum(col("lx"), "x").as("__sx"), foldSum(col("ly"), "y").as("__sy"),
+        foldSum(col("lxy"), "v").as("__sxy"), foldSum(col("lxx"), "v").as("__sxx"))
+      .select(col("k").as("n_sources"),
+        round((col("k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("k") * col("__sxx") - col("__sx") * col("__sx")), 6).as("beta"),
+        round((col("__sy") - ((col("k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("k") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+          col("k"), 6).as("ln_k"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("__t"))

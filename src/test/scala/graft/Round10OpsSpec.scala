@@ -776,6 +776,38 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(("C", "C")) == ((1L, 1.0)))
   }
 
+  test("split-leakage matrix partitions the exact pair set across split cells") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val assigned = Curation.splitAssignment(docs, "doc_id", "source")
+      .select(col("doc_id"), col("split"))
+    val withSplit = docs.select(col("doc_id"), col("text"))
+      .join(assigned, "doc_id")
+    val m = Dedup.dupFlowMatrix(withSplit, "doc_id", "text", "split")
+      .collect()
+    val totalInCells = m.map(_.getLong(2)).sum
+    val allPairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text").count()
+    assert(totalInCells == allPairs,
+      s"matrix cells $totalInCells != pair set $allPairs")
+    assert(m.forall(r => Set("train", "valid", "test")(r.getString(0))))
+  }
+
+  test("heapsLaw recovers an exact power law's exponent and intercept") {
+    val s = spark; import s.implicits._
+    // V = N^0.5 exactly at N in {16, 64, 256}: collinear in ln space,
+    // so the fit must return beta 0.5, ln_k 0 to 6 dp
+    def mk(src: String, n: Int, v: Int): (Long, String, String) = {
+      val toks = (0 until n).map(i => s"${src}_t${i % v}")
+      (src.hashCode.toLong, toks.mkString(" "), src)
+    }
+    val docs = Seq(mk("a", 16, 4), mk("b", 64, 8), mk("c", 256, 16))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.heapsLaw(docs, "text", "source").collect()(0)
+    assert(r.getLong(0) == 3)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-6, s"beta ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2)) < 1e-6, s"ln_k ${r.getDouble(2)}")
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
