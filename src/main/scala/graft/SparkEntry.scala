@@ -1274,6 +1274,32 @@ object SparkEntry {
     "q133_heaps_law" -> ((s, dir) => {
       TextOps.heapsLaw(Tables.documents(s, dir), "text", "source")
     }),
+    // E2E — training-set census: the full curation funnel (Gopher
+    // gate ∧ blocklist ∧ normalized-dedup keeper) composed with the
+    // split assignment → the (split, docs, tokens) numbers a training
+    // run starts from. Pure composition of shipped operators.
+    "q134_training_census" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val g = TextOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__k1"))
+      val b = TextOps.blocklistFilter(docs, "doc_id", "text",
+          Seq("slow", "leak", "crash"), 2)
+        .select(col("doc_id"), col("keep").as("__k2"))
+      val keepers = Dedup.normalizedDedup(docs, "doc_id", "text")
+        .select(col("keeper").as("doc_id"), lit(true).as("__k3"))
+      val assigned = Curation.splitAssignment(docs, "doc_id", "source")
+        .select(col("doc_id"), col("split"))
+      docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+        .join(g, "doc_id").join(b, "doc_id")
+        .join(keepers, Seq("doc_id"), "left")
+        .join(assigned, "doc_id")
+        .filter(col("__k1") && col("__k2") &&
+          coalesce(col("__k3"), lit(false)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+        .orderBy("split")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4255,5 +4281,48 @@ object SparkEntry {
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
              AS ln_k
          FROM ag""",
+    // Training census: q106 keep ∧ q118 tolerance ∧ normalized keeper,
+    // then the q129 split census over the survivors
+    "q134_training_census" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                 string_split(text, ' ') AS w FROM documents),
+         r AS (SELECT doc_id, len(w)::BIGINT AS nt,
+                 ((len(w) BETWEEN 30 AND 80)
+                  AND round(list_avg(list_transform(w, x -> len(x))), 6)
+                      BETWEEN 4.0 AND 5.0
+                  AND len(list_intersect(list_distinct(w),
+                    ['the','a','and','of','to','in','is','it','for','on'])) >= 2
+                  AND round(list_max(list_transform(list_distinct(w),
+                    u -> len(list_filter(w, x -> x = u))))::DOUBLE
+                      / len(w), 6) <= 0.1) AS k1,
+                 (len(list_filter(w,
+                    x -> list_contains(['slow', 'leak', 'crash'], x))) <= 2)
+                   AS k2,
+                 (min(doc_id) OVER (PARTITION BY
+                    trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) = doc_id)
+                   AS k3,
+                 CASE WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 52429
+                      THEN 'train'
+                      WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 58982
+                      THEN 'valid' ELSE 'test' END AS split
+               FROM t)
+         SELECT split, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         FROM r WHERE k1 AND k2 AND k3
+         GROUP BY 1 ORDER BY split""",
   )
 }
