@@ -1274,6 +1274,48 @@ object SparkEntry {
     "q133_heaps_law" -> ((s, dir) => {
       TextOps.heapsLaw(Tables.documents(s, dir), "text", "source")
     }),
+    // Retrieval — hybrid sparse⊕dense fusion: BM25 top-100 and dense
+    // cosine top-100 (query vec 0) fused by reciprocal rank
+    "q135_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val sparse = TextOps.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "merge", "window"), k = 100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("nid"), col("rank"))
+      TextOps.rrfFuse(sparse, dense, "doc_id", "rank", "nid", "rank")
+    }),
+    // Versioning — corpus snapshot diff: old = ids %7 != 0 (with
+    // %5 == 0 texts truncated → "changed"), new = ids %11 != 0; the
+    // four statuses all populated deterministically
+    "q136_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, substring(col("text"), 1, 20))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("status")
+    }),
+    // Text — tokenizer fertility per language: BPE-ish subtokens per
+    // whitespace word (the multilingual tokenizer-efficiency readout)
+    "q137_tokenizer_fertility" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(TextOps.bpeTokenCount(col("text")).cast("long"))
+            .as("n_subtokens"))
+        .withColumn("fertility",
+          round(col("n_subtokens").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    }),
     // E2E — training-set census: the full curation funnel (Gopher
     // gate ∧ blocklist ∧ normalized-dedup keeper) composed with the
     // split assignment → the (split, docs, tokens) numbers a training
@@ -4281,6 +4323,91 @@ object SparkEntry {
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
              AS ln_k
          FROM ag""",
+    // RRF: the q117 BM25 chain (top-100 + rank) ⊕ dense cosine
+    // top-100 for query vec 0, fused by 1/(60+rank) sums — integer
+    // denominators, engine-exact
+    "q135_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(w))::DOUBLE / count(*) AS avgdl,
+                  sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                  sum(CASE WHEN list_contains(w, 'merge') THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                  sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_2
+                FROM t),
+         sc AS (SELECT doc_id, len(w)::DOUBLE AS dl,
+                  len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+                  len(list_filter(w, x -> x = 'merge'))::DOUBLE AS tf1,
+                  len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf2
+                FROM t),
+         s2 AS (SELECT doc_id, round(
+                  (CASE WHEN tf0 > 0 THEN
+                     ln((n_docs::DOUBLE - df_0 + 0.5) / (df_0::DOUBLE + 0.5) + 1.0)
+                     * (tf0 * (1.2 + 1.0))
+                     / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END
+                 + CASE WHEN tf1 > 0 THEN
+                     ln((n_docs::DOUBLE - df_1 + 0.5) / (df_1::DOUBLE + 0.5) + 1.0)
+                     * (tf1 * (1.2 + 1.0))
+                     / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END
+                 + CASE WHEN tf2 > 0 THEN
+                     ln((n_docs::DOUBLE - df_2 + 0.5) / (df_2::DOUBLE + 0.5) + 1.0)
+                     * (tf2 * (1.2 + 1.0))
+                     / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   ELSE 0.0 END), 6) AS bm25
+                FROM sc CROSS JOIN st),
+         sp AS (SELECT doc_id, bm25 FROM s2 WHERE bm25 > 0.0
+                ORDER BY bm25 DESC, doc_id LIMIT 100),
+         sr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+                FROM sp),
+         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+         q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         d AS (SELECT vec_id AS nid,
+                 list_inner_product(v, qv)
+                   / (sqrt(list_inner_product(v, v))
+                      * sqrt(list_inner_product(qv, qv))) AS cos
+               FROM e, q0 WHERE vec_id <> 0),
+         dk AS (SELECT nid, rank FROM (
+                  SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS rank
+                  FROM d)
+                WHERE rank <= 100),
+         f AS (SELECT coalesce(sr.doc_id, dk.nid) AS id,
+                 sr.rank AS rank_a, dk.rank AS rank_b,
+                 round(coalesce(1.0 / (60 + sr.rank), 0.0)
+                   + coalesce(1.0 / (60 + dk.rank), 0.0), 6) AS rrf
+               FROM sr FULL OUTER JOIN dk ON sr.doc_id = dk.nid)
+         SELECT id, rank_a, rank_b, rrf,
+           row_number() OVER (ORDER BY rrf DESC, id) AS rank
+         FROM f QUALIFY rank <= 20 ORDER BY rank""",
+    // Corpus diff: string-keyed mirror of the hash-keyed join (the
+    // q96/q98 envelope); token counts from the surviving side
+    "q136_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text[1:20] ELSE text END AS text
+               FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.text <> n.text THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 len(string_split(coalesce(n.text, o.text), ' '))::BIGINT AS nt
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT status, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         FROM j GROUP BY 1 ORDER BY status""",
+    // Fertility: the q-oracle regexp_extract_all idiom for the BPE-ish
+    // subtoken count
+    "q137_tokenizer_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+           sum(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::BIGINT AS n_subtokens,
+           round(sum(len(regexp_extract_all(text,
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
+             / sum(len(string_split(text, ' '))), 6) AS fertility
+         FROM documents GROUP BY lang ORDER BY lang""",
     // Training census: q106 keep ∧ q118 tolerance ∧ normalized keeper,
     // then the q129 split census over the survivors
     "q134_training_census" ->

@@ -1151,6 +1151,34 @@ object Dedup {
         round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
   }
 
+  /** Corpus snapshot diff — the data-versioning readout between two
+    * crawls/releases of the same corpus: per-id status
+    * added/removed/changed/unchanged with doc and token counts. One
+    * full outer join keyed by id carrying (id, 8-byte content hash,
+    * token count) — text never rides the exchange, the exactDedup
+    * phase-1 discipline; `changed` compares content hashes under the
+    * documented q96/q98 collision envelope. Token counts come from
+    * the side that HAS the document (new side for added/changed/
+    * unchanged, old side for removed).
+    */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def proj(df: DataFrame, p: String) = df.select(
+      col(idCol).as("doc_id"),
+      xxhash64(col(textCol)).as(s"__h$p"),
+      TextOps.tokenCount(col(textCol)).cast("long").as(s"__nt$p"))
+    proj(oldDf, "o").join(proj(newDf, "n"), Seq("doc_id"), "outer")
+      .select(col("doc_id"),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("__ntn"), col("__nto")).as("n_tok"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Cross-source duplicate-flow matrix: near-dup pairs (exact
     * n-gram-Jaccard join, recall 1 by the PPJoin prefix theorem — no
     * banding caveat in the contract) attributed to their

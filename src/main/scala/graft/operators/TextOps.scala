@@ -1046,6 +1046,37 @@ object TextOps {
           col("k"), 6).as("intercept"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009) of two
+    * rank lists — THE standard hybrid-retrieval combiner (sparse BM25
+    * ⊕ dense ANN): score(d) = Σ_lists 1/(kRrf + rank_d), absent from a
+    * list contributes 0. Rank-only fusion keeps the arithmetic
+    * engine-exact (integer denominators — no score normalization, no
+    * libm); both inputs are top-k lists, so everything here is
+    * k-bounded regardless of corpus size. Output keeps each source
+    * rank (nullable) next to the fused score for auditability.
+    */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame,
+      idA: String, rankA: String, idB: String, rankB: String,
+      kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = a.select(col(idA).as("id"), col(rankA).as("rank_a"))
+      .join(b.select(col(idB).as("id"), col(rankB).as("rank_b")),
+        Seq("id"), "outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf"))
+    // the fused frame is (|a| + |b|)-bounded, so the unpartitioned
+    // ranking window ranks a 2k-row frame — bounded by construction
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rank") <= topK)
+      .orderBy(col("rank"))
+  }
+
   /** Heaps'-law fit over per-source (token count, vocabulary size)
     * points: V ≈ K·N^β, estimated as the least-squares line of ln V on
     * ln N across sources — the vocabulary-GROWTH corpus-health readout

@@ -808,6 +808,34 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(2)) < 1e-6, s"ln_k ${r.getDouble(2)}")
   }
 
+  test("rrfFuse: hand-computed fusion, both-lists beats single-list") {
+    val s = spark; import s.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("nid", "rank")
+    val f = TextOps.rrfFuse(a, b, "doc_id", "rank", "nid", "rank",
+      kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(f(20L) - (rr(2) + rr(1))) < 1e-6)
+    assert(math.abs(f(10L) - rr(1)) < 1e-6)
+    assert(math.abs(f(40L) - rr(2)) < 1e-6)
+    // 20 is in both lists → highest fused score
+    assert(f(20L) > f.values.filter(_ != f(20L)).max)
+  }
+
+  test("corpusDiff: all four statuses classified exactly") {
+    val s = spark; import s.implicits._
+    val oldSnap = Seq((1L, "same text here"), (2L, "old version"),
+      (3L, "will be removed")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same text here"), (2L, "new version"),
+      (4L, "brand new doc")).toDF("doc_id", "text")
+    val d = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d == Map(
+      "unchanged" -> ((1L, 3L)), "changed" -> ((1L, 2L)),
+      "removed" -> ((1L, 3L)), "added" -> ((1L, 3L))))
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
