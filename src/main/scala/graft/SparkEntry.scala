@@ -1316,6 +1316,18 @@ object SparkEntry {
           round(col("n_subtokens").cast("double") / col("n_words"), 6))
         .orderBy("lang")
     }),
+    // Tokenizer — greedy BPE merge training at word granularity
+    // (3 merges, driver-iterative; each step oracle-gated)
+    "q138_bpe_train" -> ((s, dir) => {
+      TextOps.bpeTrain(Tables.documents(s, dir), "text", numMerges = 3)
+    }),
+    // Tokenizer — encode with the learned merges: per-doc compression
+    "q139_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = TextOps.bpeTrainMerges(docs, "text", 3)
+        .map(t => (t._2, t._3))
+      TextOps.bpeEncode(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
     // E2E — training-set census: the full curation funnel (Gopher
     // gate ∧ blocklist ∧ normalized-dedup keeper) composed with the
     // split assignment → the (split, docs, tokens) numbers a training
@@ -4408,6 +4420,92 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // BPE train: argmax pair per step by (cnt desc, l, r); each stage
+    // re-applies the previous merges with a left-fold (greedy leftmost
+    // non-overlapping — equal to the kernel's pass, spec-proven)
+    "q138_bpe_train" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p1 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM t)
+                GROUP BY 1, 2),
+         m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         a1 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM t, m1),
+         p2 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a1)
+                GROUP BY 1, 2),
+         m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         a2 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a1, m2),
+         p3 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a2)
+                GROUP BY 1, 2),
+         m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+         SELECT 1 AS step, l AS lhs, r AS rhs, cnt FROM m1
+         UNION ALL SELECT 2, l, r, cnt FROM m2
+         UNION ALL SELECT 3, l, r, cnt FROM m3
+         ORDER BY step""",
+    // BPE encode: the q138 chain's third application + per-doc counts
+    "q139_bpe_encode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p1 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM t)
+                GROUP BY 1, 2),
+         m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         a1 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM t, m1),
+         p2 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a1)
+                GROUP BY 1, 2),
+         m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         a2 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a1, m2),
+         p3 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a2)
+                GROUP BY 1, 2),
+         m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         a3 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a2, m3)
+         SELECT t.doc_id, len(t.w)::BIGINT AS n_words,
+           len(a3.w)::BIGINT AS n_symbols,
+           round(len(a3.w)::DOUBLE / len(t.w), 6) AS compression
+         FROM t JOIN a3 USING (doc_id) ORDER BY t.doc_id""",
     // Training census: q106 keep ∧ q118 tolerance ∧ normalized keeper,
     // then the q129 split census over the survivors
     "q134_training_census" ->

@@ -1046,6 +1046,72 @@ object TextOps {
           col("k"), 6).as("intercept"))
   }
 
+  /** Greedy BPE merge TRAINING over the word stream (Sennrich et al.
+    * 2016 applied at word granularity — learned merges are frequent
+    * phrases; [[bpePairStats]]/q87 is this op's single-step readout).
+    * Driver-iterative like the Lloyd paths: each step applies the
+    * merges learned so far (the [[org.apache.spark.sql.graft.BpeApplyMerges]]
+    * kernel — one compiled pass per doc), counts adjacent symbol
+    * pairs (map-side combined; the pair key space is vocab²-bounded,
+    * the q85 accepted envelope), and takes the argmax by
+    * (count desc, left asc, right asc) — a 1-row driver collect per
+    * step, the kmeansCentroidSeq discipline. Deterministic end to
+    * end; the SQL oracle re-derives the same merge sequence with a
+    * left-fold application, so training is oracle-gated, not just
+    * spec'd.
+    */
+  def bpeTrainMerges(
+      docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var merges = Seq.empty[(String, String)]
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val applied = docs.select(org.apache.spark.sql.graft.Signatures
+        .bpe_apply(tokens(col(textCol)), merges).as("w"))
+      val top = applied
+        .select(explode(when(size(col("w")) < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("l"),
+              element_at(col("w"), i + 2).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val r0 = top(0)
+        merges = merges :+ ((r0.getString(0), r0.getString(1)))
+        learned += ((step, r0.getString(0), r0.getString(1), r0.getLong(2)))
+      }
+    }
+    learned.toSeq
+  }
+
+  def bpeTrain(
+      docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.createDataset(bpeTrainMerges(docs, textCol, numMerges))
+      .toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** Encode with a learned merge table: per-doc word count, symbol
+    * count after greedy application, and the compression ratio — the
+    * readout that says what the learned vocabulary buys. Map-only
+    * given the literal merge list.
+    */
+  def bpeEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        size(org.apache.spark.sql.graft.Signatures
+          .bpe_apply(tokens(col(textCol)), merges)).cast("long")
+          .as("n_symbols"))
+      .withColumn("compression",
+        round(col("n_symbols").cast("double") / col("n_words"), 6))
+
   /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009) of two
     * rank lists — THE standard hybrid-retrieval combiner (sparse BM25
     * ⊕ dense ANN): score(d) = Σ_lists 1/(kRrf + rank_d), absent from a

@@ -471,7 +471,60 @@ case class WinnowKeys(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Greedy BPE merge application over a symbol stream: for each learned
+  * merge (a, b) in priority order, ONE left-to-right pass replaces
+  * non-overlapping adjacent (a, b) occurrences with the joined symbol
+  * "a b" (tokens contain no spaces, so the space join is unambiguous
+  * and later merges can reference merged symbols). A compiled loop for
+  * the same reasons as [[WinnowKeys]]; the equivalent left-fold
+  * ("merge when last(out)=a ∧ cur=b") is what the SQL oracle runs —
+  * both are greedy leftmost non-overlapping, proven equal by the
+  * training spec.
+  */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType)
+  override def prettyName: String = "bpe_apply_merges"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var cur = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) { cur.add(toks.getUTF8String(i).toString); i += 1 }
+    merges.foreach { case (a, b) =>
+      val out = new java.util.ArrayList[String](cur.size)
+      var j = 0
+      while (j < cur.size) {
+        if (j + 1 < cur.size && cur.get(j) == a && cur.get(j + 1) == b) {
+          out.add(a + " " + b); j += 2
+        } else { out.add(cur.get(j)); j += 1 }
+      }
+      cur = out
+    }
+    val outArr = new Array[Any](cur.size)
+    var k = 0
+    while (k < cur.size) {
+      outArr(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(cur.get(k))
+      k += 1
+    }
+    new GenericArrayData(outArr)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeApplyMerges = copy(child = newChild)
+}
+
 object Signatures {
+  def bpe_apply(tokens: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      BpeApplyMerges(ExpressionUtils.expression(tokens), merges))
+
   def winnow_keys(tokens: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowKeys(ExpressionUtils.expression(tokens), k, w))
 

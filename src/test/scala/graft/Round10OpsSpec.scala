@@ -836,6 +836,50 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "removed" -> ((1L, 3L)), "added" -> ((1L, 3L))))
   }
 
+  test("bpe_apply kernel equals the left-fold reference on overlap/chained cases") {
+    val s = spark; import s.implicits._
+    def foldApply(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(toks) { case (cur, (a, b)) =>
+        cur.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + " " + b)
+          else acc :+ x
+        }
+      }
+    val cases = Seq(
+      (Seq("a", "a", "a"), Seq(("a", "a"))), // overlap: (aa), a
+      (Seq("b", "b", "b", "b"), Seq(("b", "b"))), // (bb)(bb)
+      (Seq("a", "b", "c"), Seq(("a", "b"), ("a b", "c"))), // chained merge
+      (Seq("x"), Seq(("a", "b"))), // single symbol
+      (Seq("a", "b", "a", "b", "a"), Seq(("a", "b"), ("a b", "a b"))))
+    cases.zipWithIndex.foreach { case ((toks, merges), idx) =>
+      val got = Seq((idx.toLong, toks.mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(org.apache.spark.sql.graft.Signatures
+          .bpe_apply(split(col("text"), " "), merges).as("w"))
+        .collect()(0).getSeq[String](0)
+      assert(got == foldApply(toks, merges),
+        s"case $idx: $got != ${foldApply(toks, merges)}")
+    }
+  }
+
+  test("bpeTrain learns the planted pair first; bpeEncode compresses it") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "new york city has new york style pizza in new york"),
+      (2L, "los angeles and new york differ"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrainMerges(docs, "text", 2)
+    assert(m.head._2 == "new" && m.head._3 == "york" && m.head._4 == 4L)
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text",
+        m.map(t => (t._2, t._3)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 3 "new york" merges shrink 11 words; exact count depends
+    // on the second learned merge, but symbols must strictly shrink
+    assert(enc(1L)._2 <= enc(1L)._1 - 3)
+    assert(enc(3L)._1 == 4L) // untouched doc keeps its word count
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
