@@ -1316,6 +1316,13 @@ object SparkEntry {
           round(col("n_subtokens").cast("double") / col("n_words"), 6))
         .orderBy("lang")
     }),
+    // Curation — Neyman-allocation stratified eval sampler: budget
+    // split ∝ n_s·σ_s with exact integer largest-remainder quotas,
+    // filled in md5 order
+    "q140_neyman_sample" -> ((s, dir) => {
+      Curation.neymanSample(Tables.documents(s, dir), "doc_id", "text",
+        "source", budget = 100).orderBy("source", "doc_id")
+    }),
     // Tokenizer — greedy BPE merge training at word granularity
     // (3 merges, driver-iterative; each step oracle-gated)
     "q138_bpe_train" -> ((s, dir) => {
@@ -4420,6 +4427,44 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Neyman: sigma from two 6-dp-rounded moments, integer weights
+    // n*round(sigma*1e6), quotas by div + largest remainder
+    // (remainder desc, source asc), per-source fill in md5 order
+    "q140_neyman_sample" ->
+      """WITH sc AS (SELECT doc_id, source,
+                 round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','and','of','to','in','is',
+                     'it','for','on'], t)))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS q
+               FROM documents),
+         mom AS (SELECT source, count(*)::BIGINT AS n,
+                   round(avg(q), 6) AS m1, round(avg(q * q), 6) AS m2
+                 FROM sc GROUP BY 1),
+         sg AS (SELECT source, n,
+                  round(sqrt(greatest(m2 - m1 * m1, 0.0)), 6) AS sigma
+                FROM mom),
+         wt AS (SELECT source, n, sigma,
+                  n * round(sigma * 1e6, 0)::BIGINT AS w
+                FROM sg),
+         tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+         al AS (SELECT source, n, sigma, w,
+                  CASE WHEN tw > 0 THEN (100 * w) // tw ELSE 0 END AS base,
+                  CASE WHEN tw > 0 THEN (100 * w) % tw ELSE 0 END AS rem
+                FROM wt, tot),
+         sh AS (SELECT 100 - sum(base)::BIGINT AS short FROM al),
+         qa AS (SELECT source, n, sigma,
+                  (base + CASE WHEN row_number() OVER
+                     (ORDER BY rem DESC, source) <= (SELECT short FROM sh)
+                   THEN 1 ELSE 0 END)::BIGINT AS quota
+                FROM al),
+         rk AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+                FROM sc)
+         SELECT qa.source, rk.doc_id, qa.quota, qa.sigma
+         FROM rk JOIN qa ON qa.source = rk.source
+         WHERE rk.rk <= qa.quota
+         ORDER BY qa.source, rk.doc_id""",
     // BPE train: argmax pair per step by (cnt desc, l, r); each stage
     // re-applies the previous merges with a left-fold (greedy leftmost
     // non-overlapping — equal to the kernel's pass, spec-proven)

@@ -504,6 +504,63 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Neyman-allocation stratified sampler (classic survey statistics
+    * applied to eval-set construction): a budget of `budget` documents
+    * is allocated across sources proportional to n_s·σ_s — strata
+    * that are LARGE and INTERNALLY VARIED get more of the eval budget
+    * than small/homogeneous ones, the minimum-variance allocation for
+    * estimating a corpus mean. σ is the per-source std of the 6-dp
+    * quality score (the q15 stopword signal); the allocation is EXACT
+    * INTEGER arithmetic end to end — σ re-enters as round(σ·10⁶) so
+    * weights are integers, quotas are w·B div Σw with the largest-
+    * remainder method breaking ties by (remainder desc, source asc) —
+    * no float division ever decides a quota. Within each source the
+    * quota fills in md5(doc_id) order (the q41/q79 sampling
+    * discipline): deterministic, reproducible, and independent of
+    * input partitioning. Everything after the per-source moment scan
+    * runs on a |sources|-row frame; the final pick is one
+    * source-partitioned window.
+    */
+  def neymanSample(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budget: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      round(TextOps.stopwordRatio(col(textCol)), 6).as("__q"))
+    val mom = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__q")), 6).as("__m1"),
+        round(avg(col("__q") * col("__q")), 6).as("__m2"))
+      .select(col("source"), col("n"),
+        round(sqrt(greatest(col("__m2") - col("__m1") * col("__m1"),
+          lit(0.0))), 6).as("sigma"))
+      .withColumn("__w", col("n") * round(col("sigma") * 1e6, 0).cast("long"))
+    val tot = mom.agg(sum(col("__w")).as("__tw"))
+    val alloc = mom.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("sigma"), col("__w"),
+        when(col("__tw") > 0,
+          expr(s"CAST(($budget * __w) DIV __tw AS BIGINT)"))
+          .otherwise(lit(0L)).as("__base"),
+        when(col("__tw") > 0, expr(s"CAST(($budget * __w) % __tw AS BIGINT)"))
+          .otherwise(lit(0L)).as("__rem"),
+        col("__tw"))
+    val short = alloc.agg((lit(budget) -
+      coalesce(sum(col("__base")), lit(0L))).as("__short"))
+    val quotas = alloc.crossJoin(broadcast(short))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col("source"))))
+      .select(col("source"), col("n"), col("sigma"),
+        (col("__base") + when(col("__rr") <= col("__short"), 1L)
+          .otherwise(0L)).as("quota"))
+    scored
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(quotas, "source")
+      .filter(col("__rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("quota"), col("sigma"))
+  }
+
   /** Mixture-epochs planning readout: given target mixture weights and
     * a total token budget, how many PASSES over each source does the
     * plan imply — the Muennighoff et al. 2023 repeated-data question

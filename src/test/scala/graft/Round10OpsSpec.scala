@@ -880,6 +880,28 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc(3L)._1 == 4L) // untouched doc keeps its word count
   }
 
+  test("neymanSample: quotas sum to budget; varied strata out-draw homogeneous ones") {
+    val s = spark; import s.implicits._
+    // stratum "flat": identical docs (sigma 0); stratum "varied":
+    // alternating stopword-free / stopword-heavy (sigma > 0); both 40
+    val docs = ((1L to 40L).map(i => (i, "alpha beta gamma delta", "flat")) ++
+      (41L to 80L).map(i =>
+        if (i % 2 == 0) (i, "the a and of to in is it", "varied")
+        else (i, "xq wz vv uu tt ss rr qq", "varied")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.neymanSample(docs, "doc_id", "text", "source",
+      budget = 20).collect()
+    assert(out.length == 20, s"budget not met: ${out.length}")
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // sigma(flat) = 0 -> weight 0 -> everything goes to "varied"
+    assert(bySrc.getOrElse("varied", 0) == 20 &&
+      bySrc.getOrElse("flat", 0) == 0, bySrc.toString)
+    // deterministic
+    val again = Curation.neymanSample(docs, "doc_id", "text", "source",
+      budget = 20).collect().map(_.getLong(1)).toSet
+    assert(again == out.map(_.getLong(1)).toSet)
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
