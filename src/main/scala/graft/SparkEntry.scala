@@ -1316,6 +1316,18 @@ object SparkEntry {
           round(col("n_subtokens").cast("double") / col("n_words"), 6))
         .orderBy("lang")
     }),
+    // Embedding QA — per-vector cosine to its OWN label centroid
+    // (mislabeled-data / outlier candidates)
+    "q141_label_outliers" -> ((s, dir) => {
+      Similarity.labelOutliers(Tables.embeddings(s, dir), "label",
+        minCos = 0.2).orderBy("vec_id")
+    }),
+    // Curation — robust median/MAD length outliers (heavy-tail-safe
+    // counterpart of q102's mean/std z)
+    "q142_robust_outliers" -> ((s, dir) => {
+      Curation.robustLengthOutliers(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")
+    }),
     // Curation — Neyman-allocation stratified eval sampler: budget
     // split ∝ n_s·σ_s with exact integer largest-remainder quotas,
     // filled in md5 order
@@ -4427,6 +4439,47 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Label outliers: q113's rounded centroids + exact cosine; flag
+    // compares the ROUNDED cosine
+    "q141_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+         m AS (SELECT label, i, round(avg(x), 6) AS m
+               FROM (SELECT label, unnest(v) AS x,
+                       generate_subscripts(v, 1) - 1 AS i FROM e)
+               GROUP BY 1, 2),
+         c AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY 1)
+         SELECT e.vec_id, e.label,
+           round(CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+             ELSE list_inner_product(e.v, c.cv)
+               / (sqrt(list_inner_product(e.v, e.v))
+                  * sqrt(list_inner_product(c.cv, c.cv))) END, 6)
+             AS cos_centroid,
+           (round(CASE WHEN list_inner_product(e.v, e.v) = 0
+                         OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+              ELSE list_inner_product(e.v, c.cv)
+                / (sqrt(list_inner_product(e.v, e.v))
+                   * sqrt(list_inner_product(c.cv, c.cv))) END, 6) < 0.2)
+             AS outlier
+         FROM e JOIN c USING (label) ORDER BY e.vec_id""",
+    // Robust outliers: exact medians via quantile_cont (the q05
+    // parity); MAD = 0 short-circuits z
+    "q142_robust_outliers" ->
+      """WITH xs AS (SELECT doc_id,
+                 len(string_split(text, ' '))::DOUBLE AS x
+               FROM documents),
+         md AS (SELECT quantile_cont(x, 0.5) AS med FROM xs),
+         dv AS (SELECT doc_id, x, med, abs(x - med) AS d FROM xs, md),
+         ma AS (SELECT quantile_cont(d, 0.5) AS mad FROM dv)
+         SELECT doc_id, x::BIGINT AS n_tokens,
+           CASE WHEN mad = 0 THEN 0.0
+                ELSE round((x - med) / (1.4826 * mad), 6) END AS robust_z,
+           (abs(CASE WHEN mad = 0 THEN 0.0
+                ELSE round((x - med) / (1.4826 * mad), 6) END) > 3.5)
+             AS outlier
+         FROM dv, ma ORDER BY doc_id""",
     // Neyman: sigma from two 6-dp-rounded moments, integer weights
     // n*round(sigma*1e6), quotas by div + largest remainder
     // (remainder desc, source asc), per-source fill in md5 order

@@ -504,6 +504,36 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Robust (median/MAD) document-length outliers — the
+    * heavy-tail-safe counterpart of q102's mean/std z-score: corpus
+    * length distributions are Zipf-tailed, so mean/std flags half the
+    * corpus while median/MAD stays put. robust_z = (x − med) /
+    * (1.4826·MAD), the normal-consistent scaling. Both medians are
+    * EXACT percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * the q05 parity), each attached as a 1-row broadcast — the whole
+    * readout is two tiny aggregates plus one map-side projection;
+    * MAD = 0 short-circuits z to 0 (the q102 discipline). At 100 TB
+    * swap the exact percentile for the q91 bounded-state approximate
+    * cuts — the contract (flag |z| > zMax) is unchanged.
+    */
+  def robustLengthOutliers(
+      docs: DataFrame, idCol: String, textCol: String,
+      zMax: Double = 3.5): DataFrame = {
+    val xs = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("double").as("__x"))
+    val med = xs.agg(expr("percentile(__x, 0.5)").as("__med"))
+    val dev = xs.crossJoin(broadcast(med))
+      .select(col("doc_id"), col("__x"), col("__med"),
+        abs(col("__x") - col("__med")).as("__d"))
+    val mad = dev.agg(expr("percentile(__d, 0.5)").as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("__x").cast("long").as("n_tokens"),
+        when(col("__mad") === 0.0, lit(0.0))
+          .otherwise(round((col("__x") - col("__med"))
+            / (lit(1.4826) * col("__mad")), 6)).as("robust_z"))
+      .withColumn("outlier", abs(col("robust_z")) > zMax)
+  }
+
   /** Neyman-allocation stratified sampler (classic survey statistics
     * applied to eval-set construction): a budget of `budget` documents
     * is allocated across sources proportional to n_s·σ_s — strata

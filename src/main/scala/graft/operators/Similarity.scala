@@ -313,6 +313,34 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Per-vector distance to its OWN label centroid — the
+    * mislabeled-data detector (confident-learning-lite): a vector far
+    * from its class centroid is a labeling-error / outlier candidate
+    * to re-annotate or drop before the embedding table trains a
+    * classifier head. Centroids are the q113 6-dp-rounded elementwise
+    * means (label-bounded frame, broadcast back onto one corpus
+    * scan); cos is the exact codegen dot; flag compares the ROUNDED
+    * cosine (the q62 lesson). One exchange total (the label-keyed
+    * centroid agg); the scoring join is broadcast, map-side.
+    */
+  def labelOutliers(
+      vectors: DataFrame, labelCol: String = "label",
+      minCos: Double = 0.0): DataFrame = {
+    val e = vectors.select(col(labelCol).as("lbl"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cent = e.groupBy(col("lbl"), col("i"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("lbl"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    vectors.select(col("vec_id"), col(labelCol).as("lbl"),
+        asDouble(col("embedding")).as("v"))
+      .join(broadcast(cent), "lbl")
+      .select(col("vec_id"), col("lbl").as("label"),
+        round(cosine(col("v"), col("cv")), 6).as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < minCos)
+  }
+
   /** IVF top-k with a real k-means index and query-side multiprobe:
     * vectors live in their single nearest cell; each query probes its
     * `probes` nearest cells and ranks exact cosine within them. The

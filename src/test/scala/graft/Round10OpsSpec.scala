@@ -902,6 +902,34 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.map(_.getLong(1)).toSet)
   }
 
+  test("labelOutliers flags the planted mislabel, keeps true members") {
+    val s = spark; import s.implicits._
+    // label 0 lives on +e1, label 1 on +e2; vec 99 is a label-1 vector
+    // sitting on +e1 (mislabeled)
+    val vecs = ((0 until 10).map(i => (i.toLong, Array(1.0f, 0.01f * i), 0)) ++
+      (10 until 20).map(i => (i.toLong, Array(0.01f * i, 1.0f), 1)) :+
+      ((99L, Array(1.0f, 0.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(vecs, "label", minCos = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(99L), "planted mislabel not flagged")
+    assert((0L to 19L).forall(!out(_)), "true members wrongly flagged")
+  }
+
+  test("robustLengthOutliers: MAD ignores the heavy tail mean/std would absorb") {
+    val s = spark; import s.implicits._
+    // 30 docs of 8-12 tokens (MAD > 0), one 500-token monster
+    val docs = ((1L to 30L).map(i =>
+      (i, (0 until (8 + (i % 5)).toInt).map(j => s"w$j").mkString(" "))) :+
+      ((31L, (0 until 500).map(j => s"w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Curation.robustLengthOutliers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out(31L)._2, "monster doc not flagged")
+    assert((1L to 30L).forall(!out(_)._2), "normal docs wrongly flagged")
+  }
+
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
