@@ -1316,6 +1316,11 @@ object SparkEntry {
           round(col("n_subtokens").cast("double") / col("n_words"), 6))
         .orderBy("lang")
     }),
+    // Similarity — cosine-threshold sweep for embedding-dedup tuning
+    // (one blocked exact pass, per-tau attrition counts)
+    "q143_cosine_sweep" -> ((s, dir) => {
+      Similarity.cosineThresholdSweep(Tables.embeddings(s, dir))
+    }),
     // Embedding QA — per-vector cosine to its OWN label centroid
     // (mislabeled-data / outlier candidates)
     "q141_label_outliers" -> ((s, dir) => {
@@ -4439,6 +4444,27 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Cosine sweep: the q22 brute-force pair set, re-counted per tau
+    // (the q101 oracle shape on the embedding side)
+    "q143_cosine_sweep" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                 list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+               FROM n a JOIN n b ON a.vec_id < b.vec_id
+               WHERE a.nrm > 0 AND b.nrm > 0),
+         th AS (SELECT unnest([0.40, 0.45, 0.50]) AS threshold),
+         q AS (SELECT threshold, i, j FROM th JOIN p ON p.cos >= th.threshold),
+         np AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+                FROM q GROUP BY 1),
+         nd AS (SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+                FROM (SELECT threshold, unnest([i, j]) AS doc FROM q)
+                GROUP BY 1)
+         SELECT th.threshold, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(n_docs, 0)::BIGINT AS n_docs
+         FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         ORDER BY threshold""",
     // Label outliers: q113's rounded centroids + exact cosine; flag
     // compares the ROUNDED cosine
     "q141_label_outliers" ->

@@ -111,6 +111,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cosine-threshold sweep for embedding dedup tuning — the L68/q101
+    * pattern on the embedding side: ONE blocked exact all-pairs pass
+    * at the loosest threshold, then per-τ pair/doc counts so the
+    * SemDeDup/near-dup threshold is chosen from measured attrition,
+    * not guessed. The sweep re-aggregation is pairs-sized; thresholds
+    * ride as a literal explode.
+    */
+  def cosineThresholdSweep(
+      vectors: DataFrame,
+      thresholds: Seq[Double] = Seq(0.40, 0.45, 0.50),
+      numBlocks: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pairs = nearDupPairsBlocked(vectors, thresholds.min, numBlocks)
+    val th = thresholds.toDF("threshold")
+    val q = pairs
+      .select(col("i"), col("j"), col("cos"),
+        explode(typedlit(thresholds)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+    val nPairs = q.groupBy(col("threshold")).agg(count(lit(1)).as("__np"))
+    val nDocs = q
+      .select(col("threshold"), explode(array(col("i"), col("j"))).as("__d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("__d")).as("__nd"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Approximate near-dup pairs: random-hyperplane LSH candidates +
     * exact cosine verification (probabilistic WORK, verified OUTPUT —
     * every returned pair truly has cos ≥ threshold; recall follows the

@@ -81,5 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         literalInt(children(1), "hyperplane_bands", "bands"),
         literalInt(children(2), "hyperplane_bands", "rowsPerBand"),
         literalInt(children(3), "hyperplane_bands", "seed").toLong)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_keys"),
+      info("winnow_keys", "winnow_keys(tokens, k, w) - winnowed MOSS fingerprint keys (k-gram md5 prefix, window-of-w rightmost-min)"),
+      (children: Seq[Expression]) => WinnowKeys(children(0),
+        literalInt(children(1), "winnow_keys", "k"),
+        literalInt(children(2), "winnow_keys", "w"))))
   }
 }

@@ -44,4 +44,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // chunks are 16-bit values
     assert(a.forall(v => v >= 0 && v < 65536))
   }
+
+  test("winnow_keys is SQL-callable and matches the Column API") {
+    val q = "SELECT winnow_keys(split('a b c d e f g h', ' '), 3, 4) AS ks"
+    val viaSql = spark.sql(q).collect()(0).getSeq[String](0)
+    import spark.implicits._
+    val viaCol = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.graft.Signatures
+        .winnow_keys(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "), 3, 4))
+      .collect()(0).getSeq[String](0)
+    assert(viaSql.nonEmpty && viaSql == viaCol)
+    assert(viaSql.forall(_.length == 17))
+  }
 }
