@@ -1321,6 +1321,12 @@ object SparkEntry {
     "q143_cosine_sweep" -> ((s, dir) => {
       Similarity.cosineThresholdSweep(Tables.embeddings(s, dir))
     }),
+    // Curation — token-weighted Gopher funnel: what fraction of each
+    // source's TOKEN MASS survives each rule (the budget view of q120)
+    "q144_funnel_tokens" -> ((s, dir) => {
+      Curation.curationFunnelTokens(Tables.documents(s, dir), "doc_id",
+        "text", "source")
+    }),
     // Embedding QA — per-vector cosine to its OWN label centroid
     // (mislabeled-data / outlier candidates)
     "q141_label_outliers" -> ((s, dir) => {
@@ -4444,6 +4450,37 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Token-weighted funnel: the q120 rule CTE with token sums
+    "q144_funnel_tokens" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         r AS (SELECT doc_id, source, len(w)::BIGINT AS n_words,
+                 round(list_avg(list_transform(w, x -> len(x))), 6)
+                   AS mean_word_len,
+                 len(list_intersect(list_distinct(w),
+                   ['the','a','and','of','to','in','is','it','for','on']))::BIGINT
+                   AS n_stop,
+                 round(list_max(list_transform(list_distinct(w),
+                   t2 -> len(list_filter(w, x -> x = t2))))::DOUBLE / len(w), 6)
+                   AS top_frac
+               FROM t),
+         f AS (SELECT source, n_words,
+                 (n_words BETWEEN 30 AND 80) AS r1,
+                 (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS r2,
+                 (n_stop >= 2) AS r3,
+                 (top_frac <= 0.1) AS r4
+               FROM r)
+         SELECT source, sum(n_words)::BIGINT AS n_tokens,
+           sum(CASE WHEN r1 THEN n_words ELSE 0 END)::BIGINT AS tok_wordcount,
+           sum(CASE WHEN r1 AND r2 THEN n_words ELSE 0 END)::BIGINT
+             AS tok_meanlen,
+           sum(CASE WHEN r1 AND r2 AND r3 THEN n_words ELSE 0 END)::BIGINT
+             AS tok_stopwords,
+           sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN n_words ELSE 0 END)::BIGINT
+             AS tok_keep,
+           round(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN n_words
+             ELSE 0 END)::DOUBLE / sum(n_words), 6) AS keep_frac
+         FROM f GROUP BY 1 ORDER BY source""",
     // Cosine sweep: the q22 brute-force pair set, re-counted per tau
     // (the q101 oracle shape on the embedding side)
     "q143_cosine_sweep" ->

@@ -504,6 +504,36 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Token-weighted curation funnel — L86/q120's doc-count funnel in
+    * TOKEN MASS: what fraction of each source's training tokens
+    * survives each Gopher rule in order. Doc counts and token mass
+    * tell different stories when rules correlate with length (the
+    * wordcount rule by construction does); the budget planner needs
+    * the token column. Same shape: scan-speed rule signals, one
+    * id-keyed join, source-keyed agg, text never re-shuffles.
+    */
+  def curationFunnelTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val g = TextOps.gopherRules(docs, idCol, textCol)
+    val j = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .join(g, "doc_id")
+    def tok(c: Column) = sum(when(c, col("__nt")).otherwise(0L))
+    j.groupBy(col("source"))
+      .agg(
+        sum(col("__nt")).as("n_tokens"),
+        tok(col("r_wordcount")).as("tok_wordcount"),
+        tok(col("r_wordcount") && col("r_meanlen")).as("tok_meanlen"),
+        tok(col("r_wordcount") && col("r_meanlen") && col("r_stopwords"))
+          .as("tok_stopwords"),
+        tok(col("keep")).as("tok_keep"))
+      .withColumn("keep_frac",
+        round(col("tok_keep").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Robust (median/MAD) document-length outliers — the
     * heavy-tail-safe counterpart of q102's mean/std z-score: corpus
     * length distributions are Zipf-tailed, so mean/std flags half the
