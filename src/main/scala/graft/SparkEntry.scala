@@ -1327,6 +1327,12 @@ object SparkEntry {
       Curation.curationFunnelTokens(Tables.documents(s, dir), "doc_id",
         "text", "source")
     }),
+    // Packing — chunk-level duplicate rate: what fraction of each
+    // source's TRAINING WINDOWS repeat verbatim anywhere in the corpus
+    "q145_chunk_dup_rate" -> ((s, dir) => {
+      Packing.chunkDupRate(Tables.documents(s, dir), "doc_id", "text",
+        "source").orderBy("source")
+    }),
     // Embedding QA — per-vector cosine to its OWN label centroid
     // (mislabeled-data / outlier candidates)
     "q141_label_outliers" -> ((s, dir) => {
@@ -4450,6 +4456,21 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Chunk dup rate: string-keyed window mirror (the q96/q98
+    // envelope); windows via range with the stride step
+    "q145_chunk_dup_rate" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT source,
+                 unnest([list_aggregate(w[s+1:s+32], 'string_agg', ' ')
+                         for s in range(0, len(w), 24)]) AS win
+               FROM t),
+         hc AS (SELECT win, count(*)::BIGINT AS c FROM c GROUP BY 1)
+         SELECT c.source, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           round(sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_frac
+         FROM c JOIN hc USING (win)
+         GROUP BY 1 ORDER BY c.source""",
     // Token-weighted funnel: the q120 rule CTE with token sums
     "q144_funnel_tokens" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w

@@ -145,4 +145,38 @@ object Packing {
         (col("__s") + 1).as("start_tok"),
         least(lit(maxLen), col("__n") - col("__s")).as("chunk_tokens"))
   }
+
+  /** Chunk-level duplicate rate — dedup measured at TRAINING-WINDOW
+    * granularity: after [[chunk]]'s maxLen/stride windowing, what
+    * fraction of the windows a source contributes are verbatim
+    * repeats of another window (same source or not, the model sees
+    * them the same number of times either way). Document-level dedup
+    * (q18/q116) undercounts this: overlapping strides and shared
+    * boilerplate repeat windows inside and across non-duplicate
+    * documents. Window text is hashed in the scan projection
+    * (xxhash64, the q96/q98 envelope) — only 8-byte hashes reach the
+    * count-distinct exchange.
+    */
+  def chunkDupRate(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      maxLen: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && maxLen >= stride,
+      s"need 0 < stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    val w = split(col(textCol), " ")
+    val h = docs
+      .select(col(srcCol).as("source"), w.as("__w"), size(w).as("__n"))
+      .select(col("source"), col("__w"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("__ci", "__s")))
+      .select(col("source"),
+        xxhash64(concat_ws(" ",
+          slice(col("__w"), col("__s") + 1, lit(maxLen)))).as("__h"))
+    val hc = h.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    h.join(hc, "__h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+  }
 }

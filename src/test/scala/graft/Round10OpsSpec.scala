@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{Curation, Dedup, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Packing, Similarity, TextOps}
 
 /** Round-10 hardening: shard-count-parametrized resharding (membership
   * and determinism invariant under numShards; the two-phase prefix-sum
@@ -928,6 +928,22 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(out(31L)._2, "monster doc not flagged")
     assert((1L to 30L).forall(!out(_)._2), "normal docs wrongly flagged")
+  }
+
+  test("chunkDupRate: cross-source window repeats counted, unique windows not") {
+    val s = spark; import s.implicits._
+    // maxLen 4 / stride 4: docs 1 and 2 (different sources) share their
+    // single window verbatim; doc 3 is unique
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "A"),
+      (2L, "w1 w2 w3 w4", "B"),
+      (3L, "u1 u2 u3 u4", "B")).toDF("doc_id", "text", "source")
+    val out = Packing.chunkDupRate(docs, "doc_id", "text", "source",
+      maxLen = 4, stride = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((1L, 1L, 1.0))) // its only window repeats in B
+    assert(out("B") == ((2L, 1L, 0.5))) // one dup window, one unique
   }
 
   test("winnow posting cap is a no-op on honest data, binds only on hot keys") {
