@@ -412,6 +412,60 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("chunk dup rate and BPE pair counting keep token arrays off the exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      // q145: the window hash-count join exchanges (source, 8-byte
+      // hash) — the window TEXT and the token array stay in the scan
+      val dupRate = graft.operators.Packing
+        .chunkDupRate(docs, "doc_id", "text", "source")
+      val leakedArrays = for {
+        e <- dupRate.queryExecution.executedPlan
+          .collect { case ex: ShuffleExchangeExec => ex }
+        a <- e.output
+        if a.dataType.simpleString.startsWith("array")
+      } yield a.name
+      assert(leakedArrays.isEmpty,
+        s"q145 exchanges carry arrays: $leakedArrays")
+      val leakedText = for {
+        e <- dupRate.queryExecution.executedPlan
+          .collect { case ex: ShuffleExchangeExec => ex }
+        a <- e.output
+        if a.dataType.simpleString.contains("string") && a.name != "source"
+      } yield a.name
+      assert(leakedText.isEmpty,
+        s"q145 exchanges carry window text: $leakedText")
+      // the BPE pair-count stage exchanges (l, r, partial count) —
+      // vocab-bounded pair keys, never the per-doc symbol arrays
+      val applied = docs.select(org.apache.spark.sql.graft.Signatures
+        .bpe_apply(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "), Nil).as("w"))
+      val pairs = applied
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(
+              org.apache.spark.sql.functions.lit(0),
+              org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.col("w")) - 2),
+            i => org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.element_at(
+                org.apache.spark.sql.functions.col("w"), i + 1).as("l"),
+              org.apache.spark.sql.functions.element_at(
+                org.apache.spark.sql.functions.col("w"), i + 2).as("r"))))
+          .as("p"))
+        .groupBy("p.l", "p.r").count()
+      val bpeArrays = for {
+        e <- pairs.queryExecution.executedPlan
+          .collect { case ex: ShuffleExchangeExec => ex }
+        a <- e.output
+        if a.dataType.simpleString.startsWith("array")
+      } yield a.name
+      assert(bpeArrays.isEmpty, s"BPE pair exchange carries arrays: $bpeArrays")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q99's broadcast side is candidate-bounded, never the open vocabulary") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
