@@ -198,6 +198,63 @@ object Ingest {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** L111's streaming twin — a stream-static chunk-dedup gate: each
+    * arriving document's maxLen/stride training windows are hashed
+    * map-side and probed against a STATIC window-hash index of the
+    * existing corpus (the contaminationStream shape: broadcast
+    * semi-join, then a per-doc count in update mode). A document
+    * whose windows are mostly already-trained-on adds little — the
+    * downstream policy reads n_dup_windows / n_windows against its
+    * tolerance before persisting. The index side is the batch
+    * operator's hash frame (build it from the corpus with
+    * `chunkHashIndex`); the stream side carries only 8-byte hashes.
+    */
+  def chunkDedupStream(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxLen: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val w = split(col(textCol), " ")
+    val windows = docs
+      .select(col(idCol).as("doc_id"), w.as("__w"), size(w).as("__n"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("__ci", "__s")))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          slice(col("__w"), col("__s") + 1, lit(maxLen)))).as("h"))
+    // ONE aggregation (two aggregates joined would be an unsupported
+    // stream-stream join): stream-static LEFT join marks hits, then a
+    // single per-doc groupBy counts windows and dup windows together
+    windows
+      .join(broadcast(index.select(col("h")).distinct()
+        .withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup_windows"))
+  }
+
+  /** Static window-hash index for [[chunkDedupStream]] — the existing
+    * corpus's distinct training-window hashes.
+    */
+  def chunkHashIndex(
+      corpus: DataFrame,
+      textCol: String = "text",
+      maxLen: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val w = split(col(textCol), " ")
+    corpus
+      .select(w.as("__w"), size(w).as("__n"))
+      .select(col("__w"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("__ci", "__s")))
+      .select(xxhash64(concat_ws(" ",
+        slice(col("__w"), col("__s") + 1, lit(maxLen)))).as("h"))
+      .distinct()
+  }
+
   /** L61's streaming twin — a running count-min sketch over the bigram
     * stream. The aggregation state is the depth×width cell grid
     * (3072 counters by default): FIXED SIZE by construction, so unlike

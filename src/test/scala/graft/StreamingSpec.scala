@@ -299,6 +299,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("chunk-dedup gate: stream-static window probe counts dup windows per doc") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val index = Ingest.chunkHashIndex(corpus, maxLen = 4, stride = 4)
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.chunkDedupStream(mem.toDF(), index,
+        maxLen = 4, stride = 4)
+      .writeStream.format("memory").queryName("chunkgate")
+      .outputMode("update").start()
+    try {
+      def doc(id: Long, text: String) =
+        DocEvent(id, text, new java.sql.Timestamp(id * 1000L))
+      // doc 1: both windows verbatim from the corpus; doc 2: fresh
+      mem.addData(doc(1, "a b c d e f g h"), doc(2, "p q r s t u v w"))
+      q.processAllAvailable()
+      val rows = spark.table("chunkgate")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(rows(1L) == ((2L, 2L)), s"got ${rows(1L)}")
+      assert(rows(2L) == ((2L, 0L)), s"got ${rows(2L)}")
+    } finally q.stop()
+  }
+
   test("split stream: stateless verdicts equal the batch assignment across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
