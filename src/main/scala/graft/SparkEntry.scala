@@ -4367,9 +4367,9 @@ object SparkEntry {
                    (a, b) -> a + b) AS sxx
                FROM pt)
          SELECT k AS n_sources,
-           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0.0 AS beta,
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
-             AS ln_k
+             + 0.0 AS ln_k
          FROM ag""",
     // RRF: the q117 BM25 chain (top-100 + rank) ⊕ dense cosine
     // top-100 for query vec 0, fused by 1/(60+rank) sums — integer
