@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextOps}
+
+/** Executable end-to-end curation pipeline — the composed batch run a
+  * user of this library would schedule over a crawl drop, chaining the
+  * shipped operators in the order a production pipeline applies them
+  * (cheapest gate first, text re-shuffled never):
+  *
+  *   1. Gopher rule gate (L72, scan-speed) ∧ blocklist gate (L84,
+  *      scan-speed) — per-doc keep verdicts, no exchange;
+  *   2. normalization-insensitive exact dedup (L92) — canonical
+  *      keepers by 8-byte hash groups;
+  *   3. near-dup clusters (L2 LSH → L5 connected components) with
+  *      quality-argmax canonical selection (L76) — survivors are each
+  *      near-dup cluster's best member;
+  *   4. deterministic train/valid/test assignment (L95);
+  *   5. outputs: the curated corpus (id, split), the per-source
+  *      census, and a one-row savings summary.
+  *
+  * Every stage is the same oracle-gated operator the query surface
+  * exposes (q106/q118/q126/q110/q129/q134 semantics); this object
+  * only sequences them and persists the results. All joins are
+  * id-keyed; document text rides no exchange anywhere in the chain.
+  */
+object CurationPipeline {
+
+  /** The composed frames, lazily planned — callers pick what to
+    * materialize. Returns (curated survivors with split, per-(source,
+    * split) census, one-row savings summary).
+    */
+  def run(spark: SparkSession, sfDir: String,
+      blocklist: Seq[String] = Seq("slow", "leak", "crash"),
+      maxHits: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+    val gate = TextOps.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("__k1"))
+    val block = TextOps.blocklistFilter(docs, "doc_id", "text",
+        blocklist, maxHits)
+      .select(col("doc_id"), col("keep").as("__k2"))
+    val exactKeep = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .select(col("keeper").as("doc_id"), lit(true).as("__k3"))
+    val nearKeep = Dedup.clusterCanonicalSelect(docs, "doc_id", "text")
+      .select(col("keeper").as("doc_id"), lit(true).as("__k4"))
+    val split = Curation.splitAssignment(docs, "doc_id", "source")
+      .select(col("doc_id"), col("split"))
+    val curated = docs
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(gate, "doc_id").join(block, "doc_id")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearKeep, Seq("doc_id"), "left")
+      .join(split, "doc_id")
+      .filter(col("__k1") && col("__k2") &&
+        coalesce(col("__k3"), lit(false)) &&
+        coalesce(col("__k4"), lit(false)))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
+    val census = curated.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+    val total = docs.count()
+    val savings = curated.agg(
+      lit(total).as("n_input"),
+      count(lit(1)).as("n_kept"),
+      round(lit(1.0) - count(lit(1)).cast("double") / lit(total), 6)
+        .as("drop_frac"),
+      sum(col("n_tokens")).as("tokens_kept"))
+    (curated, census, savings)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, census, savings) = run(spark, sfDir)
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
+    savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")
+    savings.show(truncate = false)
+    spark.stop()
+  }
+}

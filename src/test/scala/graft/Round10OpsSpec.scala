@@ -930,6 +930,30 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 30L).forall(!out(_)._2), "normal docs wrongly flagged")
   }
 
+  test("CurationPipeline: survivors honor every gate, census partitions the survivors") {
+    val (curated, census, savings) =
+      CurationPipeline.run(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = curated.collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    // every survivor passes the gopher and blocklist gates
+    val gOk = TextOps.gopherRules(docs, "doc_id", "text")
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val bOk = TextOps.blocklistFilter(docs, "doc_id", "text",
+        Seq("slow", "leak", "crash"), 2)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(gOk) && kept.subsetOf(bOk))
+    // every survivor is a near-dup-cluster keeper
+    val keepers = Dedup.clusterCanonicalSelect(docs, "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.subsetOf(keepers))
+    // census cells partition the curated set exactly
+    val censusDocs = census.collect().map(_.getLong(2)).sum
+    assert(censusDocs == kept.size)
+    val s0 = savings.collect()(0)
+    assert(s0.getLong(0) == 500L && s0.getLong(1) == kept.size)
+  }
+
   test("chunkDupRate: cross-source window repeats counted, unique windows not") {
     val s = spark; import s.implicits._
     // maxLen 4 / stride 4: docs 1 and 2 (different sources) share their
