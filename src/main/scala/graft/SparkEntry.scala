@@ -1333,6 +1333,12 @@ object SparkEntry {
       Packing.chunkDupRate(Tables.documents(s, dir), "doc_id", "text",
         "source").orderBy("source")
     }),
+    // Sketch — KMV source-overlap matrix: bottom-k shingle hashes
+    // estimate set-level Jaccard between crawls; exact audit column
+    "q146_kmv_overlap" -> ((s, dir) => {
+      Dedup.kmvSourceOverlap(Tables.documents(s, dir), "doc_id", "text",
+        "source").orderBy("src_a", "src_b")
+    }),
     // Embedding QA — per-vector cosine to its OWN label centroid
     // (mislabeled-data / outlier candidates)
     "q141_label_outliers" -> ((s, dir) => {
@@ -4456,6 +4462,45 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // KMV overlap: bottom-128 md5 shingle hashes per source; the
+    // estimate itself is integer counting over 2k-bounded lists, so
+    // it hash-matches; jac_exact from the full distinct sets
+    "q146_kmv_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT source, md5(s) AS h
+                FROM (SELECT source,
+                        unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS s
+                      FROM t WHERE len(w) >= 3)),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM sh),
+         sig AS (SELECT source, list(h ORDER BY h) AS sig,
+                   count(*)::BIGINT AS sig_n
+                 FROM rk WHERE rn <= 128 GROUP BY 1),
+         est AS (SELECT a.source AS src_a, b.source AS src_b,
+                   a.sig AS sa, b.sig AS sb,
+                   least(a.sig_n, b.sig_n, 128) AS ku
+                 FROM sig a JOIN sig b ON a.source < b.source),
+         ej AS (SELECT src_a, src_b,
+                  round(len(list_filter(
+                    list_sort(list_distinct(list_concat(sa, sb)))[1:ku],
+                    x -> list_contains(sa, x) AND list_contains(sb, x)))::DOUBLE
+                    / ku, 6) AS jac_est
+                FROM est),
+         cnt AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+         inter AS (SELECT x.source AS src_a, y.source AS src_b,
+                     count(*)::BIGINT AS i
+                   FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+                   GROUP BY 1, 2)
+         SELECT ej.src_a, ej.src_b, ej.jac_est,
+           round(coalesce(inter.i, 0)::DOUBLE
+             / (ca.n + cb.n - coalesce(inter.i, 0)), 6) AS jac_exact
+         FROM ej
+           LEFT JOIN inter ON inter.src_a = ej.src_a AND inter.src_b = ej.src_b
+           JOIN cnt ca ON ca.source = ej.src_a
+           JOIN cnt cb ON cb.source = ej.src_b
+         ORDER BY ej.src_a, ej.src_b""",
     // Chunk dup rate: string-keyed window mirror (the q96/q98
     // envelope); windows via range with the stride step
     "q145_chunk_dup_rate" ->

@@ -1151,6 +1151,62 @@ object Dedup {
         round(col("inter").cast("double") / col("n_i"), 6).as("containment"))
   }
 
+  /** Source-overlap matrix via k-minimum-values sketches (Bar-Yossef
+    * et al. 2002; the KMV/bottom-k distinct sketch): per-source
+    * bottom-k md5 shingle hashes estimate pairwise Jaccard between
+    * whole SOURCE SHINGLE SETS — "how much of crawl A's content space
+    * does crawl B share", the set-level complement of q131's
+    * pair-level flows. The estimator is the standard KMV one: merge
+    * two signatures, keep the k smallest of the union, and count how
+    * many of those sit in both sides. Everything is engine-exact: the
+    * signature is the k smallest DISTINCT hex hashes (a
+    * source-partitioned window over (source, hash) rows — 16-byte
+    * exchanges, shingle text never leaves the scan), and the estimate
+    * is integer counting over 2k-bounded arrays, so the oracle
+    * hash-matches the ESTIMATE itself; jac_exact rides as the audit
+    * column (vocab-bounded per-source set sizes at the gate; at
+    * 100 TB you ship the k-hash signatures alone — mergeable,
+    * constant-size, unionable across shards).
+    */
+  def kmvSourceOverlap(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      shingleN: Int = 3, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(srcCol).as("source"),
+        explode(shingles(col(textCol), shingleN)).as("__s"))
+      .select(col("source"), md5(col("__s")).as("h"))
+      .distinct()
+    val sig = sh
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("sig"),
+        count(lit(1)).as("sig_n"))
+    val est = sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"),
+        least(col("a.sig_n"), col("b.sig_n"), lit(k)).as("__ku"))
+      .select(col("src_a"), col("src_b"),
+        round(size(filter(
+          slice(array_sort(array_union(col("sa"), col("sb"))), lit(1), col("__ku")),
+          x => array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+          .cast("double") / col("__ku"), 6).as("jac_est"))
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("__i"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(cnt.select(col("source").as("src_a"), col("n").as("__na")), "src_a")
+      .join(cnt.select(col("source").as("src_b"), col("n").as("__nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("jac_est"),
+        round(coalesce(col("__i"), lit(0L)).cast("double")
+          / (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))), 6)
+          .as("jac_exact"))
+  }
+
   /** Corpus snapshot diff — the data-versioning readout between two
     * crawls/releases of the same corpus: per-id status
     * added/removed/changed/unchanged with doc and token counts. One

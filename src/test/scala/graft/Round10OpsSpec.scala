@@ -954,6 +954,33 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0.getLong(0) == 500L && s0.getLong(1) == kept.size)
   }
 
+  test("kmvSourceOverlap: exact endpoints, estimate inside the KMV error bound") {
+    val s = spark; import s.implicits._
+    def doc(id: Long, words: Seq[String], src: String) =
+      (id, words.mkString(" "), src)
+    val wA = (0 until 300).map(i => s"a$i")
+    val wC = (0 until 300).map(i => s"c$i")
+    val docs = Seq(
+      doc(1, wA, "same1"), doc(2, wA, "same2"), // identical shingle sets
+      doc(3, wC, "disj")) // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.kmvSourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("same1", "same2")) == ((1.0, 1.0)))
+    assert(out(("disj", "same1")) == ((0.0, 0.0)))
+    // half-overlapping sets: estimate within 4 sigma of exact
+    val wH1 = (0 until 400).map(i => s"h$i")
+    val wH2 = (200 until 600).map(i => s"h$i")
+    val docs2 = Seq(doc(1, wH1, "p"), doc(2, wH2, "q"))
+      .toDF("doc_id", "text", "source")
+    val o2 = Dedup.kmvSourceOverlap(docs2, "doc_id", "text", "source")
+      .collect()(0)
+    val (est, exact) = (o2.getDouble(2), o2.getDouble(3))
+    assert(math.abs(est - exact) < 4.0 / math.sqrt(128.0),
+      s"est $est vs exact $exact")
+  }
+
   test("chunkDupRate: cross-source window repeats counted, unique windows not") {
     val s = spark; import s.implicits._
     // maxLen 4 / stride 4: docs 1 and 2 (different sources) share their
