@@ -1363,6 +1363,12 @@ object SparkEntry {
     "q138_bpe_train" -> ((s, dir) => {
       TextOps.bpeTrain(Tables.documents(s, dir), "text", numMerges = 3)
     }),
+    // Tokenizer — merges → corpus compression curve (where do merge
+    // returns diminish)
+    "q147_bpe_curve" -> ((s, dir) => {
+      TextOps.bpeCompressionCurve(Tables.documents(s, dir), "text",
+        numMerges = 3).orderBy("n_merges")
+    }),
     // Tokenizer — encode with the learned merges: per-doc compression
     "q139_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -4687,6 +4693,59 @@ object SparkEntry {
          UNION ALL SELECT 2, l, r, cnt FROM m2
          UNION ALL SELECT 3, l, r, cnt FROM m3
          ORDER BY step""",
+    // BPE curve: the q138/q139 chain, summed at every stage
+    "q147_bpe_curve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p1 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM t)
+                GROUP BY 1, 2),
+         m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         a1 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM t, m1),
+         p2 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a1)
+                GROUP BY 1, 2),
+         m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         a2 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a1, m2),
+         p3 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a2)
+                GROUP BY 1, 2),
+         m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         a3 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a2, m3),
+         s0 AS (SELECT sum(len(w))::BIGINT AS n FROM t),
+         s1 AS (SELECT sum(len(w))::BIGINT AS n FROM a1),
+         s2 AS (SELECT sum(len(w))::BIGINT AS n FROM a2),
+         s3 AS (SELECT sum(len(w))::BIGINT AS n FROM a3),
+         u AS (SELECT 0 AS n_merges, n FROM s0
+               UNION ALL SELECT 1, n FROM s1
+               UNION ALL SELECT 2, n FROM s2
+               UNION ALL SELECT 3, n FROM s3)
+         SELECT n_merges, n AS n_symbols,
+           round(n::DOUBLE / (SELECT n::DOUBLE FROM s0), 6) AS compression
+         FROM u ORDER BY n_merges""",
     // BPE encode: the q138 chain's third application + per-doc counts
     "q139_bpe_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1096,6 +1096,32 @@ object TextOps {
       .toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Merge-count → corpus-compression curve: total symbol count after
+    * applying the first m learned merges, for m = 0..numMerges — the
+    * tokenizer-training diagnostic that says where merge returns
+    * diminish (each row's drop vs the previous is exactly the
+    * non-overlapping occurrence count the merge collapsed). One
+    * kernel scan per point; the merge table is learned once.
+    */
+  def bpeCompressionCurve(
+      docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeTrainMerges(docs, textCol, numMerges)
+      .map(t => (t._2, t._3))
+    val rows = (0 to merges.size).map { m =>
+      val n = docs.select(sum(size(org.apache.spark.sql.graft.Signatures
+        .bpe_apply(tokens(col(textCol)), merges.take(m))).cast("long")))
+        .collect()(0).getLong(0)
+      (m, n)
+    }
+    val total = rows.head._2.toDouble
+    spark.createDataset(rows.map { case (m, n) =>
+      (m, n, BigDecimal(n / total).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF("n_merges", "n_symbols", "compression")
+  }
+
   /** Encode with a learned merge table: per-doc word count, symbol
     * count after greedy application, and the compression ratio — the
     * readout that says what the learned vocabulary buys. Map-only

@@ -863,6 +863,21 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeCompressionCurve: monotone non-increasing, drops equal collapsed occurrences") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "new york city has new york style pizza in new york"),
+      (2L, "los angeles and new york differ")).toDF("doc_id", "text")
+    val curve = TextOps.bpeCompressionCurve(docs, "text", 2)
+      .orderBy("n_merges").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(curve.head == ((0, 17L, 1.0)))
+    // symbols never increase; first merge ("new york", 4 occurrences)
+    // drops exactly 4 symbols
+    assert(curve.sliding(2).forall(p => p(1)._2 <= p(0)._2))
+    assert(curve(1)._2 == 13L)
+  }
+
   test("bpeTrain learns the planted pair first; bpeEncode compresses it") {
     val s = spark; import s.implicits._
     val docs = Seq(
