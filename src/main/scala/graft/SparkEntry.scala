@@ -1333,6 +1333,12 @@ object SparkEntry {
       Packing.chunkDupRate(Tables.documents(s, dir), "doc_id", "text",
         "source").orderBy("source")
     }),
+    // Curation — split representativeness: KS of the quality-score
+    // distribution per split vs the corpus
+    "q148_split_quality_ks" -> ((s, dir) => {
+      Curation.splitQualityKS(Tables.documents(s, dir), "doc_id", "text",
+        "source")
+    }),
     // Sketch — KMV source-overlap matrix: bottom-k shingle hashes
     // estimate set-level Jaccard between crawls; exact audit column
     "q146_kmv_overlap" -> ((s, dir) => {
@@ -4468,6 +4474,49 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Split-quality KS: the q112 grid/cumsum pattern keyed by the
+    // q129 split over the 6-dp quality score
+    "q148_split_quality_ks" ->
+      """WITH sc AS (SELECT doc_id,
+                 round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','and','of','to','in','is',
+                     'it','for','on'], t)))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS q,
+                 CASE WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 52429
+                      THEN 'train'
+                      WHEN (4096 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[1:1]) - 1)
+                      + 256 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[2:2]) - 1)
+                      + 16 * (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[3:3]) - 1)
+                      + (strpos('0123456789abcdef',
+                        md5(doc_id::VARCHAR || ':42')[4:4]) - 1)) < 58982
+                      THEN 'valid' ELSE 'test' END AS split
+               FROM documents),
+         pq AS (SELECT q, count(*)::BIGINT AS ct FROM sc GROUP BY 1),
+         ps AS (SELECT split, q, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+         ns AS (SELECT split, count(*)::BIGINT AS n_docs FROM sc GROUP BY 1),
+         nt AS (SELECT count(*)::BIGINT AS n FROM sc),
+         grid AS (SELECT ns.split, ns.n_docs, pq.q, pq.ct,
+                    coalesce(ps.c, 0) AS c
+                  FROM ns CROSS JOIN pq
+                    LEFT JOIN ps ON ps.split = ns.split AND ps.q = pq.q),
+         cs AS (SELECT split, n_docs,
+                  sum(c) OVER (PARTITION BY split ORDER BY q) AS cum_c,
+                  sum(ct) OVER (PARTITION BY split ORDER BY q) AS cum_t
+                FROM grid)
+         SELECT split, n_docs,
+           round(max(abs(cum_c::DOUBLE / n_docs
+             - cum_t::DOUBLE / (SELECT n FROM nt))), 6) AS ks
+         FROM cs GROUP BY 1, 2 ORDER BY split""",
     // KMV overlap: bottom-128 md5 shingle hashes per source; the
     // estimate itself is integer counting over 2k-bounded lists, so
     // it hash-matches; jac_exact from the full distinct sets

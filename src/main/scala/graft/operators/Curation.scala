@@ -382,6 +382,44 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Split-representativeness check — the KS machinery of
+    * [[lengthDriftKS]] applied to the deterministic train/valid/test
+    * assignment over the 6-dp quality score: sup |CDF_split −
+    * CDF_corpus| per split. A hash split SHOULD be representative;
+    * this measures it instead of assuming it (and any later
+    * quality-stratified resampling of one split shows up here
+    * immediately). The value grid is (3 splits × distinct rounded
+    * scores) — dimension-bounded; cumsums on split-partitioned
+    * windows; the sup is an exact max of identically-computed CDF
+    * doubles.
+    */
+  def splitQualityKS(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      cut1: Int = 52429, cut2: Int = 58982, seed: Int = 42): DataFrame = {
+    val assigned = splitAssignment(docs, idCol, sourceCol, cut1, cut2, seed)
+      .select(col("doc_id"), col("split"))
+    val scored = docs.select(col(idCol).as("doc_id"),
+        round(TextOps.stopwordRatio(col(textCol)), 6).as("q"))
+      .join(assigned, "doc_id")
+    val perSplitQ = scored.groupBy(col("split"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    val perQ = scored.groupBy(col("q")).agg(count(lit(1)).as("ct"))
+    val nSplit = scored.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    val nTot = scored.count()
+    val grid = nSplit.crossJoin(broadcast(perQ))
+      .join(perSplitQ, Seq("split", "q"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("split")).orderBy(col("q"))
+    grid
+      .withColumn("__cs", sum(col("c")).over(w))
+      .withColumn("__ct", sum(col("ct")).over(w))
+      .withColumn("__d", abs(col("__cs").cast("double") / col("n_docs")
+        - col("__ct").cast("double") / lit(nTot.toDouble)))
+      .groupBy(col("split"), col("n_docs"))
+      .agg(round(max(col("__d")), 6).as("ks"))
+      .orderBy(col("split"))
+  }
+
   /** Per-source chi-square drift of a categorical column (language ID
     * here) against the corpus-wide distribution — the categorical
     * counterpart of [[lengthDriftKS]]: χ²_s = Σ_l (o_sl − e_sl)²/e_sl

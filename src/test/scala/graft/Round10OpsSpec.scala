@@ -969,6 +969,23 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0.getLong(0) == 500L && s0.getLong(1) == kept.size)
   }
 
+  test("splitQualityKS: hash splits are representative; a biased split is not") {
+    val s = spark; import s.implicits._
+    // corpus with two quality modes, split by hash — KS must be small
+    val docs = (1L to 2000L).map { i =>
+      val text = if (i % 2 == 0) "the a and of to in is it for on"
+      else "zz yy xx ww vv uu tt ss rr qq"
+      (i, text, "src")
+    }.toDF("doc_id", "text", "source")
+    val ks = Curation.splitQualityKS(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ks.keySet == Set("train", "valid", "test"))
+    // hash assignment is independent of quality: KS stays far below
+    // the 0.5 a quality-correlated split would show on this bimodal
+    // corpus (valid/test have ~200 docs → sampling noise ~0.1)
+    assert(ks.values.forall(_ < 0.2), ks.toString)
+  }
+
   test("kmvSourceOverlap: exact endpoints, estimate inside the KMV error bound") {
     val s = spark; import s.implicits._
     def doc(id: Long, words: Seq[String], src: String) =
