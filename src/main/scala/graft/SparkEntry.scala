@@ -1333,6 +1333,12 @@ object SparkEntry {
       Packing.chunkDupRate(Tables.documents(s, dir), "doc_id", "text",
         "source").orderBy("source")
     }),
+    // Dedup — MOSS containment report: shared winnowed fingerprints
+    // normalized per SIDE (the quotation/superset reading)
+    "q149_winnow_containment" -> ((s, dir) => {
+      Dedup.winnowContainmentPairs(Tables.documents(s, dir),
+        "doc_id", "text", minShared = 8).orderBy("i", "j")
+    }),
     // Curation — split representativeness: KS of the quality-score
     // distribution per split vs the corpus
     "q148_split_quality_ks" -> ((s, dir) => {
@@ -4474,6 +4480,31 @@ object SparkEntry {
              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::DOUBLE
              / sum(len(string_split(text, ' '))), 6) AS fertility
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Winnow containment: the q123 chain with per-side normalization
+    "q149_winnow_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest([{'p': i - 1,
+                   'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
+                         || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
+                 for i in range(1, len(w) - 1)], recursive := true)
+               FROM t),
+         s AS (SELECT doc_id, p, pk,
+                 min(pk) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+               FROM g),
+         fh AS (SELECT DISTINCT doc_id, sel[1:12] AS h FROM s WHERE p <= m - 4),
+         nf AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fh GROUP BY 1),
+         pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS n_shared
+                FROM fh a JOIN fh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT pr.i, pr.j, pr.n_shared,
+           round(pr.n_shared::DOUBLE / ni.nf, 6) AS cont_i,
+           round(pr.n_shared::DOUBLE / nj.nf, 6) AS cont_j
+         FROM pr JOIN nf ni ON ni.doc_id = pr.i
+           JOIN nf nj ON nj.doc_id = pr.j
+         WHERE pr.n_shared >= 8
+         ORDER BY pr.i, pr.j""",
     // Split-quality KS: the q112 grid/cumsum pattern keyed by the
     // q129 split over the 6-dp quality score
     "q148_split_quality_ks" ->

@@ -1297,6 +1297,46 @@ object Dedup {
         countDistinct(col("__rh")).as("n_variants"))
       .select(col("keeper"), col("n_copies"), col("n_variants"))
 
+  /** MOSS containment report — the asymmetric reading of the winnowed
+    * overlap: for each qualifying pair, shared / |fp_i| and
+    * shared / |fp_j| separately (a short document quoted inside a
+    * long one has HIGH containment on the short side and low
+    * symmetric overlap — the plagiarism-report number MOSS actually
+    * prints). Same join and cap as [[winnowOverlapPairs]]; only the
+    * normalization differs.
+    */
+  def winnowContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxPosting: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = winnowSelectedCol(df, idCol, textCol, k, w)
+      .select(col("doc_id"),
+        array_distinct(transform(col("__sel"),
+          s => substring(s, 1, 12))).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).as("nf"),
+        explode(col("__hs")).as("h"))
+    val capped = fp
+      .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__pn") <= maxPosting)
+      .drop("__pn")
+    capped.as("a")
+      .join(capped.select(col("doc_id").as("j"), col("nf").as("nf_j"),
+          col("h").as("hj")).as("b"),
+        col("a.h") === col("hj") && col("a.doc_id") < col("j"))
+      .groupBy(col("a.doc_id").as("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.nf")).as("__ni"), min(col("nf_j")).as("__nj"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("i"), col("j"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__ni"), 6).as("cont_i"),
+        round(col("n_shared").cast("double") / col("__nj"), 6).as("cont_j"))
+  }
+
   /** Winnowed fingerprint selection (Schleimer, Wilkerson, Aho 2003 —
     * the MOSS algorithm): hash every token k-gram, slide a window of
     * `w` consecutive gram hashes over the document, and in each window

@@ -986,6 +986,44 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ks.values.forall(_ < 0.2), ks.toString)
   }
 
+  test("winnowContainmentPairs: a quoted short doc shows high one-sided containment") {
+    val s = spark; import s.implicits._
+    // doc 1 is fully quoted inside doc 2 (plus unrelated padding)
+    val quote = "p q r s t u v w x y"
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"m1 m2 m3 m4 m5 m6 $quote n1 n2 n3 n4 n5 n6 n7 n8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowContainmentPairs(docs, "doc_id", "text",
+      minShared = 1).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // the short side's containment must dominate the long side's
+    assert(r.getDouble(3) > r.getDouble(4),
+      s"cont_i ${r.getDouble(3)} !> cont_j ${r.getDouble(4)}")
+    assert(r.getDouble(3) >= 0.5, s"quoted doc containment ${r.getDouble(3)}")
+  }
+
+  test("CurationPipeline gates are idempotent on their own output") {
+    val (curated, _, _) = CurationPipeline.run(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val survivors = docs.join(
+      curated.select(col("doc_id")), "doc_id")
+    // re-running the per-doc gates on the curated corpus drops nothing:
+    // gopher/blocklist verdicts are per-doc (trivially stable) and every
+    // survivor is still its normalized-dedup group's keeper
+    val g2 = TextOps.gopherRules(survivors, "doc_id", "text")
+      .filter(!col("keep")).count()
+    val b2 = TextOps.blocklistFilter(survivors, "doc_id", "text",
+      Seq("slow", "leak", "crash"), 2).filter(!col("keep")).count()
+    assert(g2 == 0 && b2 == 0)
+    val keepers2 = Dedup.normalizedDedup(survivors, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val kept = curated.collect().map(_.getLong(0)).toSet
+    assert(kept == keepers2, "normalized dedup not stable on its own output")
+  }
+
   test("kmvSourceOverlap: exact endpoints, estimate inside the KMV error bound") {
     val s = spark; import s.implicits._
     def doc(id: Long, words: Seq[String], src: String) =
