@@ -30,19 +30,37 @@ object CurationPipeline {
   /** The composed frames, lazily planned — callers pick what to
     * materialize. Returns (curated survivors with split, per-(source,
     * split) census, one-row savings summary).
+    *
+    * `gateFirst` (default true, the production order) selects dedup
+    * keepers AMONG the gate survivors: a duplicate group whose
+    * full-corpus canonical happens to fail the Gopher/blocklist gate
+    * still keeps its best gate-passing member, so gating never silently
+    * erases content that has a clean copy. `gateFirst = false` keeps
+    * the historical AND-composition (independent full-corpus verdicts,
+    * the q134 training-census semantics) — lossy exactly when a dup
+    * group's canonical fails a gate, documented here by name.
     */
   def run(spark: SparkSession, sfDir: String,
       blocklist: Seq[String] = Seq("slow", "leak", "crash"),
-      maxHits: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+      maxHits: Int = 2,
+      gateFirst: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val gate = TextOps.gopherRules(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("__k1"))
     val block = TextOps.blocklistFilter(docs, "doc_id", "text",
         blocklist, maxHits)
       .select(col("doc_id"), col("keep").as("__k2"))
-    val exactKeep = Dedup.normalizedDedup(docs, "doc_id", "text")
+    // Dedup corpus: gate survivors (production) or the full corpus
+    // (q134-parity AND-composition). Either way the dedup operators
+    // themselves are the same oracle-gated L92/L76 implementations.
+    val dedupDocs =
+      if (gateFirst)
+        docs.join(gate.filter(col("__k1")).select(col("doc_id")), "doc_id")
+          .join(block.filter(col("__k2")).select(col("doc_id")), "doc_id")
+      else docs
+    val exactKeep = Dedup.normalizedDedup(dedupDocs, "doc_id", "text")
       .select(col("keeper").as("doc_id"), lit(true).as("__k3"))
-    val nearKeep = Dedup.clusterCanonicalSelect(docs, "doc_id", "text")
+    val nearKeep = Dedup.clusterCanonicalSelect(dedupDocs, "doc_id", "text")
       .select(col("keeper").as("doc_id"), lit(true).as("__k4"))
     val split = Curation.splitAssignment(docs, "doc_id", "source")
       .select(col("doc_id"), col("split"))

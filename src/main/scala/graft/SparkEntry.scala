@@ -302,7 +302,9 @@ object SparkEntry {
     // the inline containment flag and by SimilaritySpec). Recall on
     // this margin-free testdata is inherently partial (deterministic
     // given the seed); no SQL oracle can replay the seeded hyperplanes,
-    // so like q20 the driver records a rows-only check.
+    // so like q20 the driver records a rows-only check — SUBSUMED by
+    // its exact-contract sibling q150 (md5-derived hyperplanes, integer
+    // sign test), which the oracle gate hash-matches end to end.
     "q66_lsh_neardup" -> ((s, dir) => {
       val exact = Similarity.nearDupPairsBlocked(Tables.embeddings(s, dir), 0.4)
         .select(col("i"), col("j"), lit(true).as("contained"))
@@ -313,6 +315,14 @@ object SparkEntry {
         // the exact path disowns, i.e. a verification bug)
         .join(exact, Seq("i", "j"), "left")
         .withColumn("contained", coalesce(col("contained"), lit(false)))
+        .orderBy(col("i"), col("j"))
+    }),
+    // Similarity — EXACT-CONTRACT hyperplane LSH (the q94 pattern
+    // applied to q66): md5-derived hyperplanes + integer sign test make
+    // the whole probabilistic candidate scheme engine-portable, so the
+    // oracle replays candidates AND verification bit-for-bit
+    "q150_hyperplane_lsh_exact" -> ((s, dir) => {
+      Similarity.hyperplaneLshDeterministic(Tables.embeddings(s, dir), 0.4)
         .orderBy(col("i"), col("j"))
     }),
     // Similarity — IVF top-k over a REAL k-means index (deterministic
@@ -1931,6 +1941,46 @@ object SparkEntry {
                FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.4
          ORDER BY i, j""",
+    // Exact-contract hyperplane LSH: md5-derived 16-bit hyperplane
+    // components and an INTEGER band-row sign test (vector elements as
+    // round(x*1e6) BIGINTs) make candidate generation order-independent
+    // and engine-portable; verification compares the rounded cosine.
+    "q150_hyperplane_lsh_exact" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 list_transform(v, x -> round(x * 1e6, 0)::BIGINT) AS nv,
+                 sqrt(list_inner_product(v, v)) AS nrm
+               FROM e),
+         hp AS (SELECT b, r, d,
+                  ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+                   - 32768)::BIGINT AS c
+                FROM (SELECT b, r, d,
+                        md5('hp:42:' || b::VARCHAR || ':' || r::VARCHAR
+                            || ':' || d::VARCHAR) AS h
+                      FROM range(8) rb(b), range(4) rr(r), range(64) rd(d))),
+         dots AS (SELECT n.vec_id, hp.b AS band, hp.r,
+                    sum(n.nv[hp.d + 1] * hp.c)::BIGINT AS dt
+                  FROM n, hp GROUP BY 1, 2, 3),
+         bv AS (SELECT vec_id, band,
+                  string_agg(CASE WHEN dt > 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY r) AS bandval
+                FROM dots GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+                  FROM bv a JOIN bv b2
+                    ON a.band = b2.band AND a.bandval = b2.bandval
+                       AND a.vec_id < b2.vec_id),
+         p AS (SELECT cand.i, cand.j,
+                 round(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+                   AS cos
+               FROM cand
+               JOIN n na ON na.vec_id = cand.i
+               JOIN n nb ON nb.vec_id = cand.j
+               WHERE na.nrm > 0 AND nb.nrm > 0)
+         SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j""",
     // Replays the exact k-means recurrence: seeded centroids, two Lloyd
     // iterations with 6-dp rounded elementwise means (rounding keeps
     // both engines' float summation drift below the representation),
@@ -4711,9 +4761,13 @@ object SparkEntry {
          sg AS (SELECT source, n,
                   round(sqrt(greatest(m2 - m1 * m1, 0.0)), 6) AS sigma
                 FROM mom),
-         wt AS (SELECT source, n, sigma,
-                  n * round(sigma * 1e6, 0)::BIGINT AS w
+         w0 AS (SELECT source, n, sigma,
+                  n * round(sigma * 1e6, 0)::BIGINT AS w0
                 FROM sg),
+         t0 AS (SELECT sum(w0)::BIGINT AS tw0 FROM w0),
+         wt AS (SELECT source, n, sigma,
+                  CASE WHEN tw0 > 0 THEN w0 ELSE n END AS w
+                FROM w0, t0),
          tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
          al AS (SELECT source, n, sigma, w,
                   CASE WHEN tw > 0 THEN (100 * w) // tw ELSE 0 END AS base,

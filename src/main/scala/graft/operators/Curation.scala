@@ -633,9 +633,17 @@ object Curation {
       .select(col("source"), col("n"),
         round(sqrt(greatest(col("__m2") - col("__m1") * col("__m1"),
           lit(0.0))), 6).as("sigma"))
-      .withColumn("__w", col("n") * round(col("sigma") * 1e6, 0).cast("long"))
-    val tot = mom.agg(sum(col("__w")).as("__tw"))
-    val alloc = mom.crossJoin(broadcast(tot))
+      .withColumn("__w0", col("n") * round(col("sigma") * 1e6, 0).cast("long"))
+    // Degenerate guard: if every source's sigma rounds to 0 the Neyman
+    // weights all vanish; fall back to proportional-to-n allocation so
+    // the quota sum still meets the budget.
+    val tot0 = mom.agg(sum(col("__w0")).as("__tw0"))
+    val momW = mom.crossJoin(broadcast(tot0))
+      .withColumn("__w",
+        when(col("__tw0") > 0, col("__w0")).otherwise(col("n")))
+      .drop("__w0", "__tw0")
+    val tot = momW.agg(sum(col("__w")).as("__tw"))
+    val alloc = momW.crossJoin(broadcast(tot))
       .select(col("source"), col("n"), col("sigma"), col("__w"),
         when(col("__tw") > 0,
           expr(s"CAST(($budget * __w) DIV __tw AS BIGINT)"))

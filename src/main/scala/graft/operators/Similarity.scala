@@ -178,6 +178,91 @@ object Similarity {
     out
   }
 
+  /** md5-derived hyperplane components for [[hyperplaneLshDeterministic]]:
+    * component (band, row, dim) = u16(first 4 hex chars of
+    * md5("hp:seed:band:row:dim")) − 32768, an integer in
+    * [−32768, 32767]. Same engine-portability trick as the q94 simhash
+    * token hashes — any engine with md5 replays the exact hyperplanes,
+    * no RNG state involved.
+    */
+  private[graft] def hyperplaneInts(
+      bands: Int, rowsPerBand: Int, dims: Int, seed: Int): Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bands, rowsPerBand, dims) { (b, r, d) =>
+      md.reset()
+      val hex = md.digest(s"hp:$seed:$b:$r:$d"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(2).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Integer.parseInt(hex, 16).toLong - 32768L
+    }
+  }
+
+  /** EXACT-CONTRACT hyperplane LSH (the q94 pattern applied to L9):
+    * same candidate scheme as [[lshNearDupPairs]] — random-hyperplane
+    * sign bands + exact cosine verification — but every source of
+    * engine-private nondeterminism is removed so a SQL oracle can
+    * replay the run bit-for-bit:
+    *
+    *   - hyperplanes come from md5 ([[hyperplaneInts]]), not a seeded
+    *     JVM RNG;
+    *   - the sign test is INTEGER: vector elements re-enter as
+    *     round(x·10⁶) BIGINTs, components are 16-bit ints, so each
+    *     band-row dot is an order-independent exact integer — no
+    *     float summation-order sign flips at the decision boundary
+    *     (|dot| ≤ 64·10⁷·2¹⁵ ≈ 2·10¹³, comfortably in BIGINT);
+    *   - the verify step compares the ROUNDED cosine (the q62 lesson).
+    *
+    * Recall follows the same Charikar banding bound as the RNG
+    * variant; the plan is identical (banded self-equi-join on
+    * (band, bandval), signature-only shuffles, text/vector payloads
+    * joined back only for the verify step). Zero-norm vectors are
+    * excluded on both sides (no direction ⇒ no cosine), mirroring
+    * [[nearDupPairsBlocked]].
+    */
+  def hyperplaneLshDeterministic(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      dims: Int = 64,
+      seed: Int = 42): DataFrame = {
+    val comps = hyperplaneInts(bands, rowsPerBand, dims, seed)
+    val v = vectors
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n",
+        transform(col("v"), x => round(x * 1e6, 0).cast("long")))
+    def bitCol(b: Int, r: Int): Column = {
+      val dotI = aggregate(
+        zip_with(col("n"), typedlit(comps(b)(r).toSeq), (a, x) => a * x),
+        lit(0L), (acc, x) => acc + x)
+      when(dotI > 0, lit("1")).otherwise(lit("0"))
+    }
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(bitCol(b, _)): _*).as("bv"))
+    }
+    val banded = v
+      .select(col("id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    val vn = v.select(col("id"), col("v"), l2norm(col("v")).as("nrm"))
+    cand
+      .join(vn.select(col("id").as("i"), col("v").as("va"),
+        col("nrm").as("na")), "i")
+      .join(vn.select(col("id").as("j"), col("v").as("vb"),
+        col("nrm").as("nb")), "j")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("i"), col("j"),
+        round(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic Lloyd k-means over the embedding column: seed
     * centroids = the first `numCells` vectors by id, then a FIXED number
     * of assign/mean iterations (no convergence test — determinism and
@@ -368,7 +453,9 @@ object Similarity {
         asDouble(col("embedding")).as("v"))
       .join(broadcast(cent), "lbl")
       .select(col("vec_id"), col("lbl").as("label"),
-        round(cosine(col("v"), col("cv")), 6).as("cos_centroid"))
+        round(when(dot(col("v"), col("v")) === 0.0 ||
+                   dot(col("cv"), col("cv")) === 0.0, 0.0)
+          .otherwise(cosine(col("v"), col("cv"))), 6).as("cos_centroid"))
       .withColumn("outlier", col("cos_centroid") < minCos)
   }
 
@@ -1162,17 +1249,21 @@ object Similarity {
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .cache()
     val (mu, pc) = pc1Recurrence(v, iters)
+    // The cache only serves the driver-iterated recurrence above; the
+    // returned summary frame is built from a fresh projection (one
+    // scan) so the unpersist here can never race its evaluation.
+    v.unpersist(false)
     val muLit = typedlit(mu)
     val vLit = typedlit(pc)
     val centered = zip_with(col("v"), muLit, (a, b) => a - b)
-    val summary = v
+    val summary = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(centered.as("c"))
       .select(dot_product(col("c"), vLit).as("p"),
         dot_product(col("c"), col("c")).as("n2"))
       .agg(round(avg(col("p") * col("p")), 6).as("lambda1"),
         round(avg(col("n2")), 6).as("trace"))
       .withColumn("pc1_share", round(col("lambda1") / col("trace"), 6))
-    v.unpersist(false)
     spark.createDataset(pc.zipWithIndex.map { case (l, i) => (i.toLong, l) })
       .toDF("dim", "loading")
       .crossJoin(summary)
@@ -1199,9 +1290,14 @@ object Similarity {
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .cache()
     val (mu, pc) = pc1Recurrence(v, iters)
+    // Same cache discipline as powerIterationPC1: the cache backs only
+    // the recurrence; the returned transform re-projects the source so
+    // unpersisting here cannot invalidate the (lazy) output plan.
+    v.unpersist(false)
     val muLit = typedlit(mu)
     val pcLit = typedlit(pc)
-    val out = v
+    val out = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"),
         zip_with(col("v"), muLit, (a, b) => a - b).as("c"))
       .select(col("vec_id"), col("c"),
@@ -1211,7 +1307,6 @@ object Similarity {
       .select(col("vec_id"), col("d").cast("long").as("dim"),
         round(col("ci") - col("p") * element_at(pcLit, col("d") + 1), 6)
           .as("value"))
-    v.unpersist(false)
     out
   }
 }

@@ -855,8 +855,11 @@ object TextOps {
     * order-aligned with the `__h` sort, so ranks compose), local
     * row_numbers run over (shard, subbucket) windows — 16·numShards
     * independent sorts — and the cross-bucket offsets are a bounded
-    * 16·numShards-row driver fold re-entering as a literal map (the
-    * q77 distributed-prefix-sum discipline, Curation.tokenBudgetSelect).
+    * 16·numShards-row driver prefix sum (one sorted pass) re-entering
+    * as a literal map below 2048 groups, or as a broadcast offsets
+    * frame above that so a 65536-shard run never inlines a ~1M-entry
+    * plan literal (the q77 distributed-prefix-sum discipline,
+    * Curation.tokenBudgetSelect).
     */
   def shardAssignment(
       docs: DataFrame,
@@ -874,23 +877,46 @@ object TextOps {
       .withColumn("__sub", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))
       .localCheckpoint()
     // exclusive prefix offsets: rows in the same shard living in a
-    // strictly smaller sub-bucket; 16·numShards rows, driver-bounded
+    // strictly smaller sub-bucket; 16·numShards rows, driver-bounded.
+    // One sorted pass (O(G log G) for G groups, not the G² re-filter
+    // this used to do), so the full numShards = 65536 range the
+    // signature advertises is actually serveable.
     val counts = base.groupBy(col("shard"), col("__sub"))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toSeq
-    val offsets: Map[Int, Long] = counts.map { case ((sh, sb), _) =>
-      (sh * 16 + sb) -> counts.filter { case ((s2, b2), _) => s2 == sh && b2 < sb }
-        .map(_._2).sum
-    }.toMap
-    val offExpr =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(
-        element_at(typedlit(offsets), col("shard") * 16 + col("__sub")), lit(0L))
-    base
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .sortBy { case ((sh, sb), _) => (sh, sb) }
+    val offsets = new scala.collection.mutable.ArrayBuffer[(Int, Long)](counts.length)
+    var runShard = -1
+    var runSum = 0L
+    for (((sh, sb), c) <- counts) {
+      if (sh != runShard) { runShard = sh; runSum = 0L }
+      offsets += ((sh * 16 + sb) -> runSum)
+      runSum += c
+    }
+    val ranked =
+      if (offsets.size <= 2048) {
+        // small group count: literal map, zero extra exchange
+        val offExpr =
+          if (offsets.isEmpty) lit(0L)
+          else coalesce(
+            element_at(typedlit(offsets.toMap),
+              col("shard") * 16 + col("__sub")), lit(0L))
+        base.withColumn("__off", offExpr)
+      } else {
+        // many shards: the offsets re-enter as a broadcast frame, not a
+        // million-entry plan literal
+        val s = docs.sparkSession
+        import s.implicits._
+        val offDf = offsets.toSeq.map { case (k, v) => (k / 16, k % 16, v) }
+          .toDF("shard", "__sub", "__off")
+        base.join(broadcast(offDf), Seq("shard", "__sub"), "left")
+          .withColumn("__off", coalesce(col("__off"), lit(0L)))
+      }
+    ranked
       .withColumn("pos", (row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"), col("__sub"))
-          .orderBy(col("__h"), col("doc_id"))) + offExpr).cast("int"))
+          .orderBy(col("__h"), col("doc_id"))) + col("__off")).cast("int"))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))
   }

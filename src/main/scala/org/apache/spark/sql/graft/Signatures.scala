@@ -413,7 +413,11 @@ case class WinnowKeys(child: Expression, k: Int, w: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
-    val m = n - k + 1
+    // The 5-digit position tiebreaker encodes 32767-i; beyond 32768
+    // grams it would go negative and break the fixed-width
+    // lexicographic-min invariant, so gram processing truncates there
+    // (documents past ~32k tokens keep their prefix fingerprints).
+    val m = math.min(n - k + 1, 32768)
     if (n < k || m < w) return new GenericArrayData(Array.empty[Any])
     val md = mdLocal.get()
     val keys = new Array[String](m)

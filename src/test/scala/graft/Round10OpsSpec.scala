@@ -25,14 +25,17 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("shardAssignment: numShards permutes only (shard, pos), never membership or determinism") {
     val s = spark; import s.implicits._
-    val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val byCount = Seq(4, 16, 64).map { n =>
+    val docs = (1L to 3000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 4096 shards × 3000 docs → ~2900 non-empty (shard, sub) groups,
+    // above the 2048 literal-map ceiling: exercises the broadcast
+    // offsets-frame path alongside the literal-map path
+    val byCount = Seq(4, 16, 64, 4096).map { n =>
       n -> TextOps.shardAssignment(docs, "doc_id", numShards = n)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     }.toMap
     // membership: every shard count covers exactly the same corpus
     byCount.values.foreach { rows =>
-      assert(rows.map(_._1).sorted == (1L to 300L).toSeq)
+      assert(rows.map(_._1).sorted == (1L to 3000L).toSeq)
     }
     // shards in range, positions dense 1..n within each shard
     byCount.foreach { case (n, rows) =>
@@ -946,27 +949,64 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("CurationPipeline: survivors honor every gate, census partitions the survivors") {
-    val (curated, census, savings) =
-      CurationPipeline.run(spark, "/root/testdata/sf0.001")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val kept = curated.collect().map(_.getLong(0)).toSet
-    assert(kept.nonEmpty)
-    // every survivor passes the gopher and blocklist gates
     val gOk = TextOps.gopherRules(docs, "doc_id", "text")
       .filter(col("keep")).collect().map(_.getLong(0)).toSet
     val bOk = TextOps.blocklistFilter(docs, "doc_id", "text",
         Seq("slow", "leak", "crash"), 2)
       .filter(col("keep")).collect().map(_.getLong(0)).toSet
-    assert(kept.subsetOf(gOk) && kept.subsetOf(bOk))
-    // every survivor is a near-dup-cluster keeper
-    val keepers = Dedup.clusterCanonicalSelect(docs, "doc_id", "text")
+    for (gateFirst <- Seq(true, false)) {
+      val (curated, census, savings) =
+        CurationPipeline.run(spark, "/root/testdata/sf0.001",
+          gateFirst = gateFirst)
+      val kept = curated.collect().map(_.getLong(0)).toSet
+      assert(kept.nonEmpty)
+      // every survivor passes the gopher and blocklist gates
+      assert(kept.subsetOf(gOk) && kept.subsetOf(bOk))
+      // every survivor is a near-dup-cluster keeper of the dedup corpus
+      // that mode actually deduped (gate survivors vs full corpus)
+      val dedupDocs =
+        if (gateFirst) docs.filter(col("doc_id")
+          .isin((gOk intersect bOk).toSeq: _*))
+        else docs
+      val keepers = Dedup.clusterCanonicalSelect(dedupDocs, "doc_id", "text")
+        .collect().map(_.getLong(1)).toSet
+      assert(kept.subsetOf(keepers))
+      // census cells partition the curated set exactly
+      val censusDocs = census.collect().map(_.getLong(2)).sum
+      assert(censusDocs == kept.size)
+      val s0 = savings.collect()(0)
+      assert(s0.getLong(0) == 500L && s0.getLong(1) == kept.size)
+    }
+  }
+
+  test("CurationPipeline gateFirst preserves content a full-corpus keeper would drop") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val gOk = TextOps.gopherRules(docs, "doc_id", "text")
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val bOk = TextOps.blocklistFilter(docs, "doc_id", "text",
+        Seq("slow", "leak", "crash"), 2)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val survivorsOk = gOk intersect bOk
+    val (gfCurated, _, _) =
+      CurationPipeline.run(spark, "/root/testdata/sf0.001", gateFirst = true)
+    val gfKept = gfCurated.collect().map(_.getLong(0)).toSet
+    // content preservation: every normalized-hash group that has at
+    // least one gate-passing member keeps exactly one representative
+    val gateDocs = docs.filter(col("doc_id").isin(survivorsOk.toSeq: _*))
+    val groups = Dedup.normalizedDedup(gateDocs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // the gate-first survivors are exactly the intersection of the two
+    // keeper sets over the gate-passing corpus
+    val nearKeepers = Dedup.clusterCanonicalSelect(gateDocs, "doc_id", "text")
       .collect().map(_.getLong(1)).toSet
-    assert(kept.subsetOf(keepers))
-    // census cells partition the curated set exactly
-    val censusDocs = census.collect().map(_.getLong(2)).sum
-    assert(censusDocs == kept.size)
-    val s0 = savings.collect()(0)
-    assert(s0.getLong(0) == 500L && s0.getLong(1) == kept.size)
+    assert(gfKept == (groups intersect nearKeepers))
+    // and the AND-composition mode can only keep a subset of groups:
+    // any group it keeps, gate-first keeps too (no content regression)
+    val (andCurated, _, _) =
+      CurationPipeline.run(spark, "/root/testdata/sf0.001", gateFirst = false)
+    val andKept = andCurated.collect().map(_.getLong(0)).toSet
+    assert(andKept.size <= gfKept.size)
   }
 
   test("splitQualityKS: hash splits are representative; a biased split is not") {

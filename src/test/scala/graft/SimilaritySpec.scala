@@ -85,6 +85,47 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.subsetOf(lsh), s"missed planted pairs: ${planted.diff(lsh)}")
   }
 
+  test("deterministic hyperplane LSH (q150): verified subset, stable recall, margin completeness") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Similarity.nearDupPairs(e, 0.4)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = Similarity.hyperplaneLshDeterministic(e, 0.4)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verify -> q150 ⊆ q22, same containment contract as q66
+    assert(det.subsetOf(brute))
+    assert(brute.nonEmpty && det.nonEmpty)
+    // determinism: a second run is identical (md5 hyperplanes, no RNG)
+    val again = Similarity.hyperplaneLshDeterministic(e, 0.4)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == det)
+    // margin-bearing data: planted ~0.99-cos dups must all surface —
+    // at 8 bands × 4 rows the Charikar miss bound at cos 0.99 is
+    // (1 − (1 − 0.99_angle/π)⁴)⁸ ≈ 1e-9
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 15).flatMap { i =>
+      val base = unit()
+      val dup = base.map(x => (x + rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong * 2, base.map(_.toFloat).toSeq),
+        (i.toLong * 2 + 1, dup.toSeq))
+    } ++ (30 until 120).map(i => (i.toLong, unit().map(_.toFloat).toSeq))
+    val m = rows.toDF("vec_id", "embedding")
+    val planted = (0 until 15).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val found = Similarity.hyperplaneLshDeterministic(m, 0.9)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found), s"missed planted: ${planted.diff(found)}")
+  }
+
   test("k-means IVF multiprobe: deterministic index, measured recall vs brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
