@@ -98,10 +98,17 @@ object CurationPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
     val (curated, census, savings) = run(spark, sfDir)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val s0 = savings.collect()(0)
+    val (nIn, nKept, tokKept) = (s0.getLong(0), s0.getLong(1), s0.getLong(3))
+    // end-to-end throughput line (BASELINE.md records these): wall time
+    // covers the full gates→dedup→split→write chain including parquet IO
+    println(f"""{"metric":"curation_pipeline","secs":$secs%.2f,"n_input":$nIn,"n_kept":$nKept,"tokens_kept":$tokKept,"docs_per_sec":${nIn / secs}%.0f,"sf":"$sfDir"}""")
     savings.show(truncate = false)
     spark.stop()
   }
