@@ -1424,6 +1424,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
         .orderBy("split")
     }),
+    // Quality — Gopher duplicate-n-gram repetition gate (the within-doc
+    // loop detector the top-token share can't see); map-side, scan speed
+    "q151_dup_ngram_fraction" -> ((s, dir) => {
+      TextOps.duplicateNgramFraction(Tables.documents(s, dir),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+    // Tokenizer — vocabulary coverage curve (token occurrences covered
+    // by the top-k types); read next to Zipf (q111) / Heaps (q133)
+    "q152_vocab_coverage" -> ((s, dir) => {
+      TextOps.vocabCoverage(Tables.documents(s, dir), "text").orderBy("k")
+    }),
+    // Mixture — temperature-scaled source weights (p^alpha sampling law)
+    // with effective-epochs oversampling readout; integer-exact weights
+    "q153_temperature_mixture" -> ((s, dir) => {
+      Curation.temperatureMixture(Tables.documents(s, dir), "text",
+        "source", alpha = 0.5).orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4969,5 +4986,60 @@ object SparkEntry {
          SELECT split, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
          FROM r WHERE k1 AND k2 AND k3
          GROUP BY 1 ORDER BY split""",
+    // Duplicate-n-gram fractions: n-gram instance repeats within each
+    // doc, both fractions 6-dp rounded BEFORE the threshold compare
+    "q151_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 2
+                   THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                   ELSE CAST([] AS VARCHAR[]) END AS g2,
+                 CASE WHEN len(w) >= 3
+                   THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         for i in range(1, len(w) - 1)]
+                   ELSE CAST([] AS VARCHAR[]) END AS g3
+               FROM t),
+         d AS (SELECT doc_id, len(g2)::BIGINT AS n_grams_2,
+                 CASE WHEN len(g2) > 0 THEN round(
+                     (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 6)
+                   ELSE 0.0 END AS dup_frac_2,
+                 CASE WHEN len(g3) > 0 THEN round(
+                     (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
+                   ELSE 0.0 END AS dup_frac_3
+               FROM g)
+         SELECT doc_id, n_grams_2, dup_frac_2, dup_frac_3,
+           (dup_frac_2 <= 0.2 AND dup_frac_3 <= 0.18) AS keep
+         FROM d ORDER BY doc_id""",
+    // Vocabulary coverage: top-k types by (count desc, token), coverage
+    // = exact-integer count ratio
+    "q152_vocab_coverage" ->
+      """WITH c AS (SELECT t AS tok, count(*)::BIGINT AS cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS t
+                          FROM documents) GROUP BY 1),
+         tt AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
+         r AS (SELECT tok, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM c),
+         k AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+         SELECT k.k, count(*)::BIGINT AS n_vocab_used,
+           round(sum(r.cnt)::DOUBLE / (SELECT tot FROM tt), 6) AS coverage
+         FROM k JOIN r ON r.rk <= k.k
+         GROUP BY 1 ORDER BY 1""",
+    // Temperature mixture: 6-dp shares, alpha-power re-entering as
+    // round(p^alpha*1e6) BIGINT so the normalizer is an exact integer
+    "q153_temperature_mixture" ->
+      """WITH per AS (SELECT source,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+               FROM documents GROUP BY 1),
+         tt AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+         s AS (SELECT source, n_tokens,
+                 round(n_tokens::DOUBLE / tot, 6) AS p FROM per, tt),
+         w AS (SELECT source, n_tokens, p,
+                 round(pow(p, 0.5) * 1e6, 0)::BIGINT AS wi FROM s),
+         wt AS (SELECT sum(wi)::BIGINT AS wtot FROM w)
+         SELECT source, n_tokens, p,
+           round(wi::DOUBLE / wtot, 6) AS weight,
+           round(wi::DOUBLE / wtot * (SELECT tot FROM tt) / n_tokens, 6)
+             AS eff_epochs
+         FROM w, wt ORDER BY source""",
   )
 }

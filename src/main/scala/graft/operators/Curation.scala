@@ -701,4 +701,40 @@ object Curation {
       .withColumn("over_capacity", col("epochs") > maxEpochs)
       .orderBy(col("source"))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling law (Conneau & Lample 2019; the T-scaling every
+    * multi-source pretraining mix starts from): source l with token
+    * share p_l is sampled with weight ∝ p_l^α. α = 1 reproduces the
+    * natural mix; α → 0 approaches uniform; the effective-epochs
+    * column (weight·total/tokens) shows which small sources the
+    * temperature OVER-SAMPLES past useful repetition — read next to
+    * mixtureEpochs (q127) before committing a budget.
+    *
+    * Integer-exact where parity is fragile: shares are 6-dp rounded,
+    * the α-power re-enters as round(p^α·10⁶) BIGINT so the
+    * normalizing sum is an exact integer in both engines and the
+    * final weight is one exact-integer division — no float
+    * summation-order drift can flip a rounded digit (the q140
+    * discipline). One corpus scan; everything after is a |sources|-row
+    * frame.
+    */
+  def temperatureMixture(
+      docs: DataFrame, textCol: String, sourceCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val per = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("n_tokens").cast("double") / col("__tot"), 6))
+      .withColumn("__wi", round(pow(col("p"), lit(alpha)) * 1e6, 0).cast("long"))
+    val wTot = scored.agg(sum(col("__wi")).as("__wt"))
+    scored.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_tokens"), col("p"),
+        round(col("__wi").cast("double") / col("__wt"), 6).as("weight"),
+        round(col("__wi").cast("double") / col("__wt")
+          * col("__tot") / col("n_tokens"), 6).as("eff_epochs"))
+  }
 }

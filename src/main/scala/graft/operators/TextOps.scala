@@ -1350,4 +1350,78 @@ object TextOps {
       round(hits.cast("double") / size(toks), 6).as("hit_frac"),
       (hits <= maxHits).as("keep"))
   }
+
+  /** Gopher repetition metrics beyond the top-token share (Rae et al.
+    * 2021 §A1.1's duplicate-n-gram family): per document, the fraction
+    * of n-gram INSTANCES that repeat an earlier occurrence inside the
+    * same document, for n = 2 and n = 3 — the within-doc loop/spam
+    * detector that the single-token share (q51/gopherRules) cannot
+    * see (a doc cycling "buy now click here" has a low top-TOKEN share
+    * but a duplicate-bigram fraction near 1). Entirely map-side column
+    * algebra (sequence → transform → array_distinct), scan speed,
+    * zero shuffle — streaming-legal like the other per-doc gates.
+    * Thresholds follow the Gopher appendix shape; `keep` is the
+    * conjunction, computed on the 6-dp ROUNDED fractions (the q62
+    * lesson).
+    */
+  def duplicateNgramFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupFrac2: Double = 0.20,
+      maxDupFrac3: Double = 0.18): DataFrame = {
+    val w = tokens(col(textCol))
+    def grams(n: Int): Column = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(typedlit(Seq.empty[String]))
+    def dupFrac(g: Column): Column = when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+      .otherwise(lit(0.0))
+    val d2 = dupFrac(grams(2))
+    val d3 = dupFrac(grams(3))
+    docs.select(col(idCol).as("doc_id"),
+      size(grams(2)).cast("long").as("n_grams_2"),
+      d2.as("dup_frac_2"),
+      d3.as("dup_frac_3"),
+      (d2 <= maxDupFrac2 && d3 <= maxDupFrac3).as("keep"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing readout: for
+    * each candidate vocabulary size k, the fraction of corpus token
+    * OCCURRENCES covered by the k most frequent types (ties broken by
+    * token text, one canonical order). Where the curve flattens is
+    * where additional vocab entries stop paying for themselves — read
+    * it next to the Zipf slope (q111) and Heaps curve (q133) before
+    * training the tokenizer (q138). One corpus scan → vocab-sized
+    * agg; the rank window and the k-explode run on the VOCAB frame
+    * (|V| rows), never on the corpus; coverage divides exact integer
+    * counts so both engines round the same double.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad ks: $ks")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    // |V|-row frame: the single-partition rank window is bounded by
+    // vocabulary size, not corpus size (the q77/q111 discipline)
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    ranked
+      .select(col("cnt"), col("rk"),
+        explode(typedlit(ks.distinct.sorted)).as("k"))
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("cnt")).as("__cov"), count(lit(1)).as("n_vocab_used"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        col("n_vocab_used"),
+        round(col("__cov").cast("double") / col("__tot"), 6).as("coverage"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Curation, TextOps}
+
+/** Hand-math specs for the round-11 operators (q151–q153). */
+class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round11-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("duplicateNgramFraction: hand-counted repeats, short-doc floor, loop detection") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> 5, 2 distinct
+      (2L, "x y z w"),     // no repeats
+      (3L, "q")            // too short for any gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicateNgramFraction(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5, false)),
+      s"loop doc: ${out(1L)}") // trigrams: aba bab aba bab -> 4, 2 distinct
+    assert(out(2L) == ((3L, 0.0, 0.0, true)))
+    assert(out(3L) == ((0L, 0.0, 0.0, true)))
+    // a top-token-share-invisible loop is caught: every token distinct
+    // ratio is fine but the bigram loop flags it
+    val loop = Seq((9L, "buy now click here buy now click here buy now click here"))
+      .toDF("doc_id", "text")
+    val lr = TextOps.duplicateNgramFraction(loop, "doc_id", "text").collect()(0)
+    // 11 bigram instances, 4 distinct -> 7/11 duplicated
+    assert(!lr.getBoolean(4) && lr.getDouble(2) == 0.636364)
+  }
+
+  test("vocabCoverage: exact integer coverage at each k, ties by token text") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, "text", ks = Seq(1, 2, 4))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 1L, 0.5), (2, 2L, 0.833333), (4, 3L, 1.0)))
+    // tie order: equal counts rank by token text — "a" before "b"
+    val tied = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    val t1 = TextOps.vocabCoverage(tied, "text", ks = Seq(1)).collect()(0)
+    assert(t1.getDouble(2) == 0.5)
+  }
+
+  test("temperatureMixture: small sources oversampled, alpha=1 is the natural mix") {
+    val s = spark; import s.implicits._
+    // 9:1 token split across two sources (token count = word count)
+    val docs = (1 to 90).map(i => (i.toLong, "w " * 99 + "w", "big")) ++
+      (91 to 100).map(i => (i.toLong, "w " * 99 + "w", "small"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val half = Curation.temperatureMixture(df, "text", "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (_, pSmall, wSmall, effSmall) = half("small")
+    val (_, pBig, wBig, _) = half("big")
+    assert(pSmall == 0.1 && pBig == 0.9)
+    // temperature flattens: small source's weight rises above its share
+    assert(wSmall > pSmall && wBig < pBig, half.toString)
+    // exact hand-math: wi = round(sqrt(p)*1e6) -> 316228 / 948683
+    assert(wSmall == math.round(316228.0 / 1264911.0 * 1e6) / 1e6)
+    // oversampling readout: the small source repeats ~2.5 epochs
+    assert(math.abs(effSmall - 2.5) < 0.01, effSmall.toString)
+    // weights sum to ~1
+    assert(math.abs(wSmall + wBig - 1.0) < 1e-5)
+    // alpha = 1: the natural mix (weight == share up to integer rounding)
+    val nat = Curation.temperatureMixture(df, "text", "source", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(nat("small") - 0.1) < 1e-5 &&
+      math.abs(nat("big") - 0.9) < 1e-5)
+  }
+}
