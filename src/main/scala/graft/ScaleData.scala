@@ -83,9 +83,47 @@ object ScaleData {
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     (0 until factor).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(k.toLong * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k.toLong * 10000000L))
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // TPC-H dims/facts the reference-analytics queries join: orders
+    // replicates alongside lineitem (same disjoint key ranges so the
+    // join degree per order stays constant); customer/supplier/part
+    // replicate with offset primary keys; nation/region are fixed
+    // dimensions and copy through unchanged.
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until factor).map { k =>
+      orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    val supp = spark.read.parquet(s"$srcDir/supplier.parquet")
+    (0 until factor).map { k =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    (0 until factor).map { k =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    spark.read.parquet(s"$srcDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
 
     // ---- documents: originals + profile-matched synthesis ----
     val docs = Tables.documents(spark, srcDir)

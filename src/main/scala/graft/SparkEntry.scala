@@ -1270,10 +1270,10 @@ object SparkEntry {
     // eval depends on; diagonal cells are benign within-split dups
     "q132_split_leakage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val assigned = Curation.splitAssignment(docs, "doc_id", "source")
-        .select(col("doc_id"), col("split"))
-      val withSplit = docs.select(col("doc_id"), col("text"))
-        .join(assigned, "doc_id")
+      // the split verdict is a pure column of doc_id — attach it in the
+      // scan instead of joining text back to the assignment frame
+      val withSplit = docs.select(col("doc_id"), col("text"),
+        Curation.splitCol("doc_id").as("split"))
       Dedup.dupFlowMatrix(withSplit, "doc_id", "text", "split")
         .select(col("src_a").as("split_a"), col("src_b").as("split_b"),
           col("n_pairs"), col("mean_jac"))

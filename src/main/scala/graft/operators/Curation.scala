@@ -512,19 +512,28 @@ object Curation {
     * is streaming-legal, so an ingest stream can carry its split from
     * the first moment it exists. Defaults 52429/58982 ≈ 80/10/10.
     */
-  def splitAssignment(
-      docs: DataFrame, idCol: String, sourceCol: String,
-      cut1: Int = 52429, cut2: Int = 58982,
-      seed: Int = 42): DataFrame = {
+  /** The split verdict as a pure COLUMN of the id — callers that
+    * already hold the document row attach it map-side instead of
+    * joining the [[splitAssignment]] frame back on doc_id (which
+    * would drag full text through an exchange for a value the scan
+    * can compute in place).
+    */
+  def splitCol(idCol: String,
+      cut1: Int = 52429, cut2: Int = 58982, seed: Int = 42): Column = {
     require(0 < cut1 && cut1 < cut2 && cut2 < 65536,
       s"need 0 < cut1 < cut2 < 65536: $cut1 $cut2")
     val h16 = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
       .cast("int")
-    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-      when(h16 < cut1, "train").when(h16 < cut2, "valid")
-        .otherwise("test").as("split"))
+    when(h16 < cut1, "train").when(h16 < cut2, "valid").otherwise("test")
   }
+
+  def splitAssignment(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      cut1: Int = 52429, cut2: Int = 58982,
+      seed: Int = 42): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      splitCol(idCol, cut1, cut2, seed).as("split"))
 
   /** Per-(source, split) census over [[splitAssignment]] — the
     * stratification check: does every source appear in every split at
