@@ -492,4 +492,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"no broadcast subtree contains the candidate semi-join\n${root.toString.take(3000)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("round-11 additions: q151 is a pure scan; q150/q132 keep text/vectors off wide exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      // the duplicate-n-gram gate is per-doc column algebra: no shuffle
+      val gate = graft.operators.TextOps
+        .duplicateNgramFraction(docs, "doc_id", "text")
+      assert(gate.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "q151 must be a map-only scan")
+      // q150's banded candidate join shuffles (id, band, bv) — the
+      // double vectors must ride only the verify joins' id-keyed
+      // exchanges, never the banded pairing exchange
+      val lsh = graft.operators.Similarity.hyperplaneLshDeterministic(
+        Tables.embeddings(spark, sf), 0.4)
+      val bandedLeaks = for {
+        e <- lsh.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output
+        if a.name == "bv" // the banded pairing exchange
+        v <- e.output if v.dataType.simpleString.contains("array")
+      } yield v.name
+      assert(bandedLeaks.isEmpty,
+        s"q150 banded exchange carries vectors: $bandedLeaks")
+      // q132 after the splitCol fix: no exchange in its plan may carry
+      // the raw text column (the split verdict rides the scan)
+      val leak = for {
+        e <- SparkEntry.queries("q132_split_leakage")(spark, sf)
+          .queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output if a.name == "text"
+      } yield a.name
+      assert(leak.isEmpty, "q132 exchanges document text")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
