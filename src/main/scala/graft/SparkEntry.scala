@@ -1441,6 +1441,19 @@ object SparkEntry {
       Curation.temperatureMixture(Tables.documents(s, dir), "text",
         "source", alpha = 0.5).orderBy("source")
     }),
+    // Drift — pairwise source Jensen-Shannon divergence matrix (the
+    // source-similarity companion to q119 chi-square / q112 KS);
+    // vocab-capped support, order-pinned per-pair folds
+    "q154_source_js_divergence" -> ((s, dir) => {
+      Curation.sourceDivergenceMatrix(Tables.documents(s, dir), "text",
+        "source").orderBy("src_a", "src_b")
+    }),
+    // Quality — per-doc token-entropy gate (information density; the
+    // template/keyword-stuffing detector); map-side, order-pinned fold
+    "q155_token_entropy" -> ((s, dir) => {
+      TextOps.tokenEntropyGate(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5041,5 +5054,63 @@ object SparkEntry {
            round(wi::DOUBLE / wtot * (SELECT tot FROM tt) / n_tokens, 6)
              AS eff_epochs
          FROM w, wt ORDER BY source""",
+    // Pairwise JS divergence: 6-dp probabilities before the log terms,
+    // per-pair sum as an order-pinned fold over the token-sorted list
+    "q154_source_js_divergence" ->
+      """WITH toks AS (SELECT source AS src,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+         top AS (SELECT tok FROM (SELECT tok, count(*) AS g FROM toks
+                 GROUP BY 1 ORDER BY g DESC, tok LIMIT 4096)),
+         c AS (SELECT src, tok, count(*)::BIGINT AS c FROM toks
+               WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
+         t AS (SELECT src, sum(c)::BIGINT AS t FROM c GROUP BY 1),
+         p AS (SELECT c.src, c.tok, round(c.c::DOUBLE / t.t, 6) AS p
+               FROM c JOIN t ON c.src = t.src),
+         pr AS (SELECT a.src AS sa, b.src AS sb
+                FROM t a JOIN t b ON a.src < b.src),
+         v AS (SELECT DISTINCT tok FROM c),
+         u AS (SELECT pr.sa AS src_a, pr.sb AS src_b, v.tok,
+                 coalesce(pa.p, 0.0) AS pa, coalesce(pb.p, 0.0) AS pb
+               FROM pr CROSS JOIN v
+               LEFT JOIN p pa ON pa.src = pr.sa AND pa.tok = v.tok
+               LEFT JOIN p pb ON pb.src = pr.sb AND pb.tok = v.tok
+               WHERE coalesce(pa.p, 0.0) > 0 OR coalesce(pb.p, 0.0) > 0),
+         j AS (SELECT src_a, src_b, tok,
+                 CASE WHEN pa > 0
+                   THEN pa / 2 * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END
+               + CASE WHEN pb > 0
+                   THEN pb / 2 * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END AS j
+               FROM u),
+         s AS (SELECT src_a, src_b,
+                 list_sort(list(struct_pack(tok := tok, j := j))) AS ss
+               FROM j GROUP BY 1, 2)
+         SELECT src_a, src_b,
+           round(list_reduce(list_prepend(0.0,
+             list_transform(ss, x -> x.j)), (a, x) -> a + x), 6) AS js,
+           len(ss)::BIGINT AS n_terms
+         FROM s ORDER BY src_a, src_b""",
+    // Token entropy: fold over the SORTED distinct tokens so both
+    // engines add identical doubles in identical order
+    "q155_token_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         e AS (SELECT doc_id, w, len(w)::BIGINT AS n_tokens,
+                 list_sort(list_distinct(w)) AS d FROM t),
+         h AS (SELECT doc_id, n_tokens, len(d)::BIGINT AS n_types,
+                 list_reduce(list_prepend(0.0, list_transform(d,
+                   tk -> -(len(list_filter(w, x -> x = tk))::DOUBLE
+                            / n_tokens)
+                         * ln(len(list_filter(w, x -> x = tk))::DOUBLE
+                            / n_tokens))),
+                   (acc, x) -> acc + x) AS hh
+               FROM e),
+         n AS (SELECT doc_id, n_tokens, n_types,
+                 round(hh, 6) AS entropy_nats,
+                 CASE WHEN n_tokens > 1
+                   THEN round(hh / ln(n_tokens::DOUBLE), 6)
+                   ELSE 0.0 END AS norm_entropy
+               FROM h)
+         SELECT doc_id, n_tokens, n_types, entropy_nats, norm_entropy,
+           (norm_entropy >= 0.5) AS keep
+         FROM n ORDER BY doc_id""",
   )
 }

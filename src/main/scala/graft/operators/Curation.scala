@@ -728,6 +728,67 @@ object Curation {
     * discipline). One corpus scan; everything after is a |sources|-row
     * frame.
     */
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the source-SIMILARITY companion to the
+    * one-vs-corpus drift checks (χ² q119, KS q112): which crawls speak
+    * the same language, which one is the odd one out, and (read with
+    * the dup-flow matrix q131) whether lexical similarity co-occurs
+    * with copying. JS = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2 — symmetric,
+    * bounded by ln 2, defined even where supports differ.
+    *
+    * Scale shape: distributions are restricted to the corpus-wide
+    * top-`maxVocab` tokens (renormalized on that support) so the
+    * per-pair work is sources²·maxVocab regardless of open-vocabulary
+    * growth; per-pair sums run as order-pinned folds over the sorted
+    * token list (collect_list → sort_array → aggregate) so both
+    * engines add the same doubles in the same order — no groupBy-sum
+    * float drift (the q111 discipline). Probabilities are 6-dp
+    * rounded BEFORE the log terms; the result is 6-dp rounded.
+    */
+  def sourceDivergenceMatrix(
+      docs: DataFrame, textCol: String, sourceCol: String,
+      maxVocab: Int = 4096): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("src"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("__g"))
+      .orderBy(col("__g").desc, col("tok")).limit(maxVocab)
+      .select(col("tok"))
+    val counts = toks.join(broadcast(top), "tok")
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("t"))
+    val p = counts.join(totals, "src")
+      .select(col("src"), col("tok"),
+        round(col("c").cast("double") / col("t"), 6).as("p"))
+    // the (src_a, src_b) × top-vocab grid: sources² · maxVocab rows,
+    // built from two broadcast-tiny frames (BNLJ over |sources|² rows,
+    // never a corpus-sized cartesian); absent-side probability = 0
+    val pr = totals.select(col("src").as("src_a"))
+      .crossJoin(broadcast(totals.select(col("src").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val grid = pr.crossJoin(broadcast(counts.select(col("tok")).distinct()))
+    val contrib = grid
+      .join(p.select(col("src").as("src_a"), col("tok"),
+        col("p").as("pa")), Seq("src_a", "tok"), "left")
+      .join(p.select(col("src").as("src_b"), col("tok"),
+        col("p").as("pb")), Seq("src_b", "tok"), "left")
+      .withColumn("pa", coalesce(col("pa"), lit(0.0)))
+      .withColumn("pb", coalesce(col("pb"), lit(0.0)))
+      .filter(col("pa") > 0 || col("pb") > 0)
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .withColumn("j",
+        when(col("pa") > 0, col("pa") / 2 * log(col("pa") / col("m")))
+          .otherwise(lit(0.0)) +
+        when(col("pb") > 0, col("pb") / 2 * log(col("pb") / col("m")))
+          .otherwise(lit(0.0)))
+    contrib
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("j")))).as("__s"))
+      .select(col("src_a"), col("src_b"),
+        round(aggregate(col("__s"), lit(0.0),
+          (acc, s) => acc + s.getField("j")), 6).as("js"),
+        size(col("__s")).cast("long").as("n_terms"))
+  }
+
   def temperatureMixture(
       docs: DataFrame, textCol: String, sourceCol: String,
       alpha: Double = 0.5): DataFrame = {

@@ -1388,6 +1388,39 @@ object TextOps {
       (d2 <= maxDupFrac2 && d3 <= maxDupFrac3).as("keep"))
   }
 
+  /** Per-document token-entropy gate — the information-density quality
+    * signal that catches what the duplicate-n-gram and top-token
+    * checks individually miss: H = −Σ p·ln p over the doc's own token
+    * distribution, normalized by ln(n_tokens) to [0, 1] (1 = every
+    * token distinct, 0 = one token repeated). Low normalized entropy =
+    * template/keyword-stuffing text. Entirely map-side: the per-doc
+    * distinct-token fold runs over the SORTED distinct array so the
+    * float summation order is pinned and the oracle replays the exact
+    * double (the q111 order-pinned-fold discipline). Zero shuffle,
+    * streaming-legal.
+    */
+  def tokenEntropyGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minNormEntropy: Double = 0.5): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val d = array_sort(array_distinct(w))
+    val h = aggregate(d, lit(0.0), (acc, t) => {
+      val c = size(filter(w, x => x === t)).cast("double")
+      acc - (c / n) * log(c / n)
+    })
+    val norm = when(n > 1, round(h / log(n.cast("double")), 6))
+      .otherwise(lit(0.0))
+    docs.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(d).cast("long").as("n_types"),
+      round(h, 6).as("entropy_nats"),
+      norm.as("norm_entropy"),
+      (norm >= minNormEntropy).as("keep"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout: for
     * each candidate vocabulary size k, the fraction of corpus token
     * OCCURRENCES covered by the k most frequent types (ties broken by

@@ -151,6 +151,27 @@ object Ingest {
     graft.operators.TextOps.blocklistFilter(docs, idCol, textCol,
       blocklist, maxHits)
 
+  /** L117's streaming twin — the duplicate-n-gram repetition gate at
+    * ingest time (per-document, stateless, shuffle-free; the batch
+    * body IS the twin, the gopherStream discipline): loop/spam text
+    * is flagged before it is ever persisted.
+    */
+  def dupNgramStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.duplicateNgramFraction(docs, idCol, textCol)
+
+  /** The token-entropy gate (L-series q155) at ingest time — same
+    * stateless per-document discipline; the order-pinned fold runs
+    * identically in a micro-batch.
+    */
+  def entropyStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.tokenEntropyGate(docs, idCol, textCol)
+
   /** L81's streaming twin — the seeded per-source downsample applied
     * at ingest time: a crawl stream is mixture-rebalanced as it
     * arrives (kept iff 16-bit md5(doc_id:seed) prefix · den < 65536 ·

@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 import graft.operators.{Curation, TextOps}
+import graft.streaming.Ingest
 
 /** Hand-math specs for the round-11 operators (q151–q153). */
 class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -81,5 +83,79 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(math.abs(nat("small") - 0.1) < 1e-5 &&
       math.abs(nat("big") - 0.9) < 1e-5)
+  }
+
+  test("tokenEntropyGate: hand-math entropy, degenerate docs, spam detection") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b"),          // two distinct: H = ln 2, norm = 1
+      (2L, "a a a a"),      // one type: H = 0, norm = 0
+      (3L, "z"),            // single token: norm defined as 0
+      (4L, "a a b")         // H = -(2/3)ln(2/3)-(1/3)ln(1/3)
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropyGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2L, 2L, 0.693147, 1.0, true)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.0, false)))
+    assert(out(3L) == ((1L, 1L, 0.0, 0.0, false)))
+    val h4 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(out(4L)._3 == math.round(h4 * 1e6) / 1e6)
+    assert(out(4L)._4 == math.round(h4 / math.log(3.0) * 1e6) / 1e6)
+  }
+
+  test("sourceDivergenceMatrix: identical sources at 0, disjoint at ln 2, symmetric-by-construction") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x y z x y", "same1"), (2L, "x y z x y", "same2"),
+      (3L, "p q r p q", "disj")).toDF("doc_id", "text", "source")
+    val out = Curation.sourceDivergenceMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // every unordered pair appears exactly once, a < b
+    assert(out.keySet == Set(("disj", "same1"), ("disj", "same2"),
+      ("same1", "same2")))
+    // identical distributions: JS = 0 over the shared support
+    assert(out(("same1", "same2"))._1 == 0.0)
+    // fully disjoint supports: JS = ln 2 (each side: p/2·ln(p/(p/2)))
+    assert(out(("disj", "same1"))._1 == 0.693147,
+      out(("disj", "same1")).toString)
+    // support size = union of the two vocabularies
+    assert(out(("disj", "same1"))._2 == 6L &&
+      out(("same1", "same2"))._2 == 3L)
+  }
+
+  test("dupNgram and entropy streaming twins match the batch bodies row-for-row") {
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q1 = Ingest.dupNgramStream(mem.toDF())
+      .writeStream.format("memory").queryName("dupngram_stream")
+      .outputMode("append").start()
+    val q2 = Ingest.entropyStream(mem.toDF())
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("append").start()
+    try {
+      val input = Seq(
+        DocEvent(1L, "a b a b a b", new java.sql.Timestamp(1000L)),
+        DocEvent(2L, "x y z w", new java.sql.Timestamp(2000L)))
+      mem.addData(input: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val sg = spark.table("dupngram_stream")
+        .select("doc_id", "dup_frac_2", "keep").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      val bg = TextOps.duplicateNgramFraction(input.toDF(), "doc_id", "text")
+        .select("doc_id", "dup_frac_2", "keep").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(sg == bg && sg.nonEmpty)
+      val se = spark.table("entropy_stream")
+        .select("doc_id", "norm_entropy").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val be = TextOps.tokenEntropyGate(input.toDF(), "doc_id", "text")
+        .select("doc_id", "norm_entropy").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(se == be && se.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
   }
 }
