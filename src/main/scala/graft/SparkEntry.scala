@@ -1454,6 +1454,26 @@ object SparkEntry {
       TextOps.tokenEntropyGate(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Quality — hashed linear classifier (fastText inference shape:
+    // md5-derived weights, exact-BIGINT score fold, sigmoid at the
+    // end); map-side, zero shuffle, streaming-legal
+    "q156_quality_classifier" -> ((s, dir) => {
+      TextOps.hashedLinearQuality(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Dedup — exact-substring duplicate coverage (Lee et al. 2022
+    // ExactSubstr as stride-1 window hashes + interval-union coverage;
+    // only 12-char hashes reach the exchanges)
+    "q157_exact_substr_coverage" -> ((s, dir) => {
+      TextOps.exactSubstrDupCoverage(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")
+    }),
+    // Mixture — budget-constrained quality selection (greedy per-source
+    // token-budget prefix in classifier-quality order; exact cumsums)
+    "q158_budget_select" -> ((s, dir) => {
+      Curation.budgetQualitySelect(Tables.documents(s, dir), "doc_id",
+        "text", "source").orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5112,5 +5132,94 @@ object SparkEntry {
          SELECT doc_id, n_tokens, n_types, entropy_nats, norm_entropy,
            (norm_entropy >= 0.5) AS keep
          FROM n ORDER BY doc_id""",
+    // fastText-shape classifier: the md5-derived integer weights and the
+    // BIGINT score fold replay exactly; only the final sigmoid is float
+    "q156_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(w, tk ->
+                   ((4096 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 1, 1)) - 1)
+                     + 256 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 2, 1)) - 1)
+                     + 16 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 4, 1)) - 1)) % 201
+                    - 100)::BIGINT)),
+                   (a, x) -> a + x) AS score_int
+               FROM t),
+         p AS (SELECT doc_id, n_tokens, score_int,
+                 round(1.0 / (1.0 + exp(-(score_int::DOUBLE
+                   / (n_tokens::DOUBLE * 25.0)))), 6) AS prob
+               FROM s)
+         SELECT doc_id, n_tokens, score_int, prob, (prob >= 0.5) AS keep
+         FROM p ORDER BY doc_id""",
+    // ExactSubstr: stride-1 8-token window hashes; duplicated = seen in
+    // >= 2 distinct docs; coverage = union of flagged [i, i+7] intervals
+    "q157_exact_substr_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wn AS (SELECT doc_id,
+                  list_transform(range(1, len(w) - 6), i -> struct_pack(
+                    i := i,
+                    h := substring(md5(array_to_string(w[i:i+7], ' ')), 1, 12)))
+                  AS ws
+                FROM t WHERE len(w) >= 8),
+         win AS (SELECT doc_id, x.i AS i, x.h AS h
+                 FROM (SELECT doc_id, unnest(ws) AS x FROM wn)),
+         dup AS (SELECT h FROM win GROUP BY h
+                 HAVING count(DISTINCT doc_id) >= 2),
+         fl AS (SELECT DISTINCT win.doc_id, win.i FROM win JOIN dup USING (h)),
+         cov AS (SELECT doc_id, count(DISTINCT p)::BIGINT AS covered
+                 FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM fl)
+                 GROUP BY 1),
+         nd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+                FROM fl GROUP BY 1),
+         base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                    greatest(len(w) - 7, 0)::BIGINT AS n_windows FROM t)
+         SELECT b.doc_id, b.n_tokens, b.n_windows,
+           coalesce(nd.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(cov.covered, 0)::BIGINT AS covered_tokens,
+           round(coalesce(cov.covered, 0)::DOUBLE / b.n_tokens, 6) AS dup_frac,
+           (round(coalesce(cov.covered, 0)::DOUBLE / b.n_tokens, 6) <= 0.5)
+             AS keep
+         FROM base b LEFT JOIN nd ON nd.doc_id = b.doc_id
+         LEFT JOIN cov ON cov.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+    // Budget selection: replay the q156 score, rank per source by
+    // (prob desc, doc_id), greedy token-budget prefix via exact cumsum
+    "q158_budget_select" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         s AS (SELECT doc_id, source, len(w)::BIGINT AS n_tokens,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(w, tk ->
+                   ((4096 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 1, 1)) - 1)
+                     + 256 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 2, 1)) - 1)
+                     + 16 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 4, 1)) - 1)) % 201
+                    - 100)::BIGINT)),
+                   (a, x) -> a + x) AS score_int
+               FROM t),
+         p AS (SELECT doc_id, source, n_tokens,
+                 round(1.0 / (1.0 + exp(-(score_int::DOUBLE
+                   / (n_tokens::DOUBLE * 25.0)))), 6) AS prob
+               FROM s),
+         c AS (SELECT source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY prob DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM p)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(n_tokens)::BIGINT AS tokens_total,
+           sum(CASE WHEN cum <= 2000 THEN n_tokens ELSE 0 END)::BIGINT
+             AS tokens_kept,
+           round(sum(CASE WHEN cum <= 2000 THEN n_tokens ELSE 0 END)::DOUBLE
+             / sum(n_tokens), 6) AS kept_frac
+         FROM c GROUP BY source ORDER BY source""",
   )
 }

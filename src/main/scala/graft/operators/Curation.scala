@@ -807,4 +807,45 @@ object Curation {
         round(col("__wi").cast("double") / col("__wt")
           * col("__tot") / col("n_tokens"), 6).as("eff_epochs"))
   }
+
+  /** Budget-constrained quality selection — the planner step that turns
+    * a per-doc quality score ([[TextOps.hashedLinearQuality]]) into an
+    * actual training subset: per source, take documents in quality
+    * order (prob desc, doc_id asc — one canonical order) until the
+    * per-source TOKEN budget is exhausted (greedy prefix; a document
+    * is kept only if it fits entirely). The per-source summary is the
+    * budget report a mixture planner reads next to the temperature
+    * weights (q153) and the Neyman quotas (q140).
+    *
+    * Scale: one scan for the scores (map-side), one source-partitioned
+    * rank/cumsum window — partition width is per-source doc count, the
+    * same envelope every per-source window op here carries; the
+    * cumulative sums are exact BIGINTs.
+    */
+  def budgetQualitySelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    val scored = TextOps.hashedLinearQuality(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source")), "doc_id")
+    val ord = Window.partitionBy(col("source"))
+      .orderBy(col("prob").desc, col("doc_id"))
+    val cum = scored.withColumn("__cum",
+      sum(col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    cum
+      .withColumn("__kept", (col("__cum") <= budgetTokens).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("__kept")).as("n_kept"),
+        sum(col("n_tokens") * col("__kept")).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
+          .as("kept_frac"))
+  }
 }

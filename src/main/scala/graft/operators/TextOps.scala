@@ -1457,4 +1457,99 @@ object TextOps {
         col("n_vocab_used"),
         round(col("__cov").cast("double") / col("__tot"), 6).as("coverage"))
   }
+
+  /** Hashed linear quality classifier — the fastText shape (Joulin et
+    * al. 2017, "Bag of Tricks for Efficient Text Classification")
+    * reduced to its deployable inference form: each token hashes into
+    * a weight, the doc logit is the mean weight, the score is a
+    * sigmoid. Weights here are md5-derived integers in [−100, 100]
+    * (a stand-in for a trained table — swap [[weightOf]] for a lookup
+    * against broadcast learned weights in production; the PLUMBING is
+    * what scales: per-doc integer fold, zero shuffle, scan speed,
+    * streaming-legal). The accumulated score is an exact BIGINT so the
+    * oracle replays it bit-for-bit; only the final sigmoid touches
+    * floats, rounded to 6 dp on both sides.
+    */
+  def hashedLinearQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minProb: Double = 0.5): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // 16-bit md5 prefix of "qw:"+token → integer weight in [−100, 100]
+    def weightOf(t: Column): Column =
+      (conv(substring(md5(concat(lit("qw:"), t)), 1, 4), 16, 10)
+        .cast("long") % 201L) - 100L
+    val scoreInt = aggregate(w, lit(0L), (acc, t) => acc + weightOf(t))
+    // mean weight scaled into a usable logit range (mean ∈ [−100,100])
+    val logit = scoreInt.cast("double") / (n.cast("double") * lit(25.0))
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+    docs.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      scoreInt.as("score_int"),
+      prob.as("prob"),
+      (prob >= minProb).as("keep"))
+  }
+
+  /** Exact-substring duplicate coverage — Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * re-expressed for a distributed engine: their suffix-array
+    * ExactSubstr finds spans of ≥ k tokens repeated across documents;
+    * here every stride-1 window of `winLen` tokens is hashed
+    * (12-hex-char md5 prefix, the winnow-key precedent), a window is
+    * duplicated when it occurs in ≥ 2 DISTINCT documents, and the
+    * per-doc duplicated-token fraction is the size of the UNION of
+    * flagged [i, i+winLen−1] intervals — the exact char-coverage
+    * number their dedup would delete, not the double-counting window
+    * fraction. Within-doc repetition is q151's gate; this one is the
+    * cross-doc span detector.
+    *
+    * Scale: exchanges carry (doc_id, 12-char hash) pairs only — text
+    * never shuffles; the duplicated-hash set is corpus-boilerplate
+    * sized, and the coverage explode is bounded by winLen × flagged
+    * windows. This windowed-hash formulation (not a suffix array) is
+    * how ExactSubstr is actually run distributed.
+    */
+  def exactSubstrDupCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 8,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2, got $winLen")
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val starts = when(n >= winLen, sequence(lit(1), n - (winLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(transform(starts, i => struct(i.as("i"),
+          substring(md5(array_join(slice(w, i, lit(winLen)), " ")), 1, 12)
+            .as("h")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"))
+    val flagged = wins.join(dup, "h").select(col("doc_id"), col("i")).distinct()
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (winLen - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__cov"))
+    val nDup = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ndw"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      greatest(n - (winLen - 1), lit(0)).cast("long").as("n_windows"))
+    val frac = round(coalesce(col("__cov"), lit(0L)).cast("double")
+      / col("n_tokens"), 6)
+    base
+      .join(nDup, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("__ndw"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("__cov"), lit(0L)).cast("long").as("covered_tokens"),
+        frac.as("dup_frac"),
+        (frac <= maxDupFrac).as("keep"))
+  }
 }

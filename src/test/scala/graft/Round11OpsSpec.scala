@@ -158,4 +158,65 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(se == be && se.nonEmpty)
     } finally { q1.stop(); q2.stop() }
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("hashedLinearQuality: md5 weight hand-math, sign/keep coherence") {
+    val s = spark; import s.implicits._
+    def weight(tok: String): Long =
+      (java.lang.Long.parseLong(md5Hex("qw:" + tok).take(4), 16) % 201L) - 100L
+    val docs = Seq((1L, "a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextOps.hashedLinearQuality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 3 * weight("a"))
+    assert(out(1).getLong(2) ==
+      weight("a") + weight("b") + weight("c") + weight("d"))
+    // sigmoid coherence: keep == (prob >= 0.5) == (score_int >= 0)
+    out.foreach { r =>
+      assert(r.getBoolean(4) == (r.getDouble(3) >= 0.5))
+      assert((r.getLong(2) >= 0) == (r.getDouble(3) >= 0.5))
+    }
+  }
+
+  test("exactSubstrDupCoverage: cross-doc spans flagged, overlapping windows union") {
+    val s = spark; import s.implicits._
+    val shared8 = (1 to 8).map("t" + _).mkString(" ")
+    val shared9 = (1 to 9).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, shared8 + " u1 u2"),                       // 10 tokens, run at 1-8
+      (2L, "z1 " + shared8 + " z2 z3"),               // 11 tokens, run at 2-9
+      (3L, (1 to 12).map("v" + _).mkString(" ")),      // unique
+      (4L, shared9),                                   // 9 tokens, fully dup
+      (5L, shared9 + " " + (1 to 11).map("w" + _).mkString(" ")) // 20 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.exactSubstrDupCoverage(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((10L, 1L, 8L, 0.8, false)))
+    assert(out(2L) == ((11L, 1L, 8L, 0.727273, false)))
+    assert(out(3L) == ((12L, 0L, 0L, 0.0, true)))
+    // overlapping flagged windows [1..8] and [2..9] union to 9, not 16
+    assert(out(4L) == ((9L, 2L, 9L, 1.0, false)))
+    assert(out(5L) == ((20L, 2L, 9L, 0.45, true)))
+  }
+
+  test("budgetQualitySelect: greedy prefix respects the budget, whole docs only") {
+    val s = spark; import s.implicits._
+    // all docs identical -> equal prob, order falls back to doc_id
+    val docs = Seq(
+      (1L, "a a a", "A"), (2L, "a a a", "A"), (3L, "a a a", "A"),
+      (4L, "a a a a a a a a a a", "B") // 10 tokens > budget 7: dropped whole
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.budgetQualitySelect(docs, "doc_id", "text", "source",
+      budgetTokens = 7L).orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // A: cum 3, 6, 9 -> docs 1,2 kept (9 > 7), 6 of 9 tokens
+    assert(out("A") == ((3L, 2L, 9L, 6L, 0.666667)))
+    // B: single 10-token doc exceeds the budget -> nothing kept
+    assert(out("B") == ((1L, 0L, 10L, 0L, 0.0)))
+  }
 }
