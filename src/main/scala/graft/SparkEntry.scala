@@ -1474,6 +1474,13 @@ object SparkEntry {
       Curation.budgetQualitySelect(Tables.documents(s, dir), "doc_id",
         "text", "source").orderBy("source")
     }),
+    // Quality — bigram-LM perplexity gate (the CCNet filter shape:
+    // self-trained add-one bigram model with <unk> tail absorption,
+    // broadcast vocab-bounded model, order-pinned NLL folds)
+    "q159_bigram_perplexity" -> ((s, dir) => {
+      TextOps.bigramPerplexityGate(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5221,5 +5228,49 @@ object SparkEntry {
            round(sum(CASE WHEN cum <= 2000 THEN n_tokens ELSE 0 END)::DOUBLE
              / sum(n_tokens), 6) AS kept_frac
          FROM c GROUP BY source ORDER BY source""",
+    // Bigram perplexity: replay the add-one model (top-25 vocab + <unk>),
+    // per-doc NLL folds over the position-sorted (pos, ln p) list
+    "q159_bigram_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                   unnest(w) AS tok FROM t),
+         vc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         vr AS (SELECT tok,
+                  (row_number() OVER (ORDER BY cnt DESC, tok) <= 25) AS kept
+                FROM vc),
+         mp AS (SELECT tok.doc_id, tok.pos,
+                  CASE WHEN vr.kept THEN tok.tok ELSE '<unk>' END AS tk
+                FROM tok JOIN vr ON vr.tok = tok.tok),
+         bi AS (SELECT doc_id, pos, tk,
+                  lag(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM mp QUALIFY prev IS NOT NULL),
+         ch AS (SELECT prev, count(*) AS c FROM bi GROUP BY 1),
+         cb AS (SELECT prev, tk, count(*) AS c FROM bi GROUP BY 1, 2),
+         v AS (SELECT (sum(CASE WHEN kept THEN 1 ELSE 0 END) + 1)::BIGINT
+                 AS v FROM vr),
+         lp AS (SELECT bi.doc_id, bi.pos,
+                  ln((cb.c + 1)::DOUBLE / (ch.c + v.v)::DOUBLE) AS lp
+                FROM bi JOIN cb ON cb.prev = bi.prev AND cb.tk = bi.tk
+                JOIN ch ON ch.prev = bi.prev CROSS JOIN v),
+         ag AS (SELECT doc_id,
+                  list_sort(list(struct_pack(pos := pos, lp := lp))) AS ss
+                FROM lp GROUP BY 1),
+         nl AS (SELECT doc_id,
+                  list_reduce(list_prepend(0.0, list_transform(ss,
+                    x -> -x.lp)), (a, x) -> a + x) AS nll
+                FROM ag),
+         base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM t)
+         SELECT b.doc_id, b.n_tokens,
+           round(coalesce(nl.nll, 0.0), 6) AS nll,
+           CASE WHEN b.n_tokens >= 2
+             THEN round(exp(coalesce(nl.nll, 0.0)
+                    / (b.n_tokens - 1)::DOUBLE), 6)
+             ELSE 1.0 END AS ppl,
+           (CASE WHEN b.n_tokens >= 2
+              THEN round(exp(coalesce(nl.nll, 0.0)
+                     / (b.n_tokens - 1)::DOUBLE), 6)
+              ELSE 1.0 END <= 25.0) AS keep
+         FROM base b LEFT JOIN nl ON nl.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
   )
 }

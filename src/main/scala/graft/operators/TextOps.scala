@@ -1552,4 +1552,72 @@ object TextOps {
         frac.as("dup_frac"),
         (frac <= maxDupFrac).as("keep"))
   }
+
+  /** Bigram-LM perplexity gate — the CCNet filter (Wenzek et al. 2020:
+    * KenLM perplexity against a reference corpus ranks web text for
+    * quality) scaled down to a self-trained add-one bigram model: vocab
+    * = top-`maxVocab` types (+ `<unk>` absorbing the tail, so the model
+    * is total over open vocabulary), p(b|a) = (c(a,b)+1)/(c(a·)+V), doc
+    * perplexity = exp(NLL / (n−1)). High perplexity = text unlike the
+    * corpus (mojibake, wrong language, word salad); the canonical
+    * learned quality signal next to the rule gates (q106) and the
+    * classifier (q156).
+    *
+    * Scale: the model is vocab-bounded (≤ (V+1)² bigram rows + V+1
+    * history rows) and BROADCAST to every per-bigram lookup — the big
+    * side never shuffles for the joins; the only corpus-sized exchanges
+    * carry (doc_id, pos, token) rows. Per-doc NLL folds over the
+    * position-sorted (pos, ln p) list so both engines add identical
+    * doubles in identical order (the q154 discipline); all model counts
+    * are exact BIGINTs.
+    */
+  def bigramPerplexityGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Int = 25,
+      maxPpl: Double = 25.0): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
+    // |V|-row frame: the rank window is vocabulary-bounded (q152)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(col("tok"), (col("rk") <= maxVocab).as("kept"))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("kept"), col("tok")).otherwise(lit("<unk>")).as("tk"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = mapped.withColumn("prev", lag(col("tk"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+    val chist = bi.groupBy(col("prev")).agg(count(lit(1)).as("ch"))
+    val cbi = bi.groupBy(col("prev"), col("tk")).agg(count(lit(1)).as("cb"))
+    val vsize = vocab
+      .agg((sum(when(col("kept"), 1L).otherwise(0L)) + 1L).as("v"))
+    val lnp = bi
+      .join(broadcast(cbi), Seq("prev", "tk"))
+      .join(broadcast(chist), Seq("prev"))
+      .crossJoin(broadcast(vsize))
+      .select(col("doc_id"), col("pos"),
+        log((col("cb") + 1L).cast("double")
+          / (col("ch") + col("v")).cast("double")).as("lp"))
+    val nll = lnp.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("__s"))
+      .select(col("doc_id"),
+        aggregate(col("__s"), lit(0.0),
+          (a, x) => a - x.getField("lp")).as("__nll"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val joined = base.join(nll, Seq("doc_id"), "left")
+      .withColumn("__nll", coalesce(col("__nll"), lit(0.0)))
+    val ppl = when(col("n_tokens") >= 2,
+      round(exp(col("__nll") / (col("n_tokens") - 1).cast("double")), 6))
+      .otherwise(lit(1.0))
+    joined.select(col("doc_id"), col("n_tokens"),
+      round(col("__nll"), 6).as("nll"),
+      ppl.as("ppl"),
+      (ppl <= maxPpl).as("keep"))
+  }
 }

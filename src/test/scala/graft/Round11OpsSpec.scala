@@ -219,4 +219,26 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // B: single 10-token doc exceeds the budget -> nothing kept
     assert(out("B") == ((1L, 0L, 10L, 0L, 0.0)))
   }
+
+  test("bigramPerplexityGate: add-one hand-math, unk absorption, single-token floor") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // maxVocab=2: kept {a, b}; c and x -> <unk>; V = 3
+    // bigrams: (a,b)x3, (b,a)x1, (b,<unk>)x1; ch(a)=3, ch(b)=2
+    val pAB = math.log(4.0 / 6.0)  // (3+1)/(3+3)
+    val pBA = math.log(2.0 / 5.0)  // (1+1)/(2+3)
+    val pBU = math.log(2.0 / 5.0)
+    val nll1 = 0.0 - pAB - pBA - pAB // position-ordered fold
+    val nll2 = 0.0 - pAB - pBU
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextOps.bigramPerplexityGate(docs, "doc_id", "text",
+      maxVocab = 2, maxPpl = 1.8).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    // ppl1 = 1.778447 <= 1.8 keeps; ppl2 = 1.935734 gated
+    assert(out(0) == ((1L, r6(nll1), r6(math.exp(nll1 / 3)), true)))
+    assert(out(1) == ((2L, r6(nll2), r6(math.exp(nll2 / 2)), false)))
+    // single-token doc: no bigrams, ppl floor 1.0, keeps
+    assert(out(2) == ((3L, 0.0, 1.0, true)))
+  }
 }
