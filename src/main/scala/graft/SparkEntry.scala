@@ -1481,6 +1481,12 @@ object SparkEntry {
       TextOps.bigramPerplexityGate(Tables.documents(s, dir), "doc_id",
         "text").orderBy("doc_id")
     }),
+    // Similarity — JL ±1-projection distortion readout (Achlioptas
+    // 2003); exact-integer projections, sample-bounded pair frame
+    "q160_jl_distortion" -> ((s, dir) => {
+      Similarity.jlProjectionDistortion(Tables.embeddings(s, dir))
+        .orderBy("vec_a", "vec_b")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5272,5 +5278,39 @@ object SparkEntry {
               ELSE 1.0 END <= 25.0) AS keep
          FROM base b LEFT JOIN nl ON nl.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    // JL distortion: md5-nibble-parity ±1 signs, all-integer projections
+    // and squared distances; only the final sqrt/div touch floats
+    "q160_jl_distortion" ->
+      """WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> round(x::DOUBLE * 1e6, 0)::BIGINT) AS nv
+                FROM embeddings),
+         sm AS (SELECT vec_id, nv FROM e
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 40),
+         u AS (SELECT vec_id, generate_subscripts(nv, 1) AS d,
+                 unnest(nv) AS x FROM sm),
+         sg AS (SELECT j, d,
+                  CASE WHEN (strpos('0123456789abcdef', substring(
+                         md5('jl:42:' || j::VARCHAR || ':' || d::VARCHAR),
+                         1, 1)) - 1) % 2 = 0
+                    THEN 1::BIGINT ELSE (-1)::BIGINT END AS s
+                FROM range(16) rj(j), range(64) rd(d)),
+         pr AS (SELECT u.vec_id, sg.j, sum(u.x * sg.s)::BIGINT AS p
+                FROM u JOIN sg ON sg.d = u.d - 1 GROUP BY 1, 2),
+         do2 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   sum((a.x - b.x) * (a.x - b.x))::BIGINT AS d2_orig
+                 FROM u a JOIN u b ON a.d = b.d AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+         dp2 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   sum((a.p - b.p) * (a.p - b.p))::BIGINT AS d2_proj
+                 FROM pr a JOIN pr b ON a.j = b.j AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2)
+         SELECT do2.vec_a, do2.vec_b, do2.d2_orig, dp2.d2_proj,
+           CASE WHEN do2.d2_orig > 0
+             THEN round(sqrt(dp2.d2_proj::DOUBLE / 16)
+                    / sqrt(do2.d2_orig::DOUBLE), 6)
+             ELSE 0.0 END AS distortion
+         FROM do2 JOIN dp2 ON dp2.vec_a = do2.vec_a AND dp2.vec_b = do2.vec_b
+         ORDER BY do2.vec_a, do2.vec_b""",
   )
 }

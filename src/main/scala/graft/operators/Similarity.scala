@@ -1309,4 +1309,78 @@ object Similarity {
           .as("value"))
     out
   }
+
+  /** md5-derived ±1 signs for [[jlProjectionDistortion]]: sign (j, d)
+    * = +1 if the first hex nibble of md5("jl:seed:j:d") is even, else
+    * −1 — the Achlioptas 2003 database-friendly projection entries,
+    * engine-portable (no RNG state), same trick as [[hyperplaneInts]].
+    */
+  private[graft] def jlSigns(k: Int, dims: Int, seed: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dims) { (j, d) =>
+      md.reset()
+      val b = md.digest(s"jl:$seed:$j:$d"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+      if (((b >> 4) & 0x1) == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss projection distortion readout — measures
+    * what a ±1 random projection (Achlioptas 2003) to `k` dims does to
+    * pairwise distances before you commit the cheap-ANN path to it:
+    * for every pair in an md5-seeded `sampleN` sample, the ratio
+    * ‖R(a−b)‖/√k ÷ ‖a−b‖ (expected 1, spread ~1/√k). Everything up to
+    * the final two sqrt calls is EXACT integer arithmetic — vectors
+    * re-enter as round(x·10⁶) BIGINTs, signs are ±1, so projections,
+    * squared distances, and the oracle replay are bit-identical; sqrt
+    * and one division are IEEE-correctly-rounded, so the 6-dp ratio
+    * matches too.
+    *
+    * Scale: the projection itself is map-only with a k×d literal sign
+    * matrix (broadcast-free — it lives in the plan); the distortion
+    * readout is sample-bounded (sampleN² pairs), the same envelope as
+    * the ANN recall readout (q109). At 100 TB you project everything
+    * map-side and read distortion off this sample.
+    */
+  def jlProjectionDistortion(
+      vectors: DataFrame,
+      k: Int = 16,
+      dims: Int = 64,
+      sampleN: Int = 40,
+      seed: Int = 42): DataFrame = {
+    require(k >= 1 && sampleN >= 2, s"bad k=$k sampleN=$sampleN")
+    val signs = jlSigns(k, dims, seed)
+    val nv = vectors
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv",
+        transform(col("v"), x => round(x * 1e6, 0).cast("long")))
+    // md5-ordered deterministic sample (the q79 idiom)
+    val sample = nv
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+    val projCols = (0 until k).map { j =>
+      aggregate(
+        zip_with(col("nv"), typedlit(signs(j).toSeq), (a, s) => a * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val proj = sample.select(col("id"), col("nv"),
+      array(projCols: _*).as("p"))
+    val d2o = aggregate(
+      zip_with(col("na"), col("nb"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val d2p = aggregate(
+      zip_with(col("pa"), col("pb"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    proj.select(col("id").as("vec_a"), col("nv").as("na"), col("p").as("pa"))
+      .crossJoin(proj.select(col("id").as("vec_b"), col("nv").as("nb"),
+        col("p").as("pb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        d2o.as("d2_orig"), d2p.as("d2_proj"))
+      .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+        when(col("d2_orig") > 0,
+          round(sqrt(col("d2_proj").cast("double") / k)
+            / sqrt(col("d2_orig").cast("double")), 6))
+          .otherwise(lit(0.0)).as("distortion"))
+  }
 }

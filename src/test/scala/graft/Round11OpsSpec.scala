@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Curation, TextOps}
+import graft.operators.{Curation, Similarity, TextOps}
 import graft.streaming.Ingest
 
 /** Hand-math specs for the round-11 operators (q151–q153). */
@@ -240,5 +240,34 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ((2L, r6(nll2), r6(math.exp(nll2 / 2)), false)))
     // single-token doc: no bigrams, ppl floor 1.0, keeps
     assert(out(2) == ((3L, 0.0, 1.0, true)))
+  }
+
+  test("jlProjectionDistortion: exact integer replay vs jlSigns, unbiased on fixture") {
+    val s = spark; import s.implicits._
+    // pair (zero vector, v): d2_orig = ||v||^2, d2_proj = ||Rv||^2 —
+    // hand-replayable against the same md5-derived sign matrix
+    val dims = 4
+    val v = Seq(0.5, -1.0, 0.25, 2.0)
+    val vecs = Seq((0L, Seq.fill(dims)(0.0f), 0),
+      (1L, v.map(_.toFloat), 0)).toDF("vec_id", "embedding", "label")
+    val k = 3
+    val signs = Similarity.jlSigns(k, dims, 42)
+    val nv = v.map(x => math.round(x * 1e6))
+    val d2o = nv.map(x => x * x).sum
+    val proj = (0 until k).map(j =>
+      nv.indices.map(d => nv(d) * signs(j)(d)).sum)
+    val d2p = proj.map(p => p * p).sum
+    val row = Similarity.jlProjectionDistortion(vecs, k = k, dims = dims,
+      sampleN = 2).collect()(0)
+    assert((row.getLong(0), row.getLong(1)) == ((0L, 1L)))
+    assert(row.getLong(2) == d2o && row.getLong(3) == d2p)
+    val expected = BigDecimal(math.sqrt(d2p.toDouble / k) / math.sqrt(d2o.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(4) == expected)
+    // statistical sanity on the real fixture: mean distortion ~ 1
+    val fx = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val ds = Similarity.jlProjectionDistortion(fx, sampleN = 20)
+      .agg(avg("distortion")).collect()(0).getDouble(0)
+    assert(ds > 0.7 && ds < 1.3, s"mean distortion $ds")
   }
 }
