@@ -1487,6 +1487,11 @@ object SparkEntry {
       Similarity.jlProjectionDistortion(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")
     }),
+    // Similarity — SQ8 scalar-quantization recall (FAISS QT_8bit
+    // shape); all-integer code/rank path, sample-bounded readout
+    "q161_sq8_recall" -> ((s, dir) => {
+      Similarity.sq8RecallReadout(Tables.embeddings(s, dir)).orderBy("qid")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5312,5 +5317,39 @@ object SparkEntry {
              ELSE 0.0 END AS distortion
          FROM do2 JOIN dp2 ON dp2.vec_a = do2.vec_a AND dp2.vec_b = do2.vec_b
          ORDER BY do2.vec_a, do2.vec_b""",
+    // SQ8: per-dim min/max train, floor-coded bytes, integer L2 ranks
+    // in both exact and code space, md5-seeded query sample
+    "q161_sq8_recall" ->
+      """WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> round(x::DOUBLE * 1e3, 0)::BIGINT) AS nv
+                FROM embeddings),
+         u AS (SELECT vec_id, generate_subscripts(nv, 1) AS d,
+                 unnest(nv) AS x FROM e),
+         mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1),
+         cd AS (SELECT u.vec_id, u.d, u.x,
+                  mm.mn * 255 + (CASE WHEN mm.mx > mm.mn
+                    THEN floor((u.x - mm.mn)::DOUBLE * 255
+                           / (mm.mx - mm.mn))::BIGINT
+                    ELSE 0 END) * (mm.mx - mm.mn) AS dh
+                FROM u JOIN mm USING (d)),
+         q AS (SELECT vec_id AS qid FROM e
+               ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         sc AS (SELECT q.qid, a.vec_id AS id,
+                  sum((a.x - b.x) * (a.x - b.x))::BIGINT AS dt,
+                  sum((a.dh - b.dh) * (a.dh - b.dh))::BIGINT AS dq
+                FROM q JOIN cd b ON b.vec_id = q.qid
+                JOIN cd a ON a.d = b.d AND a.vec_id <> q.qid
+                GROUP BY 1, 2),
+         rk AS (SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid ORDER BY dt, id) AS rt,
+                  row_number() OVER (PARTITION BY qid ORDER BY dq, id) AS rq
+                FROM sc),
+         ov AS (SELECT qid, count(*)::BIGINT AS n_overlap FROM rk
+                WHERE rt <= 10 AND rq <= 10 GROUP BY 1)
+         SELECT q.qid, 10 AS k,
+           coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(ov.n_overlap, 0)::DOUBLE / 10, 6) AS recall
+         FROM q LEFT JOIN ov ON ov.qid = q.qid ORDER BY q.qid""",
   )
 }

@@ -1310,6 +1310,76 @@ object Similarity {
     out
   }
 
+  /** SQ8 scalar quantization recall readout — the FAISS
+    * ScalarQuantizer(QT_8bit) shape (per-dimension min/max train, one
+    * byte per dim — 4× smaller than float32, the cheapest index
+    * compression before PQ codebooks, q89/q121): codes c_d =
+    * ⌊255·(x_d−min_d)/(max_d−min_d)⌋, neighbors ranked by L2 in code
+    * space, and the readout is top-k recall against the exact ranking
+    * for an md5-seeded query sample — the commit check before routing
+    * search through the compressed index.
+    *
+    * Determinism: vectors re-enter as round(x·10³) BIGINTs; min/max,
+    * codes, and BOTH distance rankings are exact integer arithmetic
+    * end to end (code-space distances are computed on 255·value-scaled
+    * integers, ranking-invariant), ties break by neighbor id — no
+    * float enters either rank, so the oracle replays both orders
+    * bit-for-bit. The only double is the final recall division.
+    *
+    * Scale: the train stage is one d-bounded min/max aggregation
+    * (driver-collects 2·d longs, the kmeans-literal pattern); coding
+    * is map-only against plan literals; the recall readout is the
+    * sample-bounded brute-force baseline, same envelope as q109.
+    */
+  def sq8RecallReadout(
+      vectors: DataFrame,
+      k: Int = 10,
+      sampleN: Int = 8): DataFrame = {
+    require(k >= 1 && sampleN >= 1, s"bad k=$k sampleN=$sampleN")
+    val nv = vectors.select(col("vec_id").as("id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1e3, 0).cast("long")).as("nv"))
+    val mmRows = nv.select(posexplode(col("nv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val dims = mmRows.size
+    val mnL = typedlit((0 until dims).map(mmRows(_)._1))
+    val mxL = typedlit((0 until dims).map(mmRows(_)._2))
+    // dh = 255·min + c·(max−min) = 255·(decoded value): exact BIGINT,
+    // ranking-equivalent to decoded L2
+    val coded = nv.withColumn("dh",
+      zip_with(col("nv"), sequence(lit(0), lit(dims - 1)), (x, d) => {
+        val mn = element_at(mnL, d + 1)
+        val mx = element_at(mxL, d + 1)
+        val c = when(mx > mn,
+          floor((x - mn).cast("double") * 255.0 / (mx - mn).cast("double"))
+            .cast("long")).otherwise(lit(0L))
+        mn * 255L + c * (mx - mn)
+      }))
+    val q = coded.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .select(col("id").as("qid"), col("nv").as("qnv"), col("dh").as("qdh"))
+    val d2t = aggregate(zip_with(col("nv"), col("qnv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val d2q = aggregate(zip_with(col("dh"), col("qdh"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val scored = coded.join(broadcast(q), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), d2t.as("__dt"), d2q.as("__dq"))
+    val wt = Window.partitionBy(col("qid")).orderBy(col("__dt"), col("id"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("__dq"), col("id"))
+    val overlap = scored
+      .withColumn("rt", row_number().over(wt))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rt") <= k && col("rq") <= k)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** md5-derived ±1 signs for [[jlProjectionDistortion]]: sign (j, d)
     * = +1 if the first hex nibble of md5("jl:seed:j:d") is even, else
     * −1 — the Achlioptas 2003 database-friendly projection entries,

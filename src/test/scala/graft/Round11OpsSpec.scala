@@ -270,4 +270,26 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(avg("distortion")).collect()(0).getDouble(0)
     assert(ds > 0.7 && ds < 1.3, s"mean distortion $ds")
   }
+
+  test("sq8RecallReadout: lossless two-level grid, quantization collapse with id tie-break") {
+    val s = spark; import s.implicits._
+    // values hit only {min, max} per dim -> codes 0/255 reproduce the
+    // exact ranking (distances scale by 255^2): recall must be 1.0
+    val grid = Seq(
+      (0L, Seq(0f, 0f), 0), (1L, Seq(0f, 1f), 0),
+      (2L, Seq(1f, 0f), 0), (3L, Seq(1f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.sq8RecallReadout(grid, k = 2, sampleN = 4).collect()
+    assert(g.length == 4 && g.forall(_.getDouble(3) == 1.0))
+    // collapse: nv 101 and 99 both code to 25 -> code-space tie breaks
+    // toward lower id (101) while the true nearest is 99 -> recall@1 = 0
+    val coll = Seq(
+      (0L, Seq(0f), 0), (1L, Seq(0.101f), 0), (2L, Seq(0.099f), 0),
+      (3L, Seq(0.103f), 0), (4L, Seq(1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r0 = Similarity.sq8RecallReadout(coll, k = 1, sampleN = 5)
+      .filter(col("qid") === 0).collect()(0)
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0,
+      s"collapse row: $r0")
+  }
 }
