@@ -1492,6 +1492,11 @@ object SparkEntry {
     "q161_sq8_recall" -> ((s, dir) => {
       Similarity.sq8RecallReadout(Tables.embeddings(s, dir)).orderBy("qid")
     }),
+    // Similarity — MMR diverse selection (Carbonell & Goldstein 1998);
+    // distributed rel/sim stage, driver greedy over candN^2 state
+    "q162_mmr_select" -> ((s, dir) => {
+      Similarity.mmrSelect(Tables.embeddings(s, dir)).orderBy("rank")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5351,5 +5356,54 @@ object SparkEntry {
            coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
            round(coalesce(ov.n_overlap, 0)::DOUBLE / 10, 6) AS recall
          FROM q LEFT JOIN ov ON ov.qid = q.qid ORDER BY q.qid""",
+    // MMR: recursive greedy replay — λ=0.5 keeps the marginal score
+    // exact double arithmetic over 6-dp rel/sim inputs; -0.0 normalized
+    "q162_mmr_select" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+         cand AS (SELECT vec_id AS id, v FROM e
+                  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 64),
+         cm AS (SELECT d, round(avg(x), 6) AS m
+                FROM (SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x
+                      FROM cand) GROUP BY 1),
+         cv AS (SELECT list(m ORDER BY d) AS c FROM cm),
+         rel AS (SELECT cand.id,
+                   round(CASE WHEN list_inner_product(cand.v, cand.v) = 0
+                                OR list_inner_product(cv.c, cv.c) = 0
+                           THEN 0.0
+                         ELSE list_inner_product(cand.v, cv.c)
+                           / (sqrt(list_inner_product(cand.v, cand.v))
+                              * sqrt(list_inner_product(cv.c, cv.c))) END, 6)
+                     AS rel
+                 FROM cand CROSS JOIN cv),
+         sm AS (SELECT a.id AS i, b.id AS j,
+                  round(CASE WHEN list_inner_product(a.v, a.v) = 0
+                               OR list_inner_product(b.v, b.v) = 0 THEN 0.0
+                        ELSE list_inner_product(a.v, b.v)
+                          / (sqrt(list_inner_product(a.v, a.v))
+                             * sqrt(list_inner_product(b.v, b.v))) END, 6)
+                    AS s
+                FROM cand a JOIN cand b ON a.id <> b.id),
+         sel(step, id, score, picked) AS (
+           SELECT 1::BIGINT AS step, r.id, r.score, [r.id] AS picked
+           FROM (SELECT id, 0.5 * rel - 0.5 * 0.0 AS score FROM rel
+                 ORDER BY score DESC, id LIMIT 1) r
+           UNION ALL
+           SELECT s.step + 1, n.id, n.score, list_append(s.picked, n.id)
+           FROM sel s, LATERAL (
+             SELECT r.id,
+               0.5 * r.rel - 0.5 * (SELECT max(sm.s) FROM sm
+                                    WHERE sm.i = r.id
+                                      AND list_contains(s.picked, sm.j))
+                 AS score
+             FROM rel r
+             WHERE NOT list_contains(s.picked, r.id)
+             ORDER BY score DESC, r.id LIMIT 1) n
+           WHERE s.step < 16)
+         SELECT step AS rank, id AS vec_id,
+           CASE WHEN round(score, 6) = 0 THEN 0.0
+             ELSE round(score, 6) END AS mmr_score
+         FROM sel ORDER BY step""",
   )
 }

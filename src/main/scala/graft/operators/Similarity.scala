@@ -1380,6 +1380,75 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware subset picker: greedily select k items
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), the
+    * standard way to build an eval/annotation set that COVERS the
+    * corpus instead of sampling its densest mode. Relevance here is
+    * cosine to the candidate-set centroid (swap in a query vector or a
+    * quality score without changing the plan).
+    *
+    * Architecture (the kmeans-literal pattern): candidate generation
+    * is the distributed part — an md5-seeded sample stands in for
+    * "top-N by relevance" at scale — and the rel vector + candN²
+    * similarity matrix are computed as DataFrames (rounded to 6 dp,
+    * zero-norm-guarded, so both engines hold identical doubles); the
+    * inherently sequential greedy loop then runs on the DRIVER over
+    * the collected candN²-bounded matrix (k·candN ops — bounded state,
+    * never corpus-sized). λ defaults to 0.5 so the marginal score
+    * 0.5·rel − 0.5·maxsim is exact double arithmetic on 6-dp inputs —
+    * the oracle's recursive replay cannot drift.
+    */
+  def mmrSelect(
+      vectors: DataFrame,
+      k: Int = 16,
+      candN: Int = 64,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && candN >= k, s"bad k=$k candN=$candN")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cand = vectors
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(candN)
+      .cache()
+    // 6-dp rounded elementwise centroid (q113 discipline), d-bounded
+    val cent = cand.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(round(avg(col("x")), 6).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val centLit = typedlit((0 until cent.size).map(cent(_)))
+    def safeCos(a: Column, b: Column): Column =
+      when(dot_product(a, a) === 0 || dot_product(b, b) === 0, lit(0.0))
+        .otherwise(cosine(a, b))
+    val rel = cand
+      .select(col("id"), round(safeCos(col("v"), centLit), 6).as("rel"))
+      .as[(Long, Double)].collect().toMap
+    val sims = cand.as("a").join(cand.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        round(safeCos(col("a.v"), col("b.v")), 6).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (i, j, s) => Seq((i, j) -> s, (j, i) -> s) }.toMap
+    cand.unpersist(false)
+    val ids = rel.keys.toSeq.sorted
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    for (step <- 1 to k) {
+      val best = ids.filterNot(chosen)
+        .map { id =>
+          val maxSim =
+            if (chosen.isEmpty) 0.0
+            else chosen.map(s => sims((id, s))).max
+          (id, lambda * rel(id) - (1.0 - lambda) * maxSim)
+        }
+        .minBy { case (id, sc) => (-sc, id) } // score desc, id asc
+      picked += ((step.toLong, best._1,
+        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      chosen += best._1
+    }
+    picked.toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** md5-derived ±1 signs for [[jlProjectionDistortion]]: sign (j, d)
     * = +1 if the first hex nibble of md5("jl:seed:j:d") is even, else
     * −1 — the Achlioptas 2003 database-friendly projection entries,

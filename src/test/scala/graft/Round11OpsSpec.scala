@@ -292,4 +292,29 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0,
       s"collapse row: $r0")
   }
+
+  test("mmrSelect: redundancy penalized — duplicate loses to the diverse item") {
+    val s = spark; import s.implicits._
+    // two identical high-rel vectors + one orthogonal low-rel vector:
+    // a plain top-k by relevance would take both duplicates; MMR must
+    // take ONE duplicate then the diverse item (sim=1 to the picked
+    // twin wipes out the duplicate's margin)
+    val vecs = Seq(
+      (10L, Seq(1f, 0f), 0), (11L, Seq(1f, 0f), 0), (12L, Seq(0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrSelect(vecs, k = 2, candN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rel(10)=rel(11) -> tie breaks to id 10; step 2 must be 12, not 11
+    assert(out.toSeq == Seq((1L, 10L), (2L, 12L)), out.mkString(","))
+    // greedy scores are monotone non-increasing from step 2 onward
+    // (step 1 pins maxsim to 0, so a negative-cosine corpus can raise
+    // step 2 above it; every later step maximizes over a shrunken set
+    // of non-increasing candidate scores)
+    val fx = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val scores = Similarity.mmrSelect(fx, k = 8, candN = 32)
+      .orderBy("rank").collect().map(_.getDouble(2)).drop(1)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      scores.mkString(","))
+  }
 }
