@@ -1497,6 +1497,13 @@ object SparkEntry {
     "q162_mmr_select" -> ((s, dir) => {
       Similarity.mmrSelect(Tables.embeddings(s, dir)).orderBy("rank")
     }),
+    // Quality — PII detection/redaction gate (C4/Dolma anonymization
+    // step); per-row regex at scan speed, fixture is PII-free so the
+    // gate verifies the zero profile + redaction no-op md5
+    "q163_pii_gate" -> ((s, dir) => {
+      TextOps.piiRedactGate(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5405,5 +5412,29 @@ object SparkEntry {
            CASE WHEN round(score, 6) = 0 THEN 0.0
              ELSE round(score, 6) END AS mmr_score
          FROM sel ORDER BY step""",
+    // PII gate: RE2 replays the Java patterns (portable subset); the
+    // 'g' flag matches Spark regexp_replace's replace-all semantics
+    "q163_pii_gate" ->
+      """WITH p AS (SELECT doc_id, text,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_email,
+           len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+           len(regexp_extract_all(text,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ip
+         FROM documents)
+         SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
+           (n_email + n_ssn + n_phone + n_ip)::BIGINT AS pii_total,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5,
+           (n_email + n_ssn + n_phone + n_ip = 0) AS keep
+         FROM p ORDER BY doc_id""",
   )
 }

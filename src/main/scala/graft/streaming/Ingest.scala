@@ -172,6 +172,16 @@ object Ingest {
       textCol: String = "text"): DataFrame =
     graft.operators.TextOps.tokenEntropyGate(docs, idCol, textCol)
 
+  /** L129's streaming twin — PII detection/redaction applied at ingest
+    * so nothing un-redacted ever persists. Pure per-row regex:
+    * stateless, shuffle-free, identical verdicts on replay.
+    */
+  def piiStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.piiRedactGate(docs, idCol, textCol)
+
   /** L81's streaming twin — the seeded per-source downsample applied
     * at ingest time: a crawl stream is mixture-rebalanced as it
     * arrives (kept iff 16-bit md5(doc_id:seed) prefix · den < 65536 ·

@@ -317,4 +317,50 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       scores.mkString(","))
   }
+
+  test("piiRedactGate: planted PII counted and redacted, clean text untouched") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe+x@mail-host.co.uk or 555-867-5309 today"),
+      (2L, "ssn 123-45-6789 from 192.168.1.254 and 10.0.0.1"),
+      (3L, "totally clean text with numbers 12345 and v1.2 only")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedactGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // counts: (email, ssn, phone, ip)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4)) == ((1L, 0L, 1L, 0L)))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4)) == ((0L, 1L, 0L, 2L)))
+    assert(out(2).getLong(5) == 0L && out(2).getBoolean(7))
+    assert(!out(0).getBoolean(7) && !out(1).getBoolean(7))
+    // redaction replayed by hand (fixed order email, ssn, phone, ip)
+    def m(x: String) = md5Hex(x)
+    assert(out(0).getString(6) == m("contact <EMAIL> or <PHONE> today"))
+    assert(out(1).getString(6) == m("ssn <SSN> from <IP> and <IP>"))
+    assert(out(2).getString(6) ==
+      m("totally clean text with numbers 12345 and v1.2 only"))
+    // streaming twin: identical verdicts per micro-batch
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.piiStream(mem.toDF())
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      val input = Seq(
+        DocEvent(1L, "mail me a@b.io now", new java.sql.Timestamp(1000L)),
+        DocEvent(2L, "clean", new java.sql.Timestamp(2000L)))
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val sg = spark.table("pii_stream")
+        .select("doc_id", "pii_total", "redacted_md5", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3))).toSet
+      val bg = TextOps.piiRedactGate(input.toDF(), "doc_id", "text")
+        .select("doc_id", "pii_total", "redacted_md5", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getBoolean(3))).toSet
+      assert(sg == bg && sg.nonEmpty)
+    } finally { q.stop() }
+  }
 }
