@@ -5409,8 +5409,8 @@ object SparkEntry {
              ORDER BY score DESC, r.id LIMIT 1) n
            WHERE s.step < 16)
          SELECT step AS rank, id AS vec_id,
-           CASE WHEN round(score, 6) = 0 THEN 0.0
-             ELSE round(score, 6) END AS mmr_score
+           CASE WHEN round(score, 7) = 0 THEN 0.0
+             ELSE round(score, 7) END AS mmr_score
          FROM sel ORDER BY step""",
     // PII gate: RE2 replays the Java patterns (portable subset); the
     // 'g' flag matches Spark regexp_replace's replace-all semantics

@@ -1397,7 +1397,11 @@ object Similarity {
     * the collected candN²-bounded matrix (k·candN ops — bounded state,
     * never corpus-sized). λ defaults to 0.5 so the marginal score
     * 0.5·rel − 0.5·maxsim is exact double arithmetic on 6-dp inputs —
-    * the oracle's recursive replay cannot drift.
+    * the oracle's recursive replay cannot drift. The output score is
+    * rounded at SEVEN decimals: with λ = 0.5 every true score is a
+    * multiple of 5·10⁻⁷, so a 6-dp round would sit exactly on the
+    * half-way boundary where engine round() implementations disagree
+    * (measured at sf0.1); the 7-dp grid contains the scores exactly.
     */
   def mmrSelect(
       vectors: DataFrame,
@@ -1442,7 +1446,7 @@ object Similarity {
         }
         .minBy { case (id, sc) => (-sc, id) } // score desc, id asc
       picked += ((step.toLong, best._1,
-        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal(best._2).setScale(7, BigDecimal.RoundingMode.HALF_UP)
           .toDouble))
       chosen += best._1
     }

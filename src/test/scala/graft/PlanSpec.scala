@@ -529,4 +529,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(leak.isEmpty, "q132 exchanges document text")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q156-q163 wave: gates are pure scans, models broadcast, arrays stay off exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      // classifier + PII gate: per-row column algebra, zero shuffle
+      for ((nm, df) <- Seq(
+        "q156" -> graft.operators.TextOps
+          .hashedLinearQuality(docs, "doc_id", "text"),
+        "q163" -> graft.operators.TextOps
+          .piiRedactGate(docs, "doc_id", "text"))) {
+        assert(df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$nm must be a map-only scan")
+      }
+      // ExactSubstr coverage: exchanges carry (doc_id, i, 12-char h) —
+      // never the document text or the token array
+      val cov = graft.operators.TextOps
+        .exactSubstrDupCoverage(docs, "doc_id", "text")
+      val covLeaks = for {
+        e <- cov.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output
+        if a.name == "text" || a.dataType.simpleString.contains("array")
+      } yield a.name
+      assert(covLeaks.isEmpty, s"q157 exchanges text/arrays: $covLeaks")
+      // perplexity gate: the vocab-bounded model sides are BROADCAST —
+      // the corpus token stream must never sort-merge against them
+      val ppl = graft.operators.TextOps
+        .bigramPerplexityGate(docs, "doc_id", "text")
+      val pplPlan = ppl.queryExecution.executedPlan.toString
+      assert(pplPlan.contains("BroadcastHashJoin"), pplPlan.take(3000))
+      assert(!pplPlan.contains("SortMergeJoin"), pplPlan.take(3000))
+      // SQ8: both rank windows run on (qid, id, two longs) — the code
+      // and int arrays ride no exchange
+      val sq8 = graft.operators.Similarity
+        .sq8RecallReadout(Tables.embeddings(spark, sf))
+      val sq8Leaks = for {
+        e <- sq8.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output if a.dataType.simpleString.contains("array")
+      } yield a.name
+      assert(sq8Leaks.isEmpty, s"q161 exchanges arrays: $sq8Leaks")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
