@@ -10,7 +10,11 @@ import graft.operators.{Curation, Dedup, TextOps}
   * (cheapest gate first, text re-shuffled never):
   *
   *   1. Gopher rule gate (L72, scan-speed) ∧ blocklist gate (L84,
-  *      scan-speed) — per-doc keep verdicts, no exchange;
+  *      scan-speed) — per-doc keep verdicts, no exchange; with
+  *      `modelGates = true` ("modelGates" as a third CLI arg) the
+  *      learned stage ANDs in the hashed linear classifier (L122),
+  *      the bigram-LM perplexity gate (L125), and the PII drop-mode
+  *      gate (L129) — rules first, then model signals, then policy;
   *   2. normalization-insensitive exact dedup (L92) — canonical
   *      keepers by 8-byte hash groups;
   *   3. near-dup clusters (L2 LSH → L5 connected components) with
@@ -43,13 +47,38 @@ object CurationPipeline {
   def run(spark: SparkSession, sfDir: String,
       blocklist: Seq[String] = Seq("slow", "leak", "crash"),
       maxHits: Int = 2,
-      gateFirst: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+      gateFirst: Boolean = true,
+      modelGates: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val gate = TextOps.gopherRules(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("__k1"))
     val block = TextOps.blocklistFilter(docs, "doc_id", "text",
         blocklist, maxHits)
       .select(col("doc_id"), col("keep").as("__k2"))
+    // Optional round-11 model-gate stage (the modern curation order:
+    // rules first, then learned signals, then PII policy): hashed
+    // linear classifier (L122), bigram-LM perplexity (L125), PII
+    // drop-mode gate (L129). Each is the same oracle-gated operator as
+    // its q156/q159/q163 query; verdicts AND into one id-keyed column.
+    val model =
+      if (!modelGates)
+        docs.select(col("doc_id"), lit(true).as("__km"))
+      else {
+        val c = TextOps.hashedLinearQuality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("__kc"))
+        val p = TextOps.bigramPerplexityGate(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("__kp"))
+        val pii = TextOps.piiRedactGate(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("__kpii"))
+        // the verdict frame is consumed twice (dedup-input filter +
+        // final join) and its perplexity branch re-derives a 3-shuffle
+        // model chain per use — cache the (doc_id, bool) result, which
+        // is corpus-row-count × 9 bytes, not text
+        c.join(p, "doc_id").join(pii, "doc_id")
+          .select(col("doc_id"),
+            (col("__kc") && col("__kp") && col("__kpii")).as("__km"))
+          .cache()
+      }
     // Dedup corpus: gate survivors (production) or the full corpus
     // (q134-parity AND-composition). Either way the dedup operators
     // themselves are the same oracle-gated L92/L76 implementations.
@@ -57,6 +86,7 @@ object CurationPipeline {
       if (gateFirst)
         docs.join(gate.filter(col("__k1")).select(col("doc_id")), "doc_id")
           .join(block.filter(col("__k2")).select(col("doc_id")), "doc_id")
+          .join(model.filter(col("__km")).select(col("doc_id")), "doc_id")
       else docs
     val exactKeep = Dedup.normalizedDedup(dedupDocs, "doc_id", "text")
       .select(col("keeper").as("doc_id"), lit(true).as("__k3"))
@@ -68,10 +98,11 @@ object CurationPipeline {
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .join(gate, "doc_id").join(block, "doc_id")
+      .join(model, "doc_id")
       .join(exactKeep, Seq("doc_id"), "left")
       .join(nearKeep, Seq("doc_id"), "left")
       .join(split, "doc_id")
-      .filter(col("__k1") && col("__k2") &&
+      .filter(col("__k1") && col("__k2") && col("__km") &&
         coalesce(col("__k3"), lit(false)) &&
         coalesce(col("__k4"), lit(false)))
       .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
@@ -89,7 +120,8 @@ object CurationPipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val modelGates = args.length > 2 && args(2) == "modelGates"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -99,7 +131,8 @@ object CurationPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val (curated, census, savings) = run(spark, sfDir)
+    val (curated, census, savings) = run(spark, sfDir,
+      modelGates = modelGates)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")
