@@ -1504,6 +1504,24 @@ object SparkEntry {
       TextOps.piiRedactGate(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Dedup — edit-distance verification of the LSH candidate pairs
+    // (character-level second opinion; candidate-bounded DP)
+    "q164_edit_verify" -> ((s, dir) => {
+      Dedup.editDistanceVerify(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("i", "j")
+    }),
+    // Similarity — 1-bit sign-quantization Hamming recall (the 32x
+    // compression point next to SQ8 q161 and PQ q89)
+    "q165_binary_recall" -> ((s, dir) => {
+      Similarity.binaryHammingRecall(Tables.embeddings(s, dir))
+        .orderBy("qid")
+    }),
+    // Quality — classifier calibration vs the entropy gate by decile
+    // (agreement curve; trust-the-score check before gating on it)
+    "q166_calibration" -> ((s, dir) => {
+      Curation.classifierCalibration(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("bin")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5436,5 +5454,99 @@ object SparkEntry {
              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5,
            (n_email + n_ssn + n_phone + n_ip = 0) AS keep
          FROM p ORDER BY doc_id""",
+    // edit verify: the q19 brute-force pair set (banding-complete) +
+    // DuckDB's unit-cost levenshtein — same algorithm as Spark's
+    "q164_edit_verify" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                    FROM documents),
+         s AS (SELECT doc_id, text,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 a.text AS ta, b.text AS tb,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         v AS (SELECT i, j, round(jac, 6) AS jac,
+                 levenshtein(ta, tb)::BIGINT AS edit_dist,
+                 round(1.0 - levenshtein(ta, tb)::DOUBLE
+                   / greatest(len(ta), len(tb)), 6) AS lev_sim
+               FROM p WHERE jac >= 0.7)
+         SELECT i, j, jac, edit_dist, lev_sim,
+           (lev_sim >= 0.6) AS confirmed
+         FROM v ORDER BY i, j""",
+    // binary recall: sign bits of round(x*1e3), integer Hamming vs
+    // integer exact L2, same md5 query sample as q161
+    "q165_binary_recall" ->
+      """WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> round(x::DOUBLE * 1e3, 0)::BIGINT) AS nv
+                FROM embeddings),
+         u AS (SELECT vec_id, generate_subscripts(nv, 1) AS d,
+                 unnest(nv) AS x FROM e),
+         cd AS (SELECT vec_id, d, x,
+                  CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+                FROM u),
+         q AS (SELECT vec_id AS qid FROM e
+               ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         sc AS (SELECT q.qid, a.vec_id AS id,
+                  sum((a.x - b.x) * (a.x - b.x))::BIGINT AS dt,
+                  sum(abs(a.b - b.b))::BIGINT AS dh
+                FROM q JOIN cd b ON b.vec_id = q.qid
+                JOIN cd a ON a.d = b.d AND a.vec_id <> q.qid
+                GROUP BY 1, 2),
+         rk AS (SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid ORDER BY dt, id) AS rt,
+                  row_number() OVER (PARTITION BY qid ORDER BY dh, id) AS rh
+                FROM sc),
+         ov AS (SELECT qid, count(*)::BIGINT AS n_overlap FROM rk
+                WHERE rt <= 10 AND rh <= 10 GROUP BY 1)
+         SELECT q.qid, 10 AS k,
+           coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(ov.n_overlap, 0)::DOUBLE / 10, 6) AS recall
+         FROM q LEFT JOIN ov ON ov.qid = q.qid ORDER BY q.qid""",
+    // calibration: q156's prob fold + q155's entropy keep, decile bins
+    "q166_calibration" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(w, tk ->
+                   ((4096 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 1, 1)) - 1)
+                     + 256 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 2, 1)) - 1)
+                     + 16 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 4, 1)) - 1)) % 201
+                    - 100)::BIGINT)),
+                   (a, x) -> a + x) AS score_int
+               FROM t),
+         p AS (SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-(score_int::DOUBLE
+                   / (n_tokens::DOUBLE * 25.0)))), 6) AS prob
+               FROM s),
+         e AS (SELECT doc_id, w, len(w)::BIGINT AS n_tokens,
+                 list_sort(list_distinct(w)) AS d FROM t),
+         h AS (SELECT doc_id, n_tokens,
+                 list_reduce(list_prepend(0.0, list_transform(d,
+                   tk -> -(len(list_filter(w, x -> x = tk))::DOUBLE
+                            / n_tokens)
+                         * ln(len(list_filter(w, x -> x = tk))::DOUBLE
+                            / n_tokens))),
+                   (acc, x) -> acc + x) AS hh
+               FROM e),
+         k AS (SELECT doc_id,
+                 (CASE WHEN n_tokens > 1
+                    THEN round(hh / ln(n_tokens::DOUBLE), 6)
+                    ELSE 0.0 END >= 0.5) AS ek
+               FROM h),
+         b AS (SELECT least(floor(p.prob * 10)::BIGINT, 9) AS bin, k.ek
+               FROM p JOIN k ON k.doc_id = p.doc_id)
+         SELECT bin, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ek THEN 1 ELSE 0 END)::BIGINT AS n_entropy_keep,
+           round(sum(CASE WHEN ek THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS entropy_keep_frac
+         FROM b GROUP BY bin ORDER BY bin""",
   )
 }

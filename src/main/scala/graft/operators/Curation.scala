@@ -808,6 +808,35 @@ object Curation {
           * col("__tot") / col("n_tokens"), 6).as("eff_epochs"))
   }
 
+  /** Classifier calibration / gate-agreement readout — before trusting
+    * a learned quality score ([[TextOps.hashedLinearQuality]]) to gate
+    * a corpus, check it against an independent signal: bin documents
+    * by classifier-probability decile and report how often the
+    * token-entropy gate ([[TextOps.tokenEntropyGate]]) agrees per bin.
+    * A well-behaved score shows agreement rising with the decile; a
+    * flat curve means the classifier ranks noise. Two scan-speed
+    * per-doc signals + one 10-row aggregation — nothing corpus-sized
+    * on any exchange.
+    */
+  def classifierCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val prob = TextOps.hashedLinearQuality(docs, idCol, textCol)
+      .select(col("doc_id"), col("prob"))
+    val ent = TextOps.tokenEntropyGate(docs, idCol, textCol)
+      .select(col("doc_id"), col("keep").as("__ek"))
+    prob.join(ent, "doc_id")
+      .withColumn("bin",
+        least(floor(col("prob") * 10), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ek"), 1L).otherwise(0L)).as("n_entropy_keep"))
+      .select(col("bin"), col("n_docs"), col("n_entropy_keep"),
+        round(col("n_entropy_keep").cast("double") / col("n_docs"), 6)
+          .as("entropy_keep_frac"))
+  }
+
   /** Budget-constrained quality selection — the planner step that turns
     * a per-doc quality score ([[TextOps.hashedLinearQuality]]) into an
     * actual training subset: per source, take documents in quality

@@ -1478,4 +1478,39 @@ object Dedup {
         round(col("n_shared").cast("double")
           / least(col("nf_i"), col("nf_jm")), 6).as("overlap"))
   }
+
+  /** Edit-distance verification of near-dup candidates — the
+    * character-level second opinion fuzzy-dedup pipelines run on the
+    * token-level candidate set (token Jaccard is blind to in-word
+    * edits, number substitutions, and whitespace damage; Levenshtein
+    * is not): every [[minhashLsh]] pair (Jaccard ≥ threshold, banding-
+    * complete) gets its exact edit distance and the normalized
+    * similarity 1 − lev/max(|a|, |b|), plus a confirm verdict at
+    * `minSim`. Both engines ship the same unit-cost Levenshtein
+    * built-in, so the verdict is oracle-exact.
+    *
+    * Scale: the expensive O(|a|·|b|) DP runs ONLY on the LSH candidate
+    * set — candidate-bounded like every verify stage here; document
+    * text rides the two id-keyed verify joins and nothing else.
+    */
+  def editDistanceVerify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      minSim: Double = 0.6): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, threshold = threshold)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+    val t = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val sim = round(lit(1.0) - col("__lev").cast("double")
+      / greatest(length(col("__ta")), length(col("__tb"))), 6)
+    pairs
+      .join(t.select(col("__id").as("i"), col("__t").as("__ta")), "i")
+      .join(t.select(col("__id").as("j"), col("__t").as("__tb")), "j")
+      .withColumn("__lev", levenshtein(col("__ta"), col("__tb")))
+      .select(col("i"), col("j"), col("jac"),
+        col("__lev").cast("long").as("edit_dist"),
+        sim.as("lev_sim"),
+        (sim >= minSim).as("confirmed"))
+  }
 }

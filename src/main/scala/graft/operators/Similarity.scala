@@ -1453,6 +1453,55 @@ object Similarity {
     picked.toSeq.toDF("rank", "vec_id", "mmr_score")
   }
 
+  /** Binary (1-bit) sign-quantization recall readout — the most
+    * aggressive embedding compression in the SQ8→PQ family (q161/q89):
+    * one SIGN BIT per dimension (Charikar 2002 sign-random-projection
+    * with the identity rotation; "binary embeddings" in retrieval
+    * practice — 32× smaller than float32), neighbors ranked by Hamming
+    * distance, readout = top-k recall vs the exact ranking over the
+    * same md5-seeded query sample as q161. Read the three readouts
+    * together to pick the compression point: 1-bit Hamming (cheapest,
+    * lossiest) vs SQ8 (4×) vs PQ (codebooks).
+    *
+    * Determinism: bits are signs of round(x·10³) BIGINTs, Hamming and
+    * exact L2 are integer arithmetic with id tie-break — no float in
+    * either rank.
+    */
+  def binaryHammingRecall(
+      vectors: DataFrame,
+      k: Int = 10,
+      sampleN: Int = 8): DataFrame = {
+    require(k >= 1 && sampleN >= 1, s"bad k=$k sampleN=$sampleN")
+    val nv = vectors.select(col("vec_id").as("id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1e3, 0).cast("long")).as("nv"))
+    val coded = nv.withColumn("bits",
+      transform(col("nv"), x => when(x > 0, lit(1L)).otherwise(lit(0L))))
+    val q = coded.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .select(col("id").as("qid"), col("nv").as("qnv"),
+        col("bits").as("qbits"))
+    val d2t = aggregate(zip_with(col("nv"), col("qnv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val ham = aggregate(zip_with(col("bits"), col("qbits"),
+      (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x)
+    val scored = coded.join(broadcast(q), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), d2t.as("__dt"), ham.as("__dh"))
+    val wt = Window.partitionBy(col("qid")).orderBy(col("__dt"), col("id"))
+    val wh = Window.partitionBy(col("qid")).orderBy(col("__dh"), col("id"))
+    val overlap = scored
+      .withColumn("rt", row_number().over(wt))
+      .withColumn("rh", row_number().over(wh))
+      .filter(col("rt") <= k && col("rh") <= k)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** md5-derived ±1 signs for [[jlProjectionDistortion]]: sign (j, d)
     * = +1 if the first hex nibble of md5("jl:seed:j:d") is even, else
     * −1 — the Achlioptas 2003 database-friendly projection entries,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Curation, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 import graft.streaming.Ingest
 
 /** Hand-math specs for the round-11 operators (q151–q153). */
@@ -392,5 +392,65 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (again, _, _) = CurationPipeline.run(s, dir)
     assert(again.select("doc_id").collect().map(_.getLong(0)).toSet
       == baseIds)
+  }
+
+  test("editDistanceVerify: single-char edit confirmed, long-token graft rejected") {
+    val s = spark; import s.implicits._
+    val base = (1 to 11).map("t" + _).mkString(" ")
+    val graftTok = "z" * 44
+    val docs = Seq(
+      (1L, base + " x"),                 // candidates: trigram jac 9/11
+      (2L, base + " y"),                 // 1-char edit vs doc 1
+      (3L, base + " " + graftTok),       // same jac, 43-insert edit
+      (4L, (20 to 35).map("u" + _).mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistanceVerify(docs, "doc_id", "text")
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val len12 = (base + " x").length
+    assert(out((1L, 2L)) == ((1L,
+      BigDecimal(1.0 - 1.0 / len12).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, true)))
+    // the grafted long token keeps token-Jaccard high but the char-level
+    // similarity collapses below 0.6 -> not confirmed
+    val g = out((1L, 3L))
+    assert(g._1 == 44L && !g._3, s"graft pair: $g") // 1 sub + 43 inserts
+    assert(!out.contains((1L, 4L)) && !out.contains((2L, 4L)))
+  }
+
+  test("binaryHammingRecall: sign-exact corpus perfect, all-positive collapse fails") {
+    val s = spark; import s.implicits._
+    // {-1, 1}-valued vectors: hamming = L2^2 / 4 exactly -> recall 1.0
+    val pm = Seq(
+      (0L, Seq(1f, 1f), 0), (1L, Seq(1f, -1f), 0),
+      (2L, Seq(-1f, 1f), 0), (3L, Seq(-1f, -1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.binaryHammingRecall(pm, k = 2, sampleN = 4).collect()
+    assert(g.length == 4 && g.forall(_.getDouble(3) == 1.0))
+    // all-positive vectors share one code word: hamming ties break by id
+    // and pick the FAR vector id1 over the near id2 -> recall@1 = 0
+    val ap = Seq(
+      (0L, Seq(0.1f, 0.9f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.1f, 0.8f), 0), (3L, Seq(-1f, -1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r0 = Similarity.binaryHammingRecall(ap, k = 1, sampleN = 4)
+      .filter(col("qid") === 0).collect()(0)
+    assert(r0.getLong(2) == 0L, s"collapse row: $r0")
+  }
+
+  test("classifierCalibration: bins partition the corpus, fractions consistent") {
+    val s = spark
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val out = Curation.classifierCalibration(docs, "doc_id", "text")
+      .collect()
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    out.foreach { r =>
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
   }
 }
