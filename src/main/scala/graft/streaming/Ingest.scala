@@ -172,6 +172,16 @@ object Ingest {
       textCol: String = "text"): DataFrame =
     graft.operators.TextOps.tokenEntropyGate(docs, idCol, textCol)
 
+  /** L122's streaming twin — the hashed linear classifier scored at
+    * ingest (the fastText-shape gate is a pure per-row fold, so the
+    * learned quality filter runs on the stream with zero state).
+    */
+  def classifierStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.TextOps.hashedLinearQuality(docs, idCol, textCol)
+
   /** L129's streaming twin — PII detection/redaction applied at ingest
     * so nothing un-redacted ever persists. Pure per-row regex:
     * stateless, shuffle-free, identical verdicts on replay.

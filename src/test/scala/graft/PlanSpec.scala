@@ -573,6 +573,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         a <- e.output if a.dataType.simpleString.contains("array")
       } yield a.name
       assert(sq8Leaks.isEmpty, s"q161 exchanges arrays: $sq8Leaks")
+      // binary recall: same contract as q161 — bit/int arrays stay off
+      // the rank-window exchanges
+      val bin = graft.operators.Similarity
+        .binaryHammingRecall(Tables.embeddings(spark, sf))
+      val binLeaks = for {
+        e <- bin.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output if a.dataType.simpleString.contains("array")
+      } yield a.name
+      assert(binLeaks.isEmpty, s"q165 exchanges arrays: $binLeaks")
+      // calibration: the per-doc signal join exchanges (doc_id, prob,
+      // bool) — document text never shuffles
+      val cal = graft.operators.Curation
+        .classifierCalibration(Tables.documents(spark, sf), "doc_id", "text")
+      val calLeaks = for {
+        e <- cal.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+        a <- e.output if a.name == "text"
+      } yield a.name
+      assert(calLeaks.isEmpty, s"q166 exchanges text: $calLeaks")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

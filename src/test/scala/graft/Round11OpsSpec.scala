@@ -364,6 +364,31 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop() }
   }
 
+  test("classifierStream twin matches the batch body row-for-row") {
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.classifierStream(mem.toDF())
+      .writeStream.format("memory").queryName("classifier_stream")
+      .outputMode("append").start()
+    try {
+      val input = Seq(
+        DocEvent(1L, "a b c d e", new java.sql.Timestamp(1000L)),
+        DocEvent(2L, "table scan merge join", new java.sql.Timestamp(2000L)))
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val sg = spark.table("classifier_stream")
+        .select("doc_id", "score_int", "prob", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      val bg = TextOps.hashedLinearQuality(input.toDF(), "doc_id", "text")
+        .select("doc_id", "score_int", "prob", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(sg == bg && sg.nonEmpty)
+    } finally { q.stop() }
+  }
+
   test("CurationPipeline modelGates: survivors honor classifier/perplexity/PII, subset of base run") {
     val s = spark; import s.implicits._
     val dir = "/root/testdata/sf0.001"
