@@ -1522,6 +1522,18 @@ object SparkEntry {
       Curation.classifierCalibration(Tables.documents(s, dir), "doc_id",
         "text").orderBy("bin")
     }),
+    // Splits — leakage REPAIR (the action on q132's diagnostic: drop
+    // the less-protected member of every cross-split near-dup pair)
+    "q167_split_repair" -> ((s, dir) => {
+      Curation.splitLeakRepair(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Mixture — integer sampling-rate plan bridging q153's temperature
+    // targets to q115's seeded sampler (exact BIGINT rate fold)
+    "q168_mixture_rates" -> ((s, dir) => {
+      Curation.mixtureRatePlan(Tables.documents(s, dir), "text", "source")
+        .orderBy("source")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5548,5 +5560,70 @@ object SparkEntry {
            round(sum(CASE WHEN ek THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
              AS entropy_keep_frac
          FROM b GROUP BY bin ORDER BY bin""",
+    // split repair: q53's brute-force pair set + the q129 md5 split
+    // verdict; dropped = the lower-priority (train<valid<test) side
+    "q167_split_repair" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         hh AS (SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS h
+                FROM documents),
+         sp AS (SELECT doc_id,
+                  CASE WHEN h16 < 52429 THEN 'train'
+                       WHEN h16 < 58982 THEN 'valid' ELSE 'test' END AS split,
+                  CASE WHEN h16 < 52429 THEN 0
+                       WHEN h16 < 58982 THEN 1 ELSE 2 END AS rk
+                FROM (SELECT doc_id,
+                        (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                          * 4096
+                      + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                          * 256
+                      + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)
+                          * 16
+                      + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+                          AS h16
+                      FROM hh)),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         x AS (SELECT CASE WHEN a.rk < b.rk THEN p.i ELSE p.j END AS did
+               FROM p JOIN sp a ON a.doc_id = p.i
+               JOIN sp b ON b.doc_id = p.j
+               WHERE a.split <> b.split),
+         d AS (SELECT did AS doc_id, count(*)::BIGINT AS n_leak_pairs
+               FROM x GROUP BY 1)
+         SELECT sp.doc_id, sp.split,
+           CASE WHEN d.doc_id IS NULL THEN 'keep' ELSE 'drop_leak' END
+             AS action,
+           coalesce(d.n_leak_pairs, 0)::BIGINT AS n_leak_pairs
+         FROM sp LEFT JOIN d USING (doc_id) ORDER BY sp.doc_id""",
+    // mixture rates: q153's weight chain, rates normalized to the
+    // most-upsampled source (max wi/ni), integer floor-div plan
+    "q168_mixture_rates" ->
+      """WITH per AS (SELECT source,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+               FROM documents GROUP BY 1),
+         tt AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+         s AS (SELECT source, n_tokens,
+                 round(n_tokens::DOUBLE / tot, 6) AS p FROM per, tt),
+         w AS (SELECT source, n_tokens, p,
+                 round(pow(p, 0.5) * 1e6, 0)::BIGINT AS wi FROM s),
+         b AS (SELECT wi AS wstar, n_tokens AS nstar FROM w
+               ORDER BY wi::DOUBLE / n_tokens DESC, source LIMIT 1),
+         pl AS (SELECT source, n_tokens, p, wi,
+                  least(4096, (wi * nstar * 4096)
+                    // (n_tokens * wstar)) AS rate_num
+                FROM w, b),
+         pr AS (SELECT source, n_tokens, p, wi, rate_num,
+                  (n_tokens * rate_num) // 4096 AS projected_tokens
+                FROM pl),
+         kt AS (SELECT sum(projected_tokens)::BIGINT AS ktot FROM pr)
+         SELECT source, n_tokens, p, wi AS weight_int,
+           rate_num, 4096 AS rate_den, projected_tokens,
+           round(projected_tokens::DOUBLE / ktot, 6) AS proj_share
+         FROM pr, kt ORDER BY source""",
   )
 }

@@ -808,6 +808,115 @@ object Curation {
           * col("__tot") / col("n_tokens"), 6).as("eff_epochs"))
   }
 
+  /** Split-leakage REPAIR — the action q132's diagnostic calls for:
+    * for every near-dup pair that crosses a split boundary, drop the
+    * member on the LESS protected side (priority train < valid <
+    * test — eval sets stay intact, the train copy goes, the standard
+    * decontamination direction). Output is a per-doc action frame
+    * (keep / drop_leak + the number of cross-split pairs the doc lost
+    * to) — filter `action = 'keep'` and the resulting corpus has ZERO
+    * cross-split near-dup pairs by construction, because every
+    * surviving pair member sits on the protected side of each of its
+    * pairs. Rides the exact posting-list pair join (L4/q53 machinery,
+    * capped postings); the repair itself is id-keyed joins + one
+    * dropped-id aggregation — text never re-shuffles.
+    */
+  def splitLeakRepair(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.ngramJaccardJoin(docs, idCol, textCol,
+      threshold = threshold)
+    val rk = when(col("split") === "train", 0)
+      .when(col("split") === "valid", 1).otherwise(2)
+    val sp = docs.select(col(idCol).as("doc_id"),
+        splitCol(idCol).as("split"))
+      .withColumn("rk", rk)
+    val dropped = pairs
+      .join(sp.select(col("doc_id").as("i"), col("split").as("__sa"),
+        col("rk").as("__ra")), "i")
+      .join(sp.select(col("doc_id").as("j"), col("split").as("__sb"),
+        col("rk").as("__rb")), "j")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(when(col("__ra") < col("__rb"), col("i")).otherwise(col("j"))
+        .as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    sp.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("__n").isNull, lit("keep")).otherwise(lit("drop_leak"))
+          .as("action"),
+        coalesce(col("__n"), lit(0L)).as("n_leak_pairs"))
+  }
+
+  /** Mixture-rate plan — the bridge from the temperature MIXTURE
+    * (L119/q153: what shares the training mix SHOULD have) to the
+    * seeded SAMPLER (L81/q115: integer num/den keep rates executed at
+    * scan speed): per source, the integer sampling rate
+    * (wi/ni)/(wstar/nstar) on a fixed `den` grid — normalized to the
+    * MOST-upsampled source (which keeps rate 1), because a sampler can
+    * only drop documents, never mint them: scaling the whole plan to
+    * the binding source makes the realized token mixture EXACTLY
+    * proportional to the temperature weights (up to the den-grid
+    * floor), where a min(1, target/current) clip would silently miss
+    * the target wherever the target upsamples. Feed the (num, den)
+    * pairs straight into `seededSourceSample` / `Ingest.sampleStream`
+    * and the persisted corpus lands on the temperature mixture —
+    * planning and execution in the same integer arithmetic, so the
+    * oracle replays the plan bit-for-bit.
+    *
+    * The rate fold is exact BIGINT: num = floor(wi·nstar·den / (ni·wstar)) ≤ den.
+    * Magnitude envelope: wi ≤ 10⁶, so the numerator tops out near
+    * 10⁶·N·den — exact in BIGINT to N ≈ 10¹¹ tokens at den 4096; above
+    * that (true 100 TB corpora) run the same fold in DECIMAL(38,0), a
+    * one-line swap documented here rather than paid on every small
+    * corpus.
+    */
+  def mixtureRatePlan(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      alpha: Double = 0.5,
+      den: Int = 4096): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(den > 0, s"den must be > 0: $den")
+    val per = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__N"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("n_tokens").cast("double") / col("__N"), 6))
+      .withColumn("__w",
+        round(pow(col("p"), lit(alpha)) * 1e6, 0).cast("long"))
+    // normalize rates to the MOST-upsampled source (max wi/ni, ties by
+    // source name): a sampler can only drop, never mint, documents —
+    // scaling the whole plan so that source keeps rate 1 makes the
+    // realized mixture EXACTLY ∝ the temperature weights (up to the
+    // den-grid floor), instead of silently missing the target wherever
+    // min(1, target/current) would clip
+    val best = scored
+      .orderBy((col("__w").cast("double") / col("n_tokens")).desc,
+        col("source"))
+      .limit(1)
+      .select(col("__w").as("__wstar"), col("n_tokens").as("__nstar"))
+    val planned = scored.crossJoin(broadcast(best))
+      .select(col("source"), col("n_tokens"), col("p"),
+        col("__w").as("wi"), col("__wstar").as("wstar"),
+        col("__nstar").as("nstar"))
+      .withColumn("rate_num", least(lit(den.toLong),
+        expr(s"(wi * nstar * $den) div (n_tokens * wstar)")))
+      .withColumn("projected_tokens",
+        expr(s"(n_tokens * rate_num) div $den"))
+    val kTot = planned.agg(sum(col("projected_tokens")).as("__ksum"))
+    planned.crossJoin(broadcast(kTot))
+      .select(col("source"), col("n_tokens"), col("p"),
+        col("wi").as("weight_int"),
+        col("rate_num"), lit(den).as("rate_den"),
+        col("projected_tokens"),
+        round(col("projected_tokens").cast("double") / col("__ksum"), 6)
+          .as("proj_share"))
+  }
+
   /** Classifier calibration / gate-agreement readout — before trusting
     * a learned quality score ([[TextOps.hashedLinearQuality]]) to gate
     * a corpus, check it against an independent signal: bin documents

@@ -464,6 +464,63 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r0.getLong(2) == 0L, s"collapse row: $r0")
   }
 
+  test("splitLeakRepair: cross-split dup drops the train member, repaired corpus leak-free") {
+    val s = spark; import s.implicits._
+    def h16(id: Long): Int =
+      Integer.parseInt(md5Hex(s"$id:42").take(4), 16)
+    def split(id: Long): String = {
+      val h = h16(id)
+      if (h < 52429) "train" else if (h < 58982) "valid" else "test"
+    }
+    val ids = (1L to 60L)
+    val aTrain = ids.find(split(_) == "train").get
+    val bTest = ids.find(split(_) == "test").get
+    val cTrain = ids.filter(split(_) == "train").drop(1).head
+    val dTrain = ids.filter(split(_) == "train").drop(2).head
+    val eTrain = ids.filter(split(_) == "train").drop(3).head
+    val dup = (1 to 10).map("s" + _).mkString(" ")
+    val other = (11 to 20).map("u" + _).mkString(" ")
+    val docs = Seq(
+      (aTrain, dup), (bTest, dup),      // cross-split: train member drops
+      (cTrain, other), (dTrain, other), // same-split dup: both keep
+      (eTrain, (30 to 40).map("v" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.splitLeakRepair(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(aTrain) == (("train", "drop_leak", 1L)), out.toString)
+    assert(out(bTest) == (("test", "keep", 0L)))
+    assert(out(cTrain)._2 == "keep" && out(dTrain)._2 == "keep")
+    assert(out(eTrain)._2 == "keep")
+    // closure: survivors have zero cross-split near-dup pairs
+    val kept = out.filter(_._2._2 == "keep").keySet
+    val keptDocs = docs.filter(col("doc_id").isin(kept.toSeq: _*))
+    val residual = Curation.splitLeakRepair(keptDocs, "doc_id", "text")
+      .filter(col("action") === "drop_leak").count()
+    assert(residual == 0)
+  }
+
+  test("mixtureRatePlan: binding source at rate 1, realized mix hits the temperature target") {
+    val s = spark; import s.implicits._
+    // source A: 900 tokens, B: 100 -> targets .75/.25 at alpha=.5
+    val line = (1 to 100).map(_ => "a").mkString(" ")
+    val docs = ((1 to 9).map(i => (i.toLong, line, "A"))
+      :+ ((10L, line, "B"))).toDF("doc_id", "text", "source")
+    val out = Curation.mixtureRatePlan(docs, "text", "source")
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getDouble(7)))).toMap
+    // wi = round(sqrt(p)*1e6): A 948683, B 316228; B binds (rate 4096)
+    assert(out("B") == ((100L, 316228L, 4096L, 100L, 0.250627)))
+    // A: floor(948683*100*4096 / (900*316228)) = 1365
+    assert(out("A")._3 == 1365L)
+    assert(out("A")._4 == (900L * 1365L) / 4096L) // 299
+    // realized shares: 299/399 and 100/399 — the .75/.25 target up to
+    // the projected-token floor (one token of rounding on 399 kept)
+    assert(out("A")._5 == 0.749373)
+    assert(out("B")._5 == 0.250627)
+  }
+
   test("classifierCalibration: bins partition the corpus, fractions consistent") {
     val s = spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
