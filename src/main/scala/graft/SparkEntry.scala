@@ -1534,6 +1534,12 @@ object SparkEntry {
       Curation.mixtureRatePlan(Tables.documents(s, dir), "text", "source")
         .orderBy("source")
     }),
+    // Curriculum — quality-phased md5 reshard (training order as data;
+    // percentile-cut phases, (phase, shard)-partitioned ranks)
+    "q169_curriculum_reshard" -> ((s, dir) => {
+      Curation.curriculumReshard(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5625,5 +5631,49 @@ object SparkEntry {
            rate_num, 4096 AS rate_den, projected_tokens,
            round(projected_tokens::DOUBLE / ktot, 6) AS proj_share
          FROM pr, kt ORDER BY source""",
+    // curriculum reshard: q156 prob chain -> quantile_cont cuts (q91
+    // pattern) -> md5 shard + (phase, shard)-partitioned rank
+    "q169_curriculum_reshard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(w, tk ->
+                   ((4096 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 1, 1)) - 1)
+                     + 256 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 2, 1)) - 1)
+                     + 16 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 4, 1)) - 1)) % 201
+                    - 100)::BIGINT)),
+                   (a, x) -> a + x) AS score_int
+               FROM t),
+         p AS (SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-(score_int::DOUBLE
+                   / (n_tokens::DOUBLE * 25.0)))), 6) AS prob
+               FROM s),
+         c AS (SELECT list_transform(
+                 quantile_cont(prob, [x / 4.0 for x in range(1, 4)]),
+                 v -> round(v, 6)) AS cuts FROM p),
+         ph AS (SELECT doc_id, prob,
+                  (4 - len(list_filter(c.cuts, x -> p.prob > x)))::INTEGER
+                    AS phase
+                FROM p, c),
+         sh AS (SELECT doc_id, prob, phase,
+                  (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                      * 4096
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                      * 256
+                    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)
+                      * 16
+                    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1))
+                   % 8)::BIGINT AS shard,
+                  md5(doc_id::VARCHAR || '#42') AS k
+                FROM (SELECT doc_id, prob, phase,
+                        md5(doc_id::VARCHAR || ':42') AS h FROM ph))
+         SELECT doc_id, prob, phase, shard,
+           row_number() OVER (PARTITION BY phase, shard
+             ORDER BY k, doc_id)::BIGINT AS pos
+         FROM sh ORDER BY doc_id""",
   )
 }

@@ -917,6 +917,55 @@ object Curation {
           .as("proj_share"))
   }
 
+  /** Curriculum reshard — training order as data: documents are
+    * staged into `phases` curriculum phases by classifier-quality
+    * quantile (phase 1 = highest quality, read first — the standard
+    * curriculum), then sharded and ordered WITHIN (phase, shard) by
+    * md5 — the q104 reshard discipline applied per phase. A trainer
+    * reads shards phase-by-phase and gets the curriculum without any
+    * global sort: phase assignment compares the 6-dp prob against
+    * driver-collected percentile cuts (the q91 bounded-state pattern
+    * — never a global rank window), and every rank window is
+    * (phase, shard)-partitioned, so partition width is
+    * corpus/(phases·shards) at any scale. Deterministic in
+    * (doc_id, seed).
+    */
+  def curriculumReshard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phases: Int = 4,
+      numShards: Int = 8,
+      seed: Int = 42): DataFrame = {
+    require(phases >= 2 && numShards >= 1,
+      s"bad phases=$phases numShards=$numShards")
+    val scored = TextOps.hashedLinearQuality(docs, idCol, textCol)
+      .select(col("doc_id"), col("prob"))
+    val qs = (1 until phases).map(_.toDouble / phases)
+    val cuts: Seq[Double] = scored
+      .agg(percentile(col("prob"), typedLit(qs)).as("c"))
+      .head().getSeq[Double](0)
+      .map(c => BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // bin counts cuts BELOW the prob (0 = lowest-quality quantile);
+    // phase inverts it so phase 1 = the top-quality quantile
+    val phased = scored.withColumn("phase",
+      lit(phases) - size(filter(typedLit(cuts), c => col("prob") > c)))
+    val h16 = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + seed))), 1, 4),
+      16, 10).cast("long")
+    val keyed = phased
+      .withColumn("shard", pmod(h16, lit(numShards.toLong)))
+      .withColumn("__k",
+        md5(concat(col("doc_id").cast("string"), lit("#" + seed))))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("__k"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("prob"), col("phase"), col("shard"),
+        col("pos"))
+  }
+
   /** Classifier calibration / gate-agreement readout — before trusting
     * a learned quality score ([[TextOps.hashedLinearQuality]]) to gate
     * a corpus, check it against an independent signal: bin documents

@@ -521,6 +521,29 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("B")._5 == 0.250627)
   }
 
+  test("curriculumReshard: quality-ordered phases, contiguous shard positions") {
+    val s = spark
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val out = Curation.curriculumReshard(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == docs.count())
+    // phase quality ordering: every phase-k doc scores >= every
+    // phase-(k+1) doc (cut ties may equalize, never invert)
+    val byPhase = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (k <- 1 until byPhase.keys.max)
+      assert(byPhase(k).min >= byPhase(k + 1).max - 1e-9,
+        s"phase $k min ${byPhase(k).min} < phase ${k + 1} max")
+    // positions are contiguous 1..n within each (phase, shard)
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // quartiles are balanced within the percentile-tie tolerance
+    val sizes = byPhase.values.map(_.length)
+    assert(sizes.max - sizes.min <= out.length / 4,
+      s"unbalanced phases: $byPhase")
+  }
+
   test("classifierCalibration: bins partition the corpus, fractions consistent") {
     val s = spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
