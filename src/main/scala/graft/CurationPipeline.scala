@@ -48,7 +48,8 @@ object CurationPipeline {
       blocklist: Seq[String] = Seq("slow", "leak", "crash"),
       maxHits: Int = 2,
       gateFirst: Boolean = true,
-      modelGates: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      modelGates: Boolean = false,
+      repairLeaks: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val gate = TextOps.gopherRules(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("__k1"))
@@ -94,15 +95,26 @@ object CurationPipeline {
       .select(col("keeper").as("doc_id"), lit(true).as("__k4"))
     val split = Curation.splitAssignment(docs, "doc_id", "source")
       .select(col("doc_id"), col("split"))
+    // Split-leakage repair (L133): drop the less-protected member of
+    // every cross-split near-dup pair, so the shipped corpus carries
+    // zero train→eval leakage by construction. Runs on the FULL corpus
+    // (a leaking pair must be caught even when one member fails a
+    // gate) and ANDs in as one more id-keyed verdict.
+    val leakOk =
+      if (!repairLeaks)
+        docs.select(col("doc_id"), lit(true).as("__kl"))
+      else Curation.splitLeakRepair(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("action") === "keep").as("__kl"))
     val curated = docs
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .join(gate, "doc_id").join(block, "doc_id")
       .join(model, "doc_id")
+      .join(leakOk, "doc_id")
       .join(exactKeep, Seq("doc_id"), "left")
       .join(nearKeep, Seq("doc_id"), "left")
       .join(split, "doc_id")
-      .filter(col("__k1") && col("__k2") && col("__km") &&
+      .filter(col("__k1") && col("__k2") && col("__km") && col("__kl") &&
         coalesce(col("__k3"), lit(false)) &&
         coalesce(col("__k4"), lit(false)))
       .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
@@ -121,7 +133,9 @@ object CurationPipeline {
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    val modelGates = args.length > 2 && args(2) == "modelGates"
+    val flags = args.drop(2).toSet
+    val modelGates = flags.contains("modelGates")
+    val repairLeaks = flags.contains("repairLeaks")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,7 +146,7 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val (curated, census, savings) = run(spark, sfDir,
-      modelGates = modelGates)
+      modelGates = modelGates, repairLeaks = repairLeaks)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")

@@ -521,6 +521,25 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("B")._5 == 0.250627)
   }
 
+  test("CurationPipeline repairLeaks: curated output has zero cross-split near-dup pairs") {
+    val s = spark; import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (repaired, _, _) = CurationPipeline.run(s, dir, repairLeaks = true)
+    val keptIds = repaired.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    // closure on the ACTUAL curated corpus: rerunning the leak scan on
+    // the survivors finds nothing to drop
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val residual = Curation.splitLeakRepair(docs, "doc_id", "text")
+      .filter(col("action") === "drop_leak").count()
+    assert(residual == 0)
+    // and the flag only ever REMOVES docs relative to the base run
+    val (base, _, _) = CurationPipeline.run(s, dir)
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(baseIds))
+  }
+
   test("curriculumReshard: quality-ordered phases, contiguous shard positions") {
     val s = spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
