@@ -1540,6 +1540,10 @@ object SparkEntry {
       Curation.curriculumReshard(Tables.documents(s, dir), "doc_id",
         "text").orderBy("doc_id")
     }),
+    // Curation — one-row corpus datasheet (the dataset-card numbers)
+    "q170_corpus_datasheet" -> ((s, dir) => {
+      Curation.corpusDatasheet(Tables.documents(s, dir), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5675,5 +5679,47 @@ object SparkEntry {
            row_number() OVER (PARTITION BY phase, shard
              ORDER BY k, doc_id)::BIGINT AS pos
          FROM sh ORDER BY doc_id""",
+    // datasheet: counts + vocab + top language + q156-prob quartiles
+    "q170_corpus_datasheet" ->
+      """WITH t AS (SELECT doc_id, text, lang, source,
+                  string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT count(*)::BIGINT AS n_docs,
+                    sum(len(w))::BIGINT AS n_tokens,
+                    count(DISTINCT source)::BIGINT AS n_sources,
+                    count(DISTINCT lang)::BIGINT AS n_langs,
+                    count(DISTINCT md5(text))::BIGINT AS uniq
+                  FROM t),
+         v AS (SELECT count(DISTINCT tok)::BIGINT AS vocab_size
+               FROM (SELECT unnest(w) AS tok FROM t)),
+         tl AS (SELECT lang AS top_lang, count(*)::BIGINT AS lc
+                FROM t GROUP BY 1 ORDER BY lc DESC, top_lang LIMIT 1),
+         s AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(w, tk ->
+                   ((4096 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 1, 1)) - 1)
+                     + 256 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 2, 1)) - 1)
+                     + 16 * (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef',
+                               substring(md5('qw:' || tk), 4, 1)) - 1)) % 201
+                    - 100)::BIGINT)),
+                   (a, x) -> a + x) AS score_int
+               FROM t),
+         p AS (SELECT round(1.0 / (1.0 + exp(-(score_int::DOUBLE
+                 / (n_tokens::DOUBLE * 25.0)))), 6) AS prob FROM s),
+         q AS (SELECT round(quantile_cont(prob, 0.25), 6) AS prob_p25,
+                 round(quantile_cont(prob, 0.5), 6) AS prob_p50,
+                 round(quantile_cont(prob, 0.75), 6) AS prob_p75
+               FROM p)
+         SELECT base.n_docs, base.n_tokens, base.n_sources, base.n_langs,
+           v.vocab_size,
+           round(base.n_tokens::DOUBLE / base.n_docs, 6) AS mean_tokens,
+           round(1.0 - base.uniq::DOUBLE / base.n_docs, 6)
+             AS exact_dup_frac,
+           tl.top_lang,
+           round(tl.lc::DOUBLE / base.n_docs, 6) AS top_lang_share,
+           q.prob_p25, q.prob_p50, q.prob_p75
+         FROM base, v, tl, q""",
   )
 }

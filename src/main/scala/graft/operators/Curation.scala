@@ -966,6 +966,63 @@ object Curation {
         col("pos"))
   }
 
+  /** Corpus datasheet — the one-row dataset card a release ships
+    * (Gebru et al. 2021 "Datasheets for Datasets", reduced to the
+    * numbers every corpus README quotes): scale (docs / tokens /
+    * sources / languages / exact vocabulary), shape (mean doc length),
+    * hygiene (exact-duplicate fraction), composition (dominant
+    * language + share), and quality distribution (classifier-prob
+    * quartiles). Every figure is an already-oracle-gated signal
+    * re-aggregated; the row is the executive summary read before any
+    * of the per-doc frames.
+    *
+    * Plan: one corpus scan per signal family — a scalar agg (counts /
+    * token mass / 16-byte text hashes), one vocab-keyed distinct, one
+    * language-keyed top-1, one percentile agg — then 1-row broadcast
+    * joins. Nothing corpus-sized crosses an exchange except hash /
+    * token keys.
+    */
+  def corpusDatasheet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(md5(col(textCol))).as("__uniq"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    val topLang = docs.groupBy(col(langCol).as("top_lang"))
+      .agg(count(lit(1)).as("__lc"))
+      .orderBy(col("__lc").desc, col("top_lang"))
+      .limit(1)
+    val probs = TextOps.hashedLinearQuality(docs, idCol, textCol)
+      .agg(percentile(col("prob"),
+        typedLit(Seq(0.25, 0.5, 0.75))).as("__q"))
+      .select(
+        round(element_at(col("__q"), 1), 6).as("prob_p25"),
+        round(element_at(col("__q"), 2), 6).as("prob_p50"),
+        round(element_at(col("__q"), 3), 6).as("prob_p75"))
+    base.crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(topLang))
+      .crossJoin(broadcast(probs))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_langs"), col("vocab_size"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_tokens"),
+        round(lit(1.0) - col("__uniq").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_frac"),
+        col("top_lang"),
+        round(col("__lc").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        col("prob_p25"), col("prob_p50"), col("prob_p75"))
+  }
+
   /** Classifier calibration / gate-agreement readout — before trusting
     * a learned quality score ([[TextOps.hashedLinearQuality]]) to gate
     * a corpus, check it against an independent signal: bin documents

@@ -563,6 +563,24 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unbalanced phases: $byPhase")
   }
 
+  test("corpusDatasheet: hand-math on a planted mini-corpus") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), // exact dup
+      (3L, "d e", "fr", "s2"), (4L, "f", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Curation.corpusDatasheet(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 9L)      // docs, tokens
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)      // sources, langs
+    assert(r.getLong(4) == 6L)                            // vocab a..f
+    assert(r.getDouble(5) == 2.25)                        // mean tokens
+    assert(r.getDouble(6) == 0.25)                        // 1 dup of 4
+    assert(r.getString(7) == "en" && r.getDouble(8) == 0.75)
+    // quartiles are ordered and within [0, 1]
+    val (p25, p50, p75) = (r.getDouble(9), r.getDouble(10), r.getDouble(11))
+    assert(p25 <= p50 && p50 <= p75 && p25 >= 0.0 && p75 <= 1.0)
+  }
+
   test("classifierCalibration: bins partition the corpus, fractions consistent") {
     val s = spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
