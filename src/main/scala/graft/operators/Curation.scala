@@ -325,11 +325,14 @@ object Curation {
     * ride a literal map; the whole op is a map-side project, no
     * shuffle, no driver state.
     */
-  def seededSourceSample(
-      docs: DataFrame, idCol: String, sourceCol: String,
+  /** The seeded-sample keep verdict as a bare Column (the splitCol
+    * pattern) — [[seededSourceSample]]'s own body, shared with
+    * `Ingest.curationChainStream`'s fused projection.
+    */
+  def sampleKeptCol(idCol: String, sourceCol: String,
       rates: Map[String, (Int, Int)],
       defaultNum: Int = 1, defaultDen: Int = 2,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42): Column = {
     require(defaultDen > 0 && rates.values.forall(_._2 > 0), "rates need den > 0")
     val h16 = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
@@ -340,11 +343,20 @@ object Curation {
     val denExpr = coalesce(
       element_at(typedlit(rates.map { case (k, v) => k -> v._2 }), col(sourceCol)),
       lit(defaultDen))
+    h16 * denExpr < lit(65536) * numExpr
+  }
+
+  def seededSourceSample(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, (Int, Int)],
+      defaultNum: Int = 1, defaultDen: Int = 2,
+      seed: Int = 42): DataFrame = {
     // no terminal sort: the body must stay streaming-legal (it IS the
     // streaming twin, Ingest.sampleStream) — batch callers order at
     // the query level, the gopherRules discipline
     docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
-      .withColumn("kept", h16 * denExpr < lit(65536) * numExpr)
+      .withColumn("kept",
+        sampleKeptCol(idCol, sourceCol, rates, defaultNum, defaultDen, seed))
   }
 
   /** Per-source document-length drift: the Kolmogorov–Smirnov statistic

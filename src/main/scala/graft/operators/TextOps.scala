@@ -965,6 +965,29 @@ object TextOps {
         (rWc && rMl && rSt && rRep).as("keep"))
   }
 
+  /** [[gopherRules]]' keep verdict as a bare Column (the splitCol
+    * pattern), for fusing many gates into ONE streaming projection —
+    * a self-join of a stream on doc_id would be a stateful
+    * stream-stream join, so the chain needs column-level cores. The
+    * Round11 stream≡batch spec pins this Column to the frame op's
+    * verdict row-for-row; a drift between the two fails that spec.
+    */
+  def gopherKeepCol(text: Column,
+      minWords: Int = 30, maxWords: Int = 80,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+      minStopHits: Int = 2, maxTopFrac: Double = 0.10): Column = {
+    val w = tokens(text)
+    val nWords = size(w).cast("long")
+    val meanLen = round(
+      aggregate(w, lit(0L), (a, t) => a + length(t)).cast("double") / size(w), 6)
+    val stopHits = size(array_intersect(array_distinct(w),
+      typedlit(EnStopwords))).cast("long")
+    val topFrac = round(topTokenFrac(text), 6)
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      stopHits >= minStopHits && topFrac <= maxTopFrac
+  }
+
   /** Per-source distinct-n-gram diversity for n = 1..maxN — the
     * template/boilerplate detector at source granularity (a crawl
     * whose bigram diversity is far below its peers is generating from
@@ -1387,6 +1410,69 @@ object TextOps {
       d3.as("dup_frac_3"),
       (d2 <= maxDupFrac2 && d3 <= maxDupFrac3).as("keep"))
   }
+
+  /** Column cores of the per-doc gates (the [[gopherKeepCol]] family):
+    * the same expressions as the frame ops, exposed as bare Columns so
+    * `Ingest.curationChainStream` fuses every stateless gate into ONE
+    * streaming projection. The chain's stream≡batch spec pins each
+    * core to its frame op row-for-row.
+    */
+  def blocklistKeepCol(text: Column, blocklist: Seq[String],
+      maxHits: Int = 0): Column = {
+    require(blocklist.nonEmpty, "blocklistKeepCol needs a non-empty list")
+    size(filter(tokens(text), t => t.isInCollection(blocklist)))
+      .cast("long") <= maxHits
+  }
+
+  def dupNgramKeepCol(text: Column,
+      maxDupFrac2: Double = 0.20, maxDupFrac3: Double = 0.18): Column = {
+    val w = tokens(text)
+    def grams(n: Int): Column = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(typedlit(Seq.empty[String]))
+    def dupFrac(g: Column): Column = when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+      .otherwise(lit(0.0))
+    dupFrac(grams(2)) <= maxDupFrac2 && dupFrac(grams(3)) <= maxDupFrac3
+  }
+
+  def entropyKeepCol(text: Column, minNormEntropy: Double = 0.5): Column = {
+    val w = tokens(text)
+    val n = size(w)
+    val d = array_sort(array_distinct(w))
+    val h = aggregate(d, lit(0.0), (acc, t) => {
+      val c = size(filter(w, x => x === t)).cast("double")
+      acc - (c / n) * log(c / n)
+    })
+    when(n > 1, round(h / log(n.cast("double")), 6))
+      .otherwise(lit(0.0)) >= minNormEntropy
+  }
+
+  def classifierProbCol(text: Column): Column = {
+    val w = tokens(text)
+    def weightOf(t: Column): Column =
+      (conv(substring(md5(concat(lit("qw:"), t)), 1, 4), 16, 10)
+        .cast("long") % 201L) - 100L
+    val scoreInt = aggregate(w, lit(0L), (acc, t) => acc + weightOf(t))
+    val logit = scoreInt.cast("double") / (size(w).cast("double") * lit(25.0))
+    round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+  }
+
+  def piiRedactedCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PiiEmail, "<EMAIL>"),
+          PiiSsn, "<SSN>"),
+        PiiPhone, "<PHONE>"),
+      PiiIp, "<IP>")
+
+  def piiKeepCol(text: Column): Column =
+    (regexp_count(text, lit(PiiEmail)) + regexp_count(text, lit(PiiSsn))
+      + regexp_count(text, lit(PiiPhone))
+      + regexp_count(text, lit(PiiIp))).cast("long") === 0L
 
   /** Per-document token-entropy gate — the information-density quality
     * signal that catches what the duplicate-n-gram and top-token

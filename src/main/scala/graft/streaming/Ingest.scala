@@ -124,6 +124,56 @@ object Ingest {
       maxDupWordFrac: Double = 0.9): DataFrame =
     graft.operators.TextOps.curationVerdict(docs, minTokens, maxDupWordFrac)
 
+  /** The composed ingest-side curation chain — every STATELESS stage
+    * of [[graft.CurationPipeline]] fused into one per-document
+    * projection a crawl stream runs at wire speed: Gopher rules (L72)
+    * ∧ blocklist (L84) ∧ duplicate-n-gram (L117) ∧ token entropy
+    * (L121) ∧ hashed classifier (L122) ∧ PII policy (L129), plus the
+    * mixture downsample verdict (L81), the split assignment (L95),
+    * and the redacted-text md5. One row in → one verdict row out; no
+    * shuffle, no state, identical decisions on replay — so the chain
+    * composes with exactly-once sinks and with the stream-static
+    * stages (chunk dedup L111, contamination L6) that need a static
+    * index. The batch operators ARE the stage bodies (the
+    * gopherStream discipline); the dedup and perplexity stages stay
+    * batch-side by design — they need corpus-wide state.
+    */
+  def curationChainStream(
+      docs: DataFrame,
+      blocklist: Seq[String] = Seq("slow", "leak", "crash"),
+      maxHits: Int = 2,
+      rates: Map[String, (Int, Int)] = Map.empty,
+      minProb: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import graft.operators.{Curation, TextOps}
+    val t = col(textCol)
+    // ONE projection: a self-join of a stream on doc_id would be a
+    // stateful stream-stream join, so every gate contributes its
+    // Column core (gopherKeepCol family / splitCol / sampleKeptCol)
+    // instead of its frame op — the stream≡batch spec pins each core
+    // to its frame twin row-for-row
+    val prob = TextOps.classifierProbCol(t)
+    val verdicts = Seq(
+      TextOps.gopherKeepCol(t).as("keep_rules"),
+      TextOps.blocklistKeepCol(t, blocklist, maxHits).as("keep_blocklist"),
+      TextOps.dupNgramKeepCol(t).as("keep_dupgram"),
+      TextOps.entropyKeepCol(t).as("keep_entropy"),
+      (prob >= minProb).as("keep_classifier"),
+      TextOps.piiKeepCol(t).as("keep_pii"),
+      Curation.sampleKeptCol(idCol, sourceCol, rates).as("keep_sample"))
+    docs.select(Seq(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      prob.as("prob"),
+      md5(TextOps.piiRedactedCol(t)).as("redacted_md5"),
+      Curation.splitCol(idCol).as("split")) ++ verdicts: _*)
+      .withColumn("keep",
+        col("keep_rules") && col("keep_blocklist") && col("keep_dupgram")
+          && col("keep_entropy") && col("keep_classifier")
+          && col("keep_pii") && col("keep_sample"))
+  }
+
   /** L72's streaming twin — the Gopher rule gate applied at ingest
     * time, so a crawl stream carries its keep/drop verdict from the
     * first moment it exists (per-document, stateless, shuffle-free;

@@ -563,6 +563,73 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unbalanced phases: $byPhase")
   }
 
+  test("curationChainStream: one stateless projection, every verdict matches its frame twin") {
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    import graft.operators.{Curation => C, TextOps => T}
+    // batch shape first: the fused chain must be a pure scan — no
+    // exchange anywhere (the whole point of the Column cores)
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(s, sf)
+    val chainBatch = Ingest.curationChainStream(docs,
+      rates = Map("src0" -> (1, 4)))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(chainBatch.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "chain must fuse into a map-only projection")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // every core verdict == its frame op, row-for-row
+    def keepSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("keep")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val rows = chainBatch.collect()
+    def chainSet(c: String): Set[Long] =
+      rows.filter(_.getAs[Boolean](c)).map(_.getAs[Long]("doc_id")).toSet
+    assert(chainSet("keep_rules") == keepSet(T.gopherRules(docs, "doc_id", "text")))
+    assert(chainSet("keep_blocklist") == keepSet(
+      T.blocklistFilter(docs, "doc_id", "text", Seq("slow", "leak", "crash"), 2)))
+    assert(chainSet("keep_dupgram") == keepSet(
+      T.duplicateNgramFraction(docs, "doc_id", "text")))
+    assert(chainSet("keep_entropy") == keepSet(
+      T.tokenEntropyGate(docs, "doc_id", "text")))
+    assert(chainSet("keep_classifier") == keepSet(
+      T.hashedLinearQuality(docs, "doc_id", "text")))
+    assert(chainSet("keep_pii") == keepSet(
+      T.piiRedactGate(docs, "doc_id", "text")))
+    val sampleKept = C.seededSourceSample(docs, "doc_id", "source",
+      Map("src0" -> (1, 4))).filter(col("kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chainSet("keep_sample") == sampleKept)
+    // split and redacted_md5 ride along identically
+    val splits = C.splitAssignment(docs, "doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach(r => assert(
+      r.getAs[String]("split") == splits(r.getAs[Long]("doc_id"))))
+    // and the same code path runs as a STREAM with identical verdicts
+    val mem = MemoryStream[DocEvent]
+    val q = Ingest.curationChainStream(
+      mem.toDF().withColumn("source", lit("s")), rates = Map.empty)
+      .writeStream.format("memory").queryName("chain_stream")
+      .outputMode("append").start()
+    try {
+      val input = Seq(
+        DocEvent(1L, "the table scan is fast and the merge join is slow today",
+          new java.sql.Timestamp(1000L)),
+        DocEvent(2L, "x", new java.sql.Timestamp(2000L)))
+      mem.addData(input: _*)
+      q.processAllAvailable()
+      val sg = spark.table("chain_stream")
+        .select("doc_id", "keep").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      val bg = Ingest.curationChainStream(
+        input.toDF().withColumn("source", lit("s")), rates = Map.empty)
+        .select("doc_id", "keep").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(sg.keySet == Set(1L, 2L) && sg == bg)
+    } finally { q.stop() }
+  }
+
   test("corpusDatasheet: hand-math on a planted mini-corpus") {
     val s = spark; import s.implicits._
     val docs = Seq(
