@@ -43,6 +43,11 @@ object CurationPipeline {
     * the historical AND-composition (independent full-corpus verdicts,
     * the q134 training-census semantics) — lossy exactly when a dup
     * group's canonical fails a gate, documented here by name.
+    *
+    * With `modelGates = true` the returned frames share one CACHED
+    * (doc_id, bool) verdict — 9 bytes/row, never text. In a shared
+    * session, unpersist after materializing the outputs (main() clears
+    * its own session's cache once the parquet writes land).
     */
   def run(spark: SparkSession, sfDir: String,
       blocklist: Seq[String] = Seq("slow", "leak", "crash"),
@@ -151,12 +156,19 @@ object CurationPipeline {
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")
     val secs = (System.nanoTime() - t0) / 1e9
-    val s0 = savings.collect()(0)
+    // read the summary back from the parquet just written — collecting
+    // the uncached `savings` frame would recompute the entire
+    // gates→dedup→leak chain a second time
+    val back = spark.read.parquet(s"$outDir/savings")
+    val s0 = back.collect()(0)
     val (nIn, nKept, tokKept) = (s0.getLong(0), s0.getLong(1), s0.getLong(3))
+    // the modelGates verdict frame is cached inside run(); drop its
+    // blocks now that every consumer has materialized
+    spark.sharedState.cacheManager.clearCache()
     // end-to-end throughput line (BASELINE.md records these): wall time
     // covers the full gates→dedup→split→write chain including parquet IO
     println(f"""{"metric":"curation_pipeline","secs":$secs%.2f,"n_input":$nIn,"n_kept":$nKept,"tokens_kept":$tokKept,"docs_per_sec":${nIn / secs}%.0f,"sf":"$sfDir"}""")
-    savings.show(truncate = false)
+    back.show(truncate = false)
     spark.stop()
   }
 }

@@ -55,9 +55,14 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
-    val factor = factorS.toInt
+    val (srcDir, outDir, factor, profile) = args match {
+      case Array(s, o, f)    => (s, o, f.toInt, "uniform")
+      case Array(s, o, f, p) => (s, o, f.toInt, p)
+    }
     require(factor >= 2, "factor must be >= 2")
+    require(profile == "uniform" || profile == "skew",
+      s"profile must be uniform|skew, got $profile")
+    val skew = profile == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -145,29 +150,86 @@ object ScaleData {
       (vocab, vocabCum, vocabTot, lengths, langs, langCum, langTot,
         srcs, srcCum, srcTot))
 
-    val newDocs = spark.range(nDocs, nDocs * factor).map { id =>
+    val totalDocs = nDocs * factor
+    // ---- skew profile (the 100 TB hostile-data story): three planted
+    // pathologies real crawls exhibit and uniform synthesis cannot —
+    //   hot source : 90% of synthesized docs land on ONE source (the
+    //                q68 quota / q104 shard / q146 per-source-set
+    //                stressor);
+    //   hot shingle: a fixed 8-token boilerplate phrase injected into
+    //                30% of fresh docs — one corpus-hot posting/bucket
+    //                for the q19/q53/q97 maxBucket/maxPosting caps to
+    //                earn their keep on (an 8-token run stays under
+    //                the minShared pair thresholds, so TRUE pair
+    //                counts don't explode — only the postings do);
+    //   dup slab   : the last 2% of ids are exact dups drawn from a
+    //                64-doc target pool — dup GROUPS of ~thousands,
+    //                the connected-components / canonical-select
+    //                straggler shape.
+    // Exact-dup/near-dup plants target only ids whose own text is
+    // FRESH (re-deriving the target's roll), so realized dup rates
+    // match the advertised 0.3%/5% instead of silently sagging where
+    // plants would chain or cross the original-corpus boundary.
+    val hotPhrase = Array("please", "accept", "all", "cookies", "to",
+      "continue", "reading", "this")
+    val hotSource = srcPairs.maxBy(_._2)._1
+    val slabSize = if (skew) math.max(64L, totalDocs / 50) else 0L
+    val slabStart = totalDocs - slabSize
+    // slab targets: the first 64 ids at/above nDocs whose roll is
+    // fresh (driver-side walk, 64 Random draws — trivially bounded)
+    def rollsFresh(t: Long): Boolean =
+      t == nDocs || new java.util.Random(t * 40503L + 13).nextDouble() >= 0.053
+    val slabPool: Array[Long] =
+      if (!skew) Array.empty
+      else Iterator.iterate(nDocs)(_ + 1L)
+        .filter(t => rollsFresh(t) && t < slabStart).take(64).toArray
+    val newDocs = spark.range(nDocs, totalDocs).map { id =>
       val (vo, vc, vt, ls, la, lc, lt, so, sc, st) = bcast.value
       def freshTokens(docId: Long): Array[String] = {
         val r = new java.util.Random(docId * 2654435761L + 7)
         val n = ls(math.abs(r.nextInt(ls.length)))
-        Array.fill(n)(pick(vo, vc, vt, r))
+        val base = Array.fill(n)(pick(vo, vc, vt, r))
+        if (!skew) base
+        else {
+          // hot-shingle injection is part of the FRESH text itself, so
+          // plants copying freshTokens(target) stay byte-identical
+          val ri = new java.util.Random(docId * 2246822519L + 101)
+          if (ri.nextDouble() < 0.3) {
+            val pos = ri.nextInt(base.length + 1)
+            base.take(pos) ++ hotPhrase ++ base.drop(pos)
+          } else base
+        }
       }
+      // a target's text equals freshTokens(target) iff the target is
+      // neither a plant (roll < 0.053) nor in the dup slab
+      def isFresh(t: Long): Boolean =
+        t >= nDocs && t < slabStart &&
+          (t == nDocs ||
+            new java.util.Random(t * 40503L + 13).nextDouble() >= 0.053)
       val rd = new java.util.Random(id * 40503L + 13)
       val roll = rd.nextDouble()
-      // plant targets always regenerate FRESH text, so a chain of
-      // plants still yields exactly one dup pair per planted doc
       val gap = 1 + rd.nextInt(500)
-      val target = math.max(0L, id - gap)
+      // walk up from id-gap to the nearest FRESH id (≈94.7% of ids
+      // are fresh, so this terminates in a step or two); if none
+      // exists below id the plant degrades to fresh text
+      var target = math.max(nDocs, id - gap)
+      while (target < id && !isFresh(target)) target += 1
+      val planted = target < id && isFresh(target)
       val toks =
-        if (roll < 0.003 && id > nDocs) freshTokens(target)           // exact dup
-        else if (roll < 0.053 && id > nDocs) {                        // near dup
+        if (skew && id >= slabStart)                                  // dup slab
+          freshTokens(slabPool(((id * 48271L) % slabPool.length).toInt.abs))
+        else if (roll < 0.003 && id > nDocs && planted)               // exact dup
+          freshTokens(target)
+        else if (roll < 0.053 && id > nDocs && planted) {             // near dup
           val base = freshTokens(target)
           val rm = new java.util.Random(id * 6364136223846793005L + 29)
           base.map(t => if (rm.nextDouble() < 0.05) pick(vo, vc, vt, rm) else t)
         } else freshTokens(id)
       val text = toks.mkString(" ")
       val rl = new java.util.Random(id * 104729L + 3)
-      (id, text, pick(la, lc, lt, rl), pick(so, sc, st, rl), text.length.toLong)
+      val src =
+        if (skew && rl.nextDouble() < 0.9) hotSource else pick(so, sc, st, rl)
+      (id, text, pick(la, lc, lt, rl), src, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.select("doc_id", "text", "lang", "source", "n_chars")
       .unionAll(newDocs)

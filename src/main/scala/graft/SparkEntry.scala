@@ -4190,7 +4190,7 @@ object SparkEntry {
          g AS (SELECT doc_id, unnest([{'p': i - 1,
                    'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
                          || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
-                 for i in range(1, len(w) - 1)], recursive := true)
+                 for i in range(1, least(len(w) - 1, 32769))], recursive := true)
                FROM t),
          s AS (SELECT doc_id, p, pk,
                  min(pk) OVER (PARTITION BY doc_id ORDER BY p
@@ -4214,7 +4214,7 @@ object SparkEntry {
          g AS (SELECT doc_id, unnest([{'p': i - 1,
                    'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
                          || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
-                 for i in range(1, len(w) - 1)], recursive := true)
+                 for i in range(1, least(len(w) - 1, 32769))], recursive := true)
                FROM t),
          s AS (SELECT doc_id, p, pk,
                  min(pk) OVER (PARTITION BY doc_id ORDER BY p
@@ -4656,7 +4656,7 @@ object SparkEntry {
          g AS (SELECT doc_id, unnest([{'p': i - 1,
                    'pk': md5(list_aggregate(w[i:i+2], 'string_agg', ' '))[1:12]
                          || lpad((32767 - (i - 1))::VARCHAR, 5, '0')}
-                 for i in range(1, len(w) - 1)], recursive := true)
+                 for i in range(1, least(len(w) - 1, 32769))], recursive := true)
                FROM t),
          s AS (SELECT doc_id, p, pk,
                  min(pk) OVER (PARTITION BY doc_id ORDER BY p

@@ -1163,14 +1163,20 @@ object Dedup {
     * source-partitioned window over (source, hash) rows — 16-byte
     * exchanges, shingle text never leaves the scan), and the estimate
     * is integer counting over 2k-bounded arrays, so the oracle
-    * hash-matches the ESTIMATE itself; jac_exact rides as the audit
-    * column (vocab-bounded per-source set sizes at the gate; at
-    * 100 TB you ship the k-hash signatures alone — mergeable,
-    * constant-size, unionable across shards).
+    * hash-matches the ESTIMATE itself.
+    *
+    * `audit` (default true, the oracle-gate configuration) adds the
+    * jac_exact column — a corpus-wide shingle-level self-join that
+    * exists to PROVE the estimate (the q95 exact-verify contract). The
+    * shipped-pipeline path is `audit = false`: the k-hash signatures
+    * alone — mergeable, constant-size, unionable across shards — whose
+    * plan carries exactly ONE join (the |sources|²-bounded signature
+    * pairing) and no shingle-level self-join anywhere (pinned by
+    * PlanSpec).
     */
   def kmvSourceOverlap(
       df: DataFrame, idCol: String, textCol: String, srcCol: String,
-      shingleN: Int = 3, k: Int = 128): DataFrame = {
+      shingleN: Int = 3, k: Int = 128, audit: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(srcCol).as("source"),
         explode(shingles(col(textCol), shingleN)).as("__s"))
@@ -1192,6 +1198,7 @@ object Dedup {
           slice(array_sort(array_union(col("sa"), col("sb"))), lit(1), col("__ku")),
           x => array_contains(col("sa"), x) && array_contains(col("sb"), x)))
           .cast("double") / col("__ku"), 6).as("jac_est"))
+    if (!audit) return est
     val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))

@@ -1436,7 +1436,9 @@ object Similarity {
     val ids = rel.keys.toSeq.sorted
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val chosen = scala.collection.mutable.Set.empty[Long]
-    for (step <- 1 to k) {
+    // limit(candN) can return fewer than k rows on a small corpus;
+    // clamp so the greedy loop never minBy's an empty candidate list
+    for (step <- 1 to math.min(k, ids.size)) {
       val best = ids.filterNot(chosen)
         .map { id =>
           val maxSim =

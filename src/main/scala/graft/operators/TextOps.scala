@@ -698,15 +698,18 @@ object TextOps {
     * small-range linear-counting branch (raw ≤ 2.5m ∧ V>0 →
     * m·ln(m/V)) compares and corrects on identically-computed doubles.
     *
-    * n_exact is the AUDIT column — a real vocabulary-sized distinct
-    * shuffle that exists to prove the sketch (the q95 exact-verify
-    * contract). At 100 TB you keep the register path (256 rows per
-    * group on the exchange, mergeable across shards/streams) and drop
-    * the audit; the gate runs both so rel_err is a measured fact, not
-    * a claim.
+    * n_exact is the AUDIT column (`audit = true`, the oracle-gate
+    * configuration) — a real vocabulary-sized distinct shuffle that
+    * exists to prove the sketch (the q95 exact-verify contract). The
+    * shipped-pipeline path is `audit = false`: the register path alone
+    * (256 rows per group on the exchange, mergeable across shards/
+    * streams), whose plan carries NO join and no corpus-wide exact
+    * distinct (pinned by PlanSpec); the gate runs both so rel_err is a
+    * measured fact, not a claim.
     */
   def hllVocabulary(
-      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+      docs: DataFrame, textCol: String, groupCol: String,
+      audit: Boolean = true): DataFrame = {
     val regs = hllRegisters(hllBucketed(docs, textCol, groupCol))
       .withColumn("inv", expr("1.0 / cast(shiftleft(1L, rho) as double)"))
     val est = regs.groupBy("grp").agg(
@@ -720,6 +723,9 @@ object TextOps {
     val raw = alpha * m * m / (col("s_present") + v.cast("double"))
     val corrected = when(raw <= lit(2.5) * m && v > 0,
       m * log(m / v.cast("double"))).otherwise(raw)
+    if (!audit)
+      return est.select(col("grp").as(groupCol),
+        round(corrected, 6).as("hll_est"))
     val exact = docs
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
       .groupBy("grp").agg(countDistinct(col("t")).as("n_exact"))

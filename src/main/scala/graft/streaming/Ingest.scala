@@ -146,7 +146,13 @@ object Ingest {
       minProb: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source",
+      // sources absent from `rates` keep everything by default — the
+      // ingest chain must not downsample unless asked (contrast
+      // seededSourceSample, whose 1/2 default is the sampling op's own
+      // contract); pass defaultNum/defaultDen to downsample the rest
+      defaultNum: Int = 1,
+      defaultDen: Int = 1): DataFrame = {
     import graft.operators.{Curation, TextOps}
     val t = col(textCol)
     // ONE projection: a self-join of a stream on doc_id would be a
@@ -162,7 +168,8 @@ object Ingest {
       TextOps.entropyKeepCol(t).as("keep_entropy"),
       (prob >= minProb).as("keep_classifier"),
       TextOps.piiKeepCol(t).as("keep_pii"),
-      Curation.sampleKeptCol(idCol, sourceCol, rates).as("keep_sample"))
+      Curation.sampleKeptCol(idCol, sourceCol, rates,
+        defaultNum = defaultNum, defaultDen = defaultDen).as("keep_sample"))
     docs.select(Seq(
       col(idCol).as("doc_id"), col(sourceCol).as("source"),
       prob.as("prob"),

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.GraftListenerDrain
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Driver-bound enforcement: every documented `collect()` in the
+  * operator surface claims a bound in its scaladoc (k×d centroids,
+  * depth×width CMS cells, 16·numShards offsets, candN² similarity
+  * matrices, percentile cuts, 1-row scalars). This spec turns those
+  * claims into enforced invariants — it runs each collect-owning query
+  * at sf0.1 (the largest driver-generated scale) under a
+  * QueryExecutionListener that records the result row count of every
+  * collect-class action, and fails if ANY collect during the sweep
+  * returns more rows than the documented ceiling. A future operator
+  * whose "bounded" driver fold silently scales with the corpus fails
+  * here before it ships.
+  */
+class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.1"
+
+  // collect-class actions: everything that pulls result rows onto the
+  // driver. count/save funcNames are excluded — a count's result is one
+  // scalar no matter how many rows the plan emits.
+  private val collectFuncs =
+    Set("collect", "collectAsList", "head", "first", "take", "tail",
+      "collectToPython", "toLocalIterator")
+
+  private val recorded =
+    new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      if (collectFuncs.contains(funcName)) {
+        val rows = rowsOf(qe.executedPlan)
+        recorded.synchronized { recorded += ((funcName, rows)) }
+      }
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  /** Topmost numOutputRows in the executed plan — the best available
+    * proxy for "rows returned to the driver" (the root nodes of
+    * collect plans are projections/aggregates that all carry it; AQE
+    * roots are unwrapped to their final physical plan).
+    */
+  private def rowsOf(plan: SparkPlan): Long = {
+    val p = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    p.collectFirst {
+      case n if n.metrics.contains("numOutputRows") =>
+        n.metrics("numOutputRows").value
+    }.getOrElse(0L)
+  }
+
+  /** Runs the thunk with the listener armed and returns the row counts
+    * of every collect-class action it triggered.
+    */
+  private def collectsDuring(thunk: => Unit): Seq[Long] = {
+    spark.listenerManager.register(listener)
+    try {
+      recorded.synchronized(recorded.clear())
+      thunk
+      GraftListenerDrain.drain(spark.sparkContext)
+      recorded.synchronized(recorded.map(_._2).toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  // (query, ceiling, what the scaladoc claims)
+  private val bounded: Seq[(String, Long, String)] = Seq(
+    ("q95_cms_heavy_hitters", 3L * 1024, "depth×width CMS cells"),
+    ("q104_shard_assignment", 8192L, "16·numShards offsets + group sums"),
+    ("q77_token_budget", 4096L, "per-bucket token sums"),
+    ("q23_ivf_topk", 4096L, "k centroids × Lloyd iterations"),
+    ("q121_ivfpq_topk", 4096L, "centroids + sub-codebooks"),
+    ("q138_bpe_train", 64L, "1-row argmax per merge"),
+    ("q139_bpe_encode", 64L, "1-row argmax per merge"),
+    ("q161_sq8_recall", 4096L, "d per-dim min/max rows"),
+    ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"),
+    ("q165_binary_recall", 4096L, "d per-dim rows"))
+
+  test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
+    val corpusRows = 50000L // sf0.1 documents ≈ 50k, embeddings ≈ 20k
+    for ((q, bound, claim) <- bounded) {
+      val sizes = collectsDuring {
+        // materialize through count() — not a collect-class action, so
+        // only the op's INTERNAL driver folds are recorded
+        SparkEntry.queries(q)(spark, sf).count()
+      }
+      assert(sizes.nonEmpty,
+        s"$q: no internal driver fold recorded — the listener net is " +
+          "broken or the op no longer collects; either way the spec is " +
+          "vacuous for it")
+      assert(sizes.forall(_ <= bound),
+        s"$q: internal collect exceeded its documented bound ($claim ≤ " +
+          s"$bound): ${sizes.filter(_ > bound).mkString(",")}")
+      assert(sizes.forall(_ < corpusRows),
+        s"$q: collect scales with the corpus: ${sizes.maxOption.getOrElse(0L)}")
+    }
+  }
+}

@@ -595,4 +595,56 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(calLeaks.isEmpty, s"q166 exchanges text: $calLeaks")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("sketch ops' estimate-only paths carry no exact audit twin (q146/q124)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    // BroadcastNestedLoopJoinExec doesn't extend BaseJoinExec, so the
+    // net is node-name-based: anything whose nodeName says Join
+    def joins(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n if n.nodeName.contains("Join") => n }
+    // AdaptiveSparkPlanExec hides its inner tree from collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val docs = Tables.documents(spark, sf)
+    // KMV estimate-only: exactly ONE join — the |sources|²-bounded
+    // signature pairing — and no shingle-level self-join; the audit
+    // path (the q146 oracle configuration) adds the exact twin
+    val est = graft.operators.Dedup
+      .kmvSourceOverlap(docs, "doc_id", "text", "source", audit = false)
+    assert(est.columns.toSeq == Seq("src_a", "src_b", "jac_est"))
+    val estJoins = joins(est.queryExecution.executedPlan)
+    assert(estJoins.size == 1,
+      s"estimate-only KMV must join signatures once, found ${estJoins.size}:\n" +
+        est.queryExecution.executedPlan.toString.take(3000))
+    // ...and the one join's inputs are k-bounded signature rows (the
+    // `sig` array column), not per-shingle hash rows
+    assert(estJoins.head.output.exists(_.name == "sig"),
+      estJoins.head.output.map(_.name).mkString(","))
+    val audit = graft.operators.Dedup
+      .kmvSourceOverlap(docs, "doc_id", "text", "source", audit = true)
+    assert(audit.columns.contains("jac_exact"))
+    assert(joins(audit.queryExecution.executedPlan).size > 1)
+    // HLL estimate-only: aggregation only — no join, no exact distinct
+    val hEst = graft.operators.TextOps
+      .hllVocabulary(docs, "text", "lang", audit = false)
+    assert(hEst.columns.toSeq == Seq("lang", "hll_est"))
+    assert(joins(hEst.queryExecution.executedPlan).isEmpty,
+      "estimate-only HLL must not join an exact-distinct twin")
+    assert(!hEst.queryExecution.optimizedPlan.toString.contains("distinct"),
+      hEst.queryExecution.optimizedPlan.toString.take(2000))
+    // the two paths agree on the estimate itself
+    val hAudit = graft.operators.TextOps
+      .hllVocabulary(docs, "text", "lang", audit = true)
+      .select("lang", "hll_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hOnly = hEst.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hOnly == hAudit, s"estimate drifted: $hOnly vs $hAudit")
+    val kAudit = audit.select("src_a", "src_b", "jac_est").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val kOnly = est.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(kOnly == kAudit, s"estimate drifted: $kOnly vs $kAudit")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

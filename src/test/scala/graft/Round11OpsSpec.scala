@@ -598,7 +598,7 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chainSet("keep_pii") == keepSet(
       T.piiRedactGate(docs, "doc_id", "text")))
     val sampleKept = C.seededSourceSample(docs, "doc_id", "source",
-      Map("src0" -> (1, 4))).filter(col("kept"))
+      Map("src0" -> (1, 4)), defaultNum = 1, defaultDen = 1).filter(col("kept"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(chainSet("keep_sample") == sampleKept)
     // split and redacted_md5 ride along identically
