@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line:
-  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+/** Benchmark main. Prints the headline JSON line (totals leading, the
+  * long per-query dict last) plus a compact `"metric":"summary"` line:
+  *   {"metric":"total","value":N,"shared34":S,...,"queries":{...}}
+  *   {"metric":"summary","total":N,"shared34":S,...}
+  * so the headline numbers survive tail-truncated log capture.
   *
   * Methodology (recorded in BASELINE.md): each query is executed
   * SPARK_GRAFT_REPEAT times (default 3) in-session and the reported
@@ -66,7 +69,20 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (-1 markers) are excluded from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // shared-34 subset: the round-1 query surface (q01..q34) — the
+    // cross-round comparable statistic BASELINE.md tracks
+    val shared34 = results
+      .filter { case (k, v) =>
+        v >= 0 && k.take(3).drop(1).forall(_.isDigit) &&
+          k.slice(1, 3).toInt <= 34 && k(3) == '_'
+      }.map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
+    // totals lead the main line AND repeat on a compact trailing line
+    // ("metric":"summary", so a "metric":"total" parser ignores it) —
+    // the round-12 artifact's tail capture truncated the 170-key line
+    // and lost the headline numbers; now they survive either way
+    println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

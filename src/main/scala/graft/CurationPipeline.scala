@@ -22,7 +22,9 @@ import graft.operators.{Curation, Dedup, TextOps}
   *      near-dup cluster's best member;
   *   4. deterministic train/valid/test assignment (L95);
   *   5. outputs: the curated corpus (id, split), the per-source
-  *      census, and a one-row savings summary.
+  *      census, a one-row savings summary, and the estimate-only
+  *      sketch readout (per-source HLL vocabulary + KMV source
+  *      overlap, `audit = false` — see [[sketchReadout]]).
   *
   * Every stage is the same oracle-gated operator the query surface
   * exposes (q106/q118/q126/q110/q129/q134 semantics); this object
@@ -136,6 +138,28 @@ object CurationPipeline {
     (curated, census, savings)
   }
 
+  /** Per-source sketch readout — the 100 TB configuration of the
+    * estimate-only sketch paths, exercised by the shipped pipeline
+    * rather than left behind a flag: per-source HLL vocabulary
+    * estimate (`audit = false` — no corpus-wide exact distinct
+    * anywhere in the plan) alongside the KMV pairwise source-overlap
+    * matrix (`audit = false` — no shingle-level self-join; the only
+    * join the sketch contributes is the |sources|²-bounded signature
+    * pairing). Runs over the curated survivors (one id-keyed join back
+    * to text; the text column itself still never rides an exchange —
+    * both sketch front-halves hash at the scan). At cluster scale the
+    * signatures/registers are constant-size per source and mergeable
+    * across shards, so this readout costs one scan over the curated
+    * corpus regardless of vocabulary or shingle cardinality.
+    */
+  def sketchReadout(docs: DataFrame, curated: DataFrame): (DataFrame, DataFrame) = {
+    val kept = docs.join(curated.select("doc_id"), "doc_id")
+    val vocab = TextOps.hllVocabulary(kept, "text", "source", audit = false)
+    val overlap = Dedup.kmvSourceOverlap(kept, "doc_id", "text", "source",
+      audit = false)
+    (vocab, overlap)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val flags = args.drop(2).toSet
@@ -155,6 +179,15 @@ object CurationPipeline {
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")
+    // estimate-only sketch readout over the survivors — the shipped
+    // 100 TB configuration (no exact audit twin paid in production)
+    val keptIds = spark.read.parquet(s"$outDir/curated")
+    val (vocab, overlap) =
+      sketchReadout(Tables.documents(spark, sfDir), keptIds)
+    vocab.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/source_vocab_est")
+    overlap.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/source_overlap_est")
     val secs = (System.nanoTime() - t0) / 1e9
     // read the summary back from the parquet just written — collecting
     // the uncached `savings` frame would recompute the entire

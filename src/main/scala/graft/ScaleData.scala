@@ -59,10 +59,6 @@ object ScaleData {
       case Array(s, o, f)    => (s, o, f.toInt, "uniform")
       case Array(s, o, f, p) => (s, o, f.toInt, p)
     }
-    require(factor >= 2, "factor must be >= 2")
-    require(profile == "uniform" || profile == "skew",
-      s"profile must be uniform|skew, got $profile")
-    val skew = profile == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +67,20 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, factor, profile)
+    spark.stop()
+  }
+
+  /** The generator body, session-borrowing (specs call this against
+    * the shared test session — main() owns session lifecycle, this
+    * never stops or configures one).
+    */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int, profile: String): Unit = {
+    require(factor >= 2, "factor must be >= 2")
+    require(profile == "uniform" || profile == "skew",
+      s"profile must be uniform|skew, got $profile")
+    val skew = profile == "skew"
     import spark.implicits._
 
     // ---- events + lineitem: disjoint-range replicas ----
@@ -181,8 +191,17 @@ object ScaleData {
       t == nDocs || new java.util.Random(t * 40503L + 13).nextDouble() >= 0.053
     val slabPool: Array[Long] =
       if (!skew) Array.empty
-      else Iterator.iterate(nDocs)(_ + 1L)
-        .filter(t => rollsFresh(t) && t < slabStart).take(64).toArray
+      else {
+        // bounded scan: only ids in [nDocs, slabStart) can qualify, so
+        // a too-small corpus fails fast instead of spinning forever
+        val pool = (nDocs until slabStart).iterator
+          .filter(rollsFresh).take(64).toArray
+        require(pool.length == 64,
+          s"skew profile needs >=64 fresh ids in [$nDocs, $slabStart) " +
+            s"— corpus too small (nDocs=$nDocs, factor=$factor); found " +
+            s"${pool.length}")
+        pool
+      }
     val newDocs = spark.range(nDocs, totalDocs).map { id =>
       val (vo, vc, vt, ls, la, lc, lt, so, sc, st) = bcast.value
       def freshTokens(docId: Long): Array[String] = {
@@ -227,9 +246,14 @@ object ScaleData {
         } else freshTokens(id)
       val text = toks.mkString(" ")
       val rl = new java.util.Random(id * 104729L + 3)
+      // uniform path keeps the original draw order (lang first, source
+      // second) so uniform regeneration stays byte-identical to
+      // pre-skew runs; the skew hot-source roll burns its own stream
+      val lang = pick(la, lc, lt, rl)
+      val rs = new java.util.Random(id * 76543L + 11)
       val src =
-        if (skew && rl.nextDouble() < 0.9) hotSource else pick(so, sc, st, rl)
-      (id, text, pick(la, lc, lt, rl), src, text.length.toLong)
+        if (skew && rs.nextDouble() < 0.9) hotSource else pick(so, sc, st, rl)
+      (id, text, lang, src, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.select("doc_id", "text", "lang", "source", "n_chars")
       .unionAll(newDocs)
@@ -253,6 +277,5 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     println(s"""{"generated":"$outDir","factor":$factor,"docs":${nDocs * factor},"embeddings":${nEmb * factor}}""")
-    spark.stop()
   }
 }

@@ -1544,6 +1544,14 @@ object SparkEntry {
     "q170_corpus_datasheet" -> ((s, dir) => {
       Curation.corpusDatasheet(Tables.documents(s, dir), "doc_id", "text")
     }),
+    // Similarity — IVF-PQ with RESIDUAL encoding (q121's production
+    // refinement: PQ codebooks trained on x − c(x) offsets)
+    "q171_ivfpq_residual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCells = 8, cellIters = 2, probes = 2,
+        numSub = 4, codebookK = 8, pqIters = 2)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5721,5 +5729,173 @@ object SparkEntry {
            round(tl.lc::DOUBLE / base.n_docs, 6) AS top_lang_share,
            q.prob_p25, q.prob_p50, q.prob_p75
          FROM base, v, tl, q""",
+    // IVF-PQ residual encoding: the q121 chain with the PQ half
+    // retrained on r = v - c(cell) and the ADC algebra extended for
+    // x-hat = c + r-hat (qc/cn2/cr/rn2 constant CTEs)
+    "q171_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         qprobes AS (
+           SELECT vec_id AS qid, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c
+             WHERE e.vec_id < 3)
+           WHERE rk <= 2),
+         resid AS (
+           SELECT t.vec_id, t.cell, list(t.x - c.cv[t.i] ORDER BY t.i) AS r
+           FROM (SELECT m.vec_id, m.cell, unnest(e.v) AS x,
+                   generate_subscripts(e.v, 1) AS i
+                 FROM members m JOIN e USING (vec_id)) t
+           JOIN cent2 c ON c.cid = t.cell
+           GROUP BY t.vec_id, t.cell),
+         sv AS (SELECT vec_id, sub,
+                  list_slice(r, sub * (len(r) // 4) + 1,
+                    (sub + 1) * (len(r) // 4)) AS s
+                FROM resid CROSS JOIN range(4) t(sub)),
+         pcent0 AS (SELECT sub, vec_id::BIGINT AS cid, s AS cv
+                    FROM sv WHERE vec_id < 8),
+         pasn1 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent0 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         pm1 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                 FROM (SELECT sub, cell, unnest(s) AS x,
+                         generate_subscripts(s, 1) - 1 AS i FROM pasn1)
+                 GROUP BY 1, 2, 3),
+         pcent1 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                    FROM pm1 GROUP BY 1, 2),
+         pasn2 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+             SELECT sv.vec_id, sv.sub, sv.s, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent1 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         pm2 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+                 FROM (SELECT sub, cell, unnest(s) AS x,
+                         generate_subscripts(s, 1) - 1 AS i FROM pasn2)
+                 GROUP BY 1, 2, 3),
+         pcent2 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+                    FROM pm2 GROUP BY 1, 2),
+         fin AS (SELECT vec_id, sub, cid AS code FROM (
+             SELECT sv.vec_id, sv.sub, c.cid,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+                 CASE WHEN list_inner_product(sv.s, sv.s) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(sv.s, c.cv) /
+                     (sqrt(list_inner_product(sv.s, sv.s)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM sv JOIN pcent2 c ON c.sub = sv.sub)
+           WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, v,
+                 sqrt(list_inner_product(v, v)) AS qnrm
+               FROM e WHERE vec_id < 3),
+         cr AS (SELECT c.cid AS cell, p.sub, p.cid AS code,
+                  list_inner_product(list_slice(c.cv,
+                    p.sub * (len(c.cv) // 4) + 1,
+                    (p.sub + 1) * (len(c.cv) // 4)), p.cv) AS cr,
+                  list_inner_product(p.cv, p.cv) AS rn2
+                FROM cent2 c CROSS JOIN pcent2 p),
+         cn AS (SELECT cid AS cell, list_inner_product(cv, cv) AS cn2 FROM cent2),
+         part AS (SELECT q.qid, q.qnrm, p.sub, p.cid AS code,
+                    list_inner_product(list_slice(q.v,
+                      p.sub * (len(q.v) // 4) + 1,
+                      (p.sub + 1) * (len(q.v) // 4)), p.cv) AS qpd
+                  FROM q CROSS JOIN pcent2 p),
+         qc AS (SELECT q.qid, c.cid AS cell,
+                  list_inner_product(q.v, c.cv) AS qc
+                FROM q CROSS JOIN cent2 c),
+         sc AS (SELECT p.qid, f.vec_id AS nid, min(p.qnrm) AS qnrm,
+                  min(qc.qc) AS qc, min(cn.cn2) AS cn2,
+                  list_reduce(list_concat([0.0],
+                    list(p.qpd - cr.cr ORDER BY p.sub)), (a, b) -> a + b) AS rdot,
+                  list_reduce(list_concat([0.0],
+                    list(2.0 * cr.cr + cr.rn2 ORDER BY p.sub)), (a, b) -> a + b) AS rrec
+                FROM fin f
+                  JOIN members mb ON mb.vec_id = f.vec_id
+                  JOIN qprobes qp ON qp.cell = mb.cell
+                  JOIN part p ON p.qid = qp.qid AND p.sub = f.sub
+                    AND p.code = f.code AND f.vec_id <> p.qid
+                  JOIN cr ON cr.cell = mb.cell AND cr.sub = f.sub AND cr.code = f.code
+                  JOIN cn ON cn.cell = mb.cell
+                  JOIN qc ON qc.qid = p.qid AND qc.cell = mb.cell
+                GROUP BY 1, 2),
+         r AS (SELECT qid, nid,
+                 CASE WHEN qnrm > 0 AND (cn2 + rrec) > 0
+                   THEN round((qc + rdot) / (qnrm * sqrt(cn2 + rrec)), 6) + 0.0
+                   ELSE 0.0 END AS cos_adc
+               FROM sc),
+         rk AS (SELECT qid, nid, cos_adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_adc DESC, nid) AS rank
+                FROM r)
+         SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
+         ORDER BY qid, rank""",
   )
 }

@@ -1180,6 +1180,135 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the production refinement
+    * [[ivfPqTopK]]'s scaladoc names (Jégou et al. 2011 §V.A: encode
+    * r = x − c(x), the vector's offset from its coarse centroid,
+    * instead of x itself; residuals concentrate near the origin, so
+    * the same codebook budget spends its resolution on the part of the
+    * vector the coarse quantizer didn't already explain).
+    *
+    * Plan shape is [[ivfPqTopK]]'s with the codebooks trained and
+    * applied on residuals, and the ADC algebra extended for the
+    * reconstruction x̂ = c + r̂:
+    *
+    *   q·x̂   = q·c  + Σ_sub q_sub·r̂_sub
+    *   ‖x̂‖² = ‖c‖² + Σ_sub (2·c_sub·r̂_sub + ‖r̂_sub‖²)
+    *
+    * Every new term is a LITERAL: c_sub·r̂_sub and ‖r̂_sub‖² fold on
+    * the driver over the 6-dp-rounded centroid/codeword seqs
+    * (numCells·numSub·codebookK + numSub·codebookK doubles — index-
+    * sized, corpus-independent), ‖c‖² per coarse cell, and q·c is one
+    * dot against the probed cell's literal centroid on the broadcast
+    * query side. The corpus side still carries (vec_id, cell, sub,
+    * code) ints only; the scoring join and fold/rounded-argmax
+    * discipline are ivfPqTopK's verbatim. Residual computation itself
+    * is a map-side `zip_with` against `element_at` of the literal
+    * centroid map — no join, no shuffle, exact IEEE subtraction both
+    * engines.
+    */
+  def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, cellIters: Int, probes: Int,
+      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+    require(k > 0 && probes > 0, s"bad search config: k=$k probes=$probes")
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val centMap = typedLit(coarse.toMap)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val asn = assignCells(v, coarse, probes = 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    // residuals r = v − c(cell): elementwise against the literal
+    // centroid map, evaluated inside the scan
+    val resid = asn.select(col("vec_id"), col("cell"),
+      zip_with(col("v"), element_at(centMap, col("cell")),
+        (a, b) => a - b).as("r"))
+    // PQ codebooks trained on the residuals (cells carry through the
+    // encode so the scoring join stays (cell, sub, code)-keyed)
+    val (w, books) = pqCodebooks(
+      resid.select(col("vec_id"), col("r").as("embedding")),
+      numSub, codebookK, pqIters)
+    val memberCells = asn.select(col("vec_id"), col("cell"))
+    val codes = books.map { case (sub, cent) =>
+      assignCells(resid.select(col("vec_id"),
+          slice(col("r"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
+        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionAll _)
+      .join(memberCells, "vec_id")
+    val qv0 = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val probeCells = assignCells(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      coarse, probes = probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // driver-side literal constants over the trained index:
+    //   cr(cell, sub, code) = c_sub · r̂   (left-fold, 6-dp inputs)
+    //   rn2(sub, code)      = ‖r̂‖²        (left-fold)
+    //   cn2(cell)           = ‖c‖²        (left-fold)
+    val crMap = typedLit((for {
+      (cid, cv) <- coarse
+      (sub, cent) <- books
+      (code, rv) <- cent
+    } yield {
+      val cslice = cv.slice(sub * w, sub * w + w)
+      s"$cid:$sub:$code" ->
+        cslice.zip(rv).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+    }).toMap)
+    val rn2Map = typedLit((for {
+      (sub, cent) <- books
+      (code, rv) <- cent
+    } yield s"$sub:$code" -> rv.foldLeft(0.0)((a, x) => a + x * x)).toMap)
+    val cn2Map = typedLit(coarse.map { case (cid, cv) =>
+      cid -> cv.foldLeft(0.0)((a, x) => a + x * x)
+    }.toMap)
+    // per-query (sub, code) partial dots q_sub·r̂ — cell-independent
+    val tableEntries = books.flatMap { case (sub, cent) =>
+      cent.map { case (code, rv) =>
+        struct(lit(sub).as("sub"), lit(code).as("code"),
+          dot_product(slice(col("qv"), lit(sub * w + 1), lit(w)),
+            typedLit(rv)).as("qpd"))
+      }
+    }
+    val tables = qv0
+      .select(col("qid"), col("qnrm"), col("qv"),
+        explode(array(tableEntries: _*)).as("e"))
+      .select(col("qid"), col("qnrm"), col("qv"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.qpd").as("qpd"))
+      .join(probeCells, "qid")
+      .select(col("qid"), col("qnrm"), col("cell"), col("sub"), col("code"),
+        // pd = (q − c)_sub · r̂ = q_sub·r̂ − c_sub·r̂
+        (col("qpd") - element_at(crMap,
+          concat_ws(":", col("cell"), col("sub"), col("code")))).as("pd"),
+        // rc2 = 2·c_sub·r̂ + ‖r̂_sub‖², the per-sub ‖x̂‖² increment
+        (lit(2.0) * element_at(crMap,
+          concat_ws(":", col("cell"), col("sub"), col("code"))) +
+          element_at(rn2Map, concat_ws(":", col("sub"), col("code"))))
+          .as("rc2"),
+        dot_product(col("qv"), element_at(centMap, col("cell"))).as("qc"),
+        element_at(cn2Map, col("cell")).as("cn2"))
+    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(min(col("qnrm")).as("qnrm"),
+        min(col("qc")).as("qc"), min(col("cn2")).as("cn2"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")), lit(0.0), (a, x) => a + x).as("rdot"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("rc2")))),
+          s => s.getField("rc2")), lit(0.0), (a, x) => a + x).as("rrec"))
+      .withColumn("adot", col("qc") + col("rdot"))
+      .withColumn("rec2", col("cn2") + col("rrec"))
+      .withColumn("cos_adc",
+        when(col("qnrm") > 0 && col("rec2") > 0,
+          round(col("adot") / (col("qnrm") * sqrt(col("rec2"))), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Round-half-away-from-zero to 6 dp on the driver — the exact
     * semantics of Spark's `round` and DuckDB's `round(DOUBLE)`, so
     * driver-side recurrence steps stay bit-identical to both engines.

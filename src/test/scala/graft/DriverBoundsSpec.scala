@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.GraftListenerDrain
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{CollectLimitExec, QueryExecution, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -58,17 +58,33 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Topmost numOutputRows in the executed plan — the best available
     * proxy for "rows returned to the driver" (the root nodes of
     * collect plans are projections/aggregates that all carry it; AQE
-    * roots are unwrapped to their final physical plan).
+    * roots are unwrapped to their final physical plan). A plan with NO
+    * numOutputRows metric anywhere records -1 — the assertions below
+    * reject it explicitly rather than letting a metric-less
+    * corpus-sized collect masquerade as 0 rows and silently pass.
     */
   private def rowsOf(plan: SparkPlan): Long = {
-    val p = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other                    => other
-    }
-    p.collectFirst {
+    // Pre-order DFS that sees THROUGH the AQE stage boundaries:
+    // AdaptiveSparkPlanExec and QueryStageExec are leaf-ish wrappers
+    // whose real plan is not in `children`, so a plain collectFirst
+    // stops at the boundary and misses every metric inside.
+    def findIn(p: SparkPlan): Option[Long] = p match {
+      case a: AdaptiveSparkPlanExec => findIn(a.executedPlan)
+      // A limit root caps the driver transfer at `limit` no matter how
+      // many rows the child plan emits — descending past it would
+      // report the (distributed, never-collected) child cardinality.
+      case c: CollectLimitExec           => Some(c.limit.toLong)
+      case t: TakeOrderedAndProjectExec  => Some(t.limit.toLong)
+      case q: QueryStageExec =>
+        if (q.metrics.contains("numOutputRows"))
+          Some(q.metrics("numOutputRows").value)
+        else findIn(q.plan)
       case n if n.metrics.contains("numOutputRows") =>
-        n.metrics("numOutputRows").value
-    }.getOrElse(0L)
+        Some(n.metrics("numOutputRows").value)
+      case n =>
+        n.children.iterator.map(findIn).collectFirst { case Some(v) => v }
+    }
+    findIn(plan).getOrElse(-1L)
   }
 
   /** Runs the thunk with the listener armed and returns the row counts
@@ -93,12 +109,20 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q121_ivfpq_topk", 4096L, "centroids + sub-codebooks"),
     ("q138_bpe_train", 64L, "1-row argmax per merge"),
     ("q139_bpe_encode", 64L, "1-row argmax per merge"),
+    ("q147_bpe_curve", 64L, "1-row argmax per merge"),
+    ("q82_kcenter_coreset", 4096L, "1-row farthest-point argmax per center"),
+    ("q125_power_iteration_pc1", 4096L, "d-dim iterate vector per step"),
     ("q161_sq8_recall", 4096L, "d per-dim min/max rows"),
-    ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"),
-    ("q165_binary_recall", 4096L, "d per-dim rows"))
+    ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"))
+
+  // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
+  // q165 binaryHammingRecall is a broadcast-limit join + two windows;
+  // never collecting is the property worth pinning (a future "helper"
+  // collect sneaking in would fail here).
+  private val lazyOps: Seq[String] = Seq("q165_binary_recall")
 
   test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
-    val corpusRows = 50000L // sf0.1 documents ≈ 50k, embeddings ≈ 20k
+    val corpusRows = 5000L // sf0.1 documents = 5k, embeddings = 2k
     for ((q, bound, claim) <- bounded) {
       val sizes = collectsDuring {
         // materialize through count() — not a collect-class action, so
@@ -109,11 +133,27 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: no internal driver fold recorded — the listener net is " +
           "broken or the op no longer collects; either way the spec is " +
           "vacuous for it")
+      assert(!sizes.contains(-1L),
+        s"$q: a collect-class action's plan carried no numOutputRows " +
+          "metric — cannot verify the bound; tighten rowsOf or the plan")
       assert(sizes.forall(_ <= bound),
         s"$q: internal collect exceeded its documented bound ($claim ≤ " +
           s"$bound): ${sizes.filter(_ > bound).mkString(",")}")
       assert(sizes.forall(_ < corpusRows),
         s"$q: collect scales with the corpus: ${sizes.maxOption.getOrElse(0L)}")
+    }
+  }
+
+  test("declared-lazy ops trigger zero driver collects") {
+    for (q <- lazyOps) {
+      val sizes = collectsDuring {
+        SparkEntry.queries(q)(spark, sf).count()
+      }
+      assert(sizes.isEmpty,
+        s"$q is documented as a fully lazy plan but triggered " +
+          s"${sizes.length} collect-class action(s) of sizes " +
+          s"${sizes.mkString(",")} — either the op regressed or the " +
+          "scaladoc claim is stale")
     }
   }
 }
