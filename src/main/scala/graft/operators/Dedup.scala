@@ -1123,16 +1123,31 @@ object Dedup {
       sort_array(array_distinct(org.apache.spark.sql.graft.Signatures
         .shingle_hashes(split(col(textCol), " "), shingleN))).as("sh"))
       .filter(size(col("sh")) > 0)
+    val posts = base.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    // Probe prefix in (document frequency asc, hash asc) GLOBAL order —
+    // the q53 PPJoin discipline. The containment pigeonhole (|A∩B| ≥ t
+    // ⇒ A's first n−t+1 elements under ANY fixed total order contain a
+    // shared shingle) holds for every global order, so recall stays 1;
+    // df-ascending is the order that keeps corpus-hot shingles OUT of
+    // prefixes. The original hash-value order put a corpus-hot shingle
+    // (present in 30% of a skewed crawl) into ~40% of probe prefixes,
+    // each probing the full hot posting — a quadratic candidate blowup
+    // the sf1-skew measurement clocked at >300 s; df-order runs it in
+    // seconds with an identical verified output.
+    val withFreq = posts
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
     // t = ceil(num/den * n) computed in pure integers:
     // (num*n + den - 1) div den — no float threshold anywhere
-    val prefixLen = expr(
-      s"size(sh) - ((size(sh) * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen) + 1")
-    val probe = base
-      .select(col("doc_id"), col("sh"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val probe = withFreq
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))))
+      .filter(col("__rn") <= expr(
+        s"n - ((n * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen) + 1"))
+      .select(col("doc_id"), col("h"))
     // straggler cap: the count window shares the pairing join's hash
     // partitioning (no extra exchange), mirroring the q53 prefix cap
-    val index = base.select(col("doc_id").as("j"), explode(col("sh")).as("h"))
+    val index = posts.select(col("doc_id").as("j"), col("h"))
       .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__pn") <= maxPosting)
       .drop("__pn")
