@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ControlLaws
-import graft.operators.{Battery, Curation, Dedup, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
+import graft.operators.{Battery, Curation, Dedup, Layout, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1551,6 +1551,42 @@ object SparkEntry {
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 3), k = 5,
         numCells = 8, cellIters = 2, probes = 2,
         numSub = 4, codebookK = 8, pqIters = 2)
+    }),
+    // Similarity — two-stage retrieval: q171's IVF-PQ-residual index
+    // proposes a top-20 shortlist, exact cosine re-ranks it (FAISS
+    // IndexRefine shape; one broadcast-joined corpus scan)
+    "q172_refine_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+      val short = Similarity.ivfPqResidualTopK(e, q, k = 20,
+        numCells = 8, cellIters = 2, probes = 2,
+        numSub = 4, codebookK = 8, pqIters = 2)
+      Similarity.refineTopK(short, e, q, k = 5)
+    }),
+    // Layout — Z-order vs linear file clustering on lineitem
+    // (l_partkey, l_suppkey): per-file min/max = the data-skipping
+    // readout; zero corpus-ordered stages
+    "q173_zorder_layout" -> ((s, dir) =>
+      Layout.zOrderLayout(Tables.lineitem(s, dir), "l_partkey",
+        "l_suppkey", files = 16, bits = 16)),
+    // Layout — compaction plan: documents modeled as 10-doc files per
+    // source, packed into >=4kB output groups by running-sum binning
+    "q174_compaction_plan" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val files = Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("seq", floor((col("rn") - 1) / lit(10)).cast("long"))
+        .groupBy(col("source"), col("seq"))
+        .agg(sum(col("n_chars")).cast("long").as("bytes"))
+      Layout.compactionPlan(files, "source", "seq", "bytes",
+        targetBytes = 4000L)
+    }),
+    // Similarity — hard-negative mining: per query, top-5 different-
+    // label cosines + hardest-positive cosine + FaceNet semi-hard flag
+    "q175_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
     }),
   )
 
@@ -5733,7 +5769,102 @@ object SparkEntry {
     // retrained on r = v - c(cell) and the ADC algebra extended for
     // x-hat = c + r-hat (qc/cn2/cr/rn2 constant CTEs)
     "q171_ivfpq_residual" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      (ivfPqResidualRkChain + """
+         SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
+         ORDER BY qid, rank"""),
+    // q171's chain through the ADC ranking, top-20 shortlist, then the
+    // exact cosine re-rank against the full-precision vectors
+    "q172_refine_rerank" ->
+      (ivfPqResidualRkChain + """,
+         short AS (SELECT qid, nid FROM rk WHERE rank <= 20),
+         ex AS (SELECT s.qid, s.nid,
+                  CASE WHEN q.qnrm > 0
+                         AND list_inner_product(e2.v, e2.v) > 0
+                    THEN round(list_inner_product(q.v, e2.v) /
+                      (q.qnrm * sqrt(list_inner_product(e2.v, e2.v))), 6) + 0.0
+                    ELSE 0.0 END AS cos_exact
+                FROM short s JOIN q ON q.qid = s.qid
+                  JOIN e e2 ON e2.vec_id = s.nid),
+         rr AS (SELECT qid, nid, cos_exact,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos_exact DESC, nid) AS rank
+                FROM ex)
+         SELECT qid, nid, cos_exact, rank FROM rr WHERE rank <= 5
+         ORDER BY qid, rank"""),
+    "q173_zorder_layout" -> {
+      val morton = (0 until 16).map(b =>
+        s"((((mx >> $b) & 1) << ${2 * b}) | (((my >> $b) & 1) << ${2 * b + 1}))")
+        .mkString(" | ")
+      s"""WITH base AS (SELECT l_partkey::BIGINT AS x, l_suppkey::BIGINT AS y
+                        FROM lineitem),
+          kz AS (SELECT x, y, ($morton) AS k
+                 FROM (SELECT x, y, x & 65535 AS mx, y & 65535 AS my
+                       FROM base)),
+          bz AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kz),
+          fz AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM kz CROSS JOIN bz),
+          sz AS (SELECT 'zorder' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fz GROUP BY 1, 2),
+          bl AS (SELECT min(x) AS kmin, max(x) AS kmax FROM base),
+          fl AS (SELECT least(15, (x - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM base CROSS JOIN bl),
+          sl AS (SELECT 'linear' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fl GROUP BY 1, 2)
+          SELECT * FROM sz UNION ALL SELECT * FROM sl
+          ORDER BY layout, file"""
+    },
+    "q174_compaction_plan" ->
+      """WITH f AS (SELECT source, (rn - 1) // 10 AS seq,
+                      sum(n_chars)::BIGINT AS bytes
+                    FROM (SELECT source, n_chars,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY doc_id) AS rn
+                          FROM documents)
+                    GROUP BY 1, 2),
+         c AS (SELECT source, seq, bytes,
+                 (sum(bytes) OVER (PARTITION BY source ORDER BY seq
+                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+               FROM f)
+         SELECT source, (cum - bytes) // 4000 AS grp, count(*) AS n_files,
+                sum(bytes)::BIGINT AS grp_bytes,
+                min(seq) AS first_seq, max(seq) AS last_seq
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q175_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+                 sqrt(list_inner_product(v, v)) AS qnrm
+               FROM e WHERE vec_id < 8),
+         sc AS (SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+                  CASE WHEN q.qnrm > 0
+                         AND list_inner_product(e.v, e.v) > 0
+                    THEN round(list_inner_product(q.qv, e.v) /
+                      (q.qnrm * sqrt(list_inner_product(e.v, e.v))), 6) + 0.0
+                    ELSE 0.0 END AS cos
+                FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+         pos AS (SELECT qid, max(cos) AS pos_cos FROM sc
+                 WHERE nlabel = qlabel GROUP BY 1),
+         neg AS (SELECT qid, nid, cos,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, nid) AS rank
+                 FROM sc WHERE nlabel <> qlabel)
+         SELECT n.qid, n.nid, n.cos AS neg_cos, n.rank, p.pos_cos,
+                n.cos < p.pos_cos AS semi_hard
+         FROM neg n LEFT JOIN pos p USING (qid)
+         WHERE n.rank <= 5 ORDER BY n.qid, n.rank""",
+  )
+
+  /** q171/q172 shared oracle text: the full IVF-PQ-residual replay in
+    * DuckDB SQL through the ADC-ranking CTE `rk` (the `e`/`q` vector
+    * CTEs stay visible for q172's exact re-rank tail).
+    */
+  private val ivfPqResidualRkChain: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                     FROM embeddings),
          cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
          asn1 AS (
@@ -5894,8 +6025,5 @@ object SparkEntry {
          rk AS (SELECT qid, nid, cos_adc,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY cos_adc DESC, nid) AS rank
-                FROM r)
-         SELECT qid, nid, cos_adc, rank FROM rk WHERE rank <= 5
-         ORDER BY qid, rank""",
-  )
+                FROM r)"""
 }

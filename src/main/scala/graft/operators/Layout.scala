@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout planning operators — the write-side half of a
+  * 100 TB deployment. Reading fast at scale is mostly decided before
+  * the first query runs: how rows were clustered into files (data
+  * skipping) and how small files were compacted (task/scheduler
+  * overhead). Both planners here are pure declarative plans over file/
+  * row metadata — no data movement, no driver state — so they run as
+  * cheaply against a 100 TB table's manifest as against a test table.
+  *
+  * Everything is exact integer/window arithmetic, so both ops are
+  * DuckDB-oracle-gated (q173/q174) rather than spec-only.
+  */
+object Layout {
+
+  /** Morton (Z-order) interleave of two non-negative integer
+    * dimensions, `bits` bits each: bit b of x lands at position 2b,
+    * bit b of y at 2b+1. The standard multi-dimensional clustering
+    * key (Morton 1966; every lakehouse `OPTIMIZE ZORDER BY`):
+    * sorting by the interleaved value gives files that are tight in
+    * BOTH dimensions, so min/max file statistics prune scans for
+    * predicates on either column — a linear sort only ever serves its
+    * leading column.
+    *
+    * Pure bitwise Column algebra (shift/and/or over longs), evaluated
+    * inside the scan under whole-stage codegen; exact in both engines.
+    */
+  def mortonValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Per-file min/max statistics under an equi-width range bucketing
+    * of `key` into `files` buckets — the data-skipping readout a
+    * clustered write would produce. Equi-width on the key (not
+    * ntile/repartitionByRange) keeps the assignment a pure map-side
+    * expression against two broadcast scalars (global key min/max):
+    * no global sort, no sampled — hence nondeterministic — range
+    * boundaries, no single-partition window. A production writer
+    * would `repartitionByRange(files, key)` for balanced output; the
+    * bucket → file SEMANTICS (contiguous key ranges) are identical,
+    * and this form is oracle-exact.
+    */
+  private def fileStats(df: DataFrame, key: Column, files: Int,
+      layout: String): DataFrame = {
+    val keyed = df.withColumn("k", key)
+    val bounds = keyed.agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("file", least(lit(files - 1),
+        floor((col("k") - col("kmin")) * files /
+          (col("kmax") - col("kmin") + lit(1L)))).cast("long"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("layout", lit(layout))
+      .select(col("layout"), col("file"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+  }
+
+  /** Z-order vs linear layout comparison for a two-column table: the
+    * same rows bucketed into `files` files (a) by the Morton
+    * interleave of (x, y) and (b) by x alone (the linear sort a naive
+    * writer produces), with per-file min/max of both dimensions. The
+    * readout IS the data-skipping story: under the z-order layout
+    * every file covers a narrow range of BOTH x and y (a predicate on
+    * either prunes most files); under the linear layout each file
+    * spans the full y range, so y-predicates prune nothing.
+    *
+    * Plan: two scans (one per layout), each scan → map-side bucket
+    * expression → one hash aggregate on the file id. Nothing here is
+    * corpus-ordered: at 100 TB each layout costs one pass and one
+    * `files`-sized aggregate.
+    */
+  def zOrderLayout(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int): DataFrame = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mask = lit((1L << bits) - 1)
+    val z = mortonValue(col("x").bitwiseAND(mask), col("y").bitwiseAND(mask),
+      bits)
+    fileStats(base, z, files, "zorder")
+      .unionAll(fileStats(base, col("x"), files, "linear"))
+      .orderBy(col("layout"), col("file"))
+  }
+
+  /** Sequential small-file compaction plan: within each table
+    * partition, pack consecutive files (in `seqCol` order) into
+    * output groups of at least `targetBytes` — the planning pass of
+    * every `OPTIMIZE`/compaction job. Group assignment is the
+    * running-sum bin: a file starts a new group exactly when the
+    * bytes accumulated BEFORE it have crossed the next multiple of
+    * `targetBytes`, i.e. `grp = floor((cumBytes - bytes) /
+    * targetBytes)` — deterministic, one window over each table
+    * partition's file list (file METADATA, thousands of rows per
+    * partition at 100 TB, never the data), one hash aggregate.
+    *
+    * Output: one row per (partition, group) with the file count, total
+    * bytes, and the seq range to rewrite — exactly the work list a
+    * compaction executor consumes.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, seqCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(seqCol))
+    files
+      .withColumn("cum", sum(col(bytesCol)).over(w))
+      .withColumn("grp",
+        floor((col("cum") - col(bytesCol)) / lit(targetBytes)).cast("long"))
+      .groupBy(col(partCol), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col(bytesCol)).as("grp_bytes"),
+        min(col(seqCol)).as("first_seq"), max(col(seqCol)).as("last_seq"))
+      .orderBy(col(partCol), col("grp"))
+  }
+}

@@ -1309,6 +1309,93 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Exact re-rank of an ANN shortlist — the refine stage every
+    * production two-stage retrieval runs (FAISS `IndexRefineFlat`;
+    * Jégou et al. 2011 §V.C re-rank): the compressed index (IVF-PQ,
+    * SQ8, binary) proposes `kShort` candidates per query, then the
+    * TRUE cosine is computed against the full-precision vectors of
+    * only those candidates and the final top-k keeps the exact order.
+    * Composes over ANY shortlist-producing op — the `shortlist` input
+    * is just (qid, nid) rows.
+    *
+    * Plan: the candidate set is queries × kShort rows — query-bounded,
+    * corpus-independent — so it broadcasts (carrying each query's full
+    * vector with it), and the refine is ONE map-side broadcast-hash
+    * join against the corpus scan: each corpus partition looks up its
+    * own vec_ids in the broadcast set and scores the hits. No corpus
+    * shuffle; the final top-k window runs on query × kShort rows. At
+    * 100 TB this costs one corpus scan regardless of index type —
+    * which is why refine is how compressed indexes buy back exactness.
+    */
+  def refineTopK(shortlist: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val qv = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val cand = shortlist.select(col("qid"), col("nid")).join(qv, "qid")
+    val v = vectors.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("nv"))
+      .withColumn("nnrm", l2norm(col("nv")))
+    val scored = v.join(broadcast(cand), "nid")
+      .withColumn("cos_exact",
+        when(col("qnrm") > 0 && col("nnrm") > 0,
+          round(dot_product(col("qv"), col("nv")) /
+            (col("qnrm") * col("nnrm")), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_exact").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos_exact"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training (Schroff et al.
+    * 2015 §3.2; the retrieval-training staple): for each query vector,
+    * the k highest-cosine corpus vectors with a DIFFERENT label (the
+    * hard negatives), each tagged with the query's hardest same-label
+    * cosine (`pos_cos`) and the semi-hard flag `neg_cos < pos_cos` —
+    * the band FaceNet trains on (negatives inside the margin but not
+    * closer than the positive).
+    *
+    * Plan: queries broadcast (label + vector + norm); two passes over
+    * the corpus — one filtered to same-label rows folding straight
+    * into a per-query MAX (map-side partial agg, no window), one
+    * filtered to different-label rows ranked per query. This is the
+    * exact audit shape (q21's discipline); at corpus scale the
+    * shortlist pass is replaced by any ANN op + [[refineTopK]], and
+    * `pos_cos` stays the same single-scan aggregate.
+    */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("label").as("qlabel"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val v = vectors.select(col("vec_id").as("nid"),
+      col("label").as("nlabel"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnrm", l2norm(col("nv")))
+    val scored = v.crossJoin(broadcast(qv))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos",
+        when(col("qnrm") > 0 && col("nnrm") > 0,
+          round(dot_product(col("qv"), col("nv")) /
+            (col("qnrm") * col("nnrm")), 6))
+          .otherwise(lit(0.0)))
+    val pos = scored.filter(col("nlabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(max(col("cos")).as("pos_cos"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .join(broadcast(pos), Seq("qid"), "left")
+      .select(col("qid"), col("nid"), col("cos").as("neg_cos"), col("rank"),
+        col("pos_cos"), (col("cos") < col("pos_cos")).as("semi_hard"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Round-half-away-from-zero to 6 dp on the driver — the exact
     * semantics of Spark's `round` and DuckDB's `round(DOUBLE)`, so
     * driver-side recurrence steps stay bit-identical to both engines.

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Layout, Similarity}
+
+/** Round-13 layout planners (Z-order, compaction) + two-stage
+  * retrieval (refine re-rank, hard-negative mining).
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-layout-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Reference Morton interleave on the driver (bit-by-bit). */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+    }
+
+  test("mortonValue matches the driver-side bit interleave") {
+    val s = spark; import s.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L), (1999L, 99L),
+      (1234L, 4321L))
+    val got = rows.toDF("x", "y")
+      .withColumn("z", Layout.mortonValue(col("x"), col("y"), 16))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(x, y, 16),
+        s"morton($x,$y) = ${got((x, y))}, want ${mortonRef(x, y, 16)}")
+    }
+    // the interleave is a bijection on the test grid (no collisions)
+    assert(got.values.toSet.size == rows.toSet.size)
+  }
+
+  test("zOrderLayout: z-order files are tight in BOTH dims, linear files span all of y") {
+    val s = spark; import s.implicits._
+    // a dense 64x64 grid: every (x, y) combination once
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val stats = Layout.zOrderLayout(grid, "x", "y", files = 16, bits = 6)
+      .collect()
+    val (zo, li) = stats.partition(_.getString(0) == "zorder")
+    // linear layout: every file covers the FULL y range — y-predicates
+    // prune nothing
+    li.foreach { r =>
+      assert(r.getLong(5) == 0L && r.getLong(6) == 63L,
+        s"linear file ${r.getLong(1)} should span y fully: $r")
+    }
+    // z-order layout: every file covers at most a quarter of each dim
+    // (on a dense grid, a 16-file z-split is 16 aligned quadrants)
+    zo.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) <= 15L,
+        s"zorder file ${r.getLong(1)} x-span too wide: $r")
+      assert(r.getLong(6) - r.getLong(5) <= 15L,
+        s"zorder file ${r.getLong(1)} y-span too wide: $r")
+    }
+    // both layouts partition the rows exactly
+    assert(zo.map(_.getLong(2)).sum == 64L * 64L)
+    assert(li.map(_.getLong(2)).sum == 64L * 64L)
+  }
+
+  test("zOrderLayout plan: no window, no global sort — scan + hash aggregate only") {
+    val s = spark; import s.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val plan = Layout.zOrderLayout(grid, "x", "y", files = 4, bits = 3)
+      .queryExecution.executedPlan.toString
+    // the ONLY sort allowed is the final files-sized presentation sort;
+    // file assignment must be a map-side expression (no Window, no
+    // Exchange rangepartitioning over the data before aggregation)
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
+  test("compactionPlan: contiguous greedy bins, every group but the last crosses target") {
+    val s = spark; import s.implicits._
+    val files = Seq(
+      ("a", 0L, 700L), ("a", 1L, 600L), ("a", 2L, 100L), ("a", 3L, 900L),
+      ("a", 4L, 100L),
+      ("b", 0L, 2500L), ("b", 1L, 100L),
+      ("c", 0L, 50L)
+    ).toDF("part", "seq", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "seq", "bytes", 1000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val m = plan.toMap
+    // a: 700+600 crosses 1000 -> grp0 {0,1}; 100+900 crosses -> grp1 {2,3};
+    //    100 left -> grp2 {4}
+    assert(m(("a", 0L)) == ((2L, 1300L, 0L, 1L)))
+    assert(m(("a", 1L)) == ((2L, 1000L, 2L, 3L)))
+    assert(m(("a", 2L)) == ((1L, 100L, 4L, 4L)))
+    // b: 2500 alone overshoots two bins -> grp0 {0}; grp2 {1} (running-sum
+    // bin index floor((cum-bytes)/target) = floor(2500/1000) = 2)
+    assert(m(("b", 0L)) == ((1L, 2500L, 0L, 0L)))
+    assert(m(("b", 2L)) == ((1L, 100L, 1L, 1L)))
+    // c: single undersized file -> one group
+    assert(m(("c", 0L)) == ((1L, 50L, 0L, 0L)))
+    // groups are seq-contiguous and partition the file list
+    assert(plan.map(_._2._1).sum == 8L)
+  }
+
+  test("refineTopK over a full shortlist equals brute-force cosine top-k") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    // shortlist = every (query, candidate) pair -> refine IS brute force
+    val all = e.select(col("vec_id").as("nid"))
+      .crossJoin(q.select(col("vec_id").as("qid")))
+      .filter(col("nid") =!= col("qid"))
+    val refined = Similarity.refineTopK(all, e, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .collect()
+    assert(refined.length == brute.length)
+    val bruteSet = brute.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    refined.foreach { case (qid, rank, nid, _) =>
+      assert(bruteSet.contains((qid, nid, rank)),
+        s"refine/brute mismatch at ($qid, $nid, rank=$rank)")
+    }
+  }
+
+  test("refineTopK on a lossy shortlist: exact scores, candidates only") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    val short = Similarity.ivfPqTopK(e, q, k = 10, numCells = 4,
+      cellIters = 2, probes = 2, numSub = 4, codebookK = 8, pqIters = 2)
+    val shortSet = short.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.refineTopK(short, e, q, k = 5).collect()
+    // every refined hit came from the shortlist
+    refined.foreach { r =>
+      assert(shortSet.contains((r.getLong(0), r.getLong(1))))
+    }
+    // scores are the TRUE cosines (cross-checked against cosineTopK's
+    // scoring of the same pair where present)
+    val exact = Similarity.bruteForceTopK(e, q, 200).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    refined.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 5e-7,
+          s"refined score for $key is not the exact cosine")
+      }
+    }
+  }
+
+  test("hardNegatives: different-label only, pos_cos is the true positive max, semi-hard flag") {
+    val s = spark; import s.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // two labels; query 0 has a near-duplicate positive (cos ~1) and
+    // nearer/farther negatives
+    val rows = Seq(
+      (0L, v(1, 0, 0), 0),
+      (1L, v(0.99, 0.14, 0), 0),  // hard positive, cos ~0.99
+      (2L, v(0.9, 0.43, 0), 1),   // hard negative, cos 0.9 < pos
+      (3L, v(0, 1, 0), 1),        // easy negative, cos 0
+      (4L, v(1, 0.01, 0), 1)      // negative HARDER than the positive
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows, rows.filter(col("vec_id") === 0L),
+      k = 3).collect()
+    assert(got.length == 3)
+    // ranked by cosine desc: 4 (~1.0), 2 (0.9), 3 (0.0)
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 2L, 3L))
+    // pos_cos = cos(0, 1), the hardest same-label neighbor
+    val posCos = got.head.getDouble(4)
+    assert(math.abs(posCos - 0.990148) < 1e-6, s"pos_cos $posCos")
+    // semi-hard: negative 4 beats the positive -> NOT semi-hard;
+    // negatives 2 and 3 are below it -> semi-hard
+    val flags = got.map(r => (r.getLong(1), r.getBoolean(5))).toMap
+    assert(!flags(4L) && flags(2L) && flags(3L))
+  }
+}
