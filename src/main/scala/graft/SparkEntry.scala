@@ -1571,24 +1571,39 @@ object SparkEntry {
         "l_suppkey", files = 16, bits = 16)),
     // Layout — compaction plan: documents modeled as 10-doc files per
     // source, packed into >=4kB output groups by running-sum binning
-    "q174_compaction_plan" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      val files = Tables.documents(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("seq", floor((col("rn") - 1) / lit(10)).cast("long"))
-        .groupBy(col("source"), col("seq"))
-        .agg(sum(col("n_chars")).cast("long").as("bytes"))
-      Layout.compactionPlan(files, "source", "seq", "bytes",
-        targetBytes = 4000L)
-    }),
+    "q174_compaction_plan" -> ((s, dir) =>
+      Layout.compactionPlan(docFileModel(s, dir), "source", "seq", "bytes",
+        targetBytes = 4000L)),
     // Similarity — hard-negative mining: per query, top-5 different-
     // label cosines + hardest-positive cosine + FaceNet semi-hard flag
     "q175_hard_negatives" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
     }),
+    // Layout — quantified skipping: 4x4 predicate-box lattice over
+    // (l_partkey, l_suppkey); per layout, avg files touched + skip ratio
+    "q176_zorder_pruning" -> ((s, dir) =>
+      Layout.zOrderPruning(Tables.lineitem(s, dir), "l_partkey",
+        "l_suppkey", files = 16, bits = 16, grid = 4)),
+    // Layout — per-source small-file health triage over the q174 model
+    "q177_layout_health" -> ((s, dir) =>
+      Layout.layoutHealth(docFileModel(s, dir), "source", "bytes",
+        targetBytes = 4000L)),
   )
+
+  /** Shared q174/q177 file model: documents as 10-doc "files" per
+    * source (seq = row-number bucket, bytes = summed n_chars) — a
+    * deterministic stand-in for a file manifest.
+    */
+  private def docFileModel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seq", floor((col("rn") - 1) / lit(10)).cast("long"))
+      .groupBy(col("source"), col("seq"))
+      .agg(sum(col("n_chars")).cast("long").as("bytes"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5791,32 +5806,49 @@ object SparkEntry {
                 FROM ex)
          SELECT qid, nid, cos_exact, rank FROM rr WHERE rank <= 5
          ORDER BY qid, rank"""),
-    "q173_zorder_layout" -> {
-      val morton = (0 until 16).map(b =>
-        s"((((mx >> $b) & 1) << ${2 * b}) | (((my >> $b) & 1) << ${2 * b + 1}))")
-        .mkString(" | ")
-      s"""WITH base AS (SELECT l_partkey::BIGINT AS x, l_suppkey::BIGINT AS y
-                        FROM lineitem),
-          kz AS (SELECT x, y, ($morton) AS k
-                 FROM (SELECT x, y, x & 65535 AS mx, y & 65535 AS my
-                       FROM base)),
-          bz AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kz),
-          fz AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
-                   x, y FROM kz CROSS JOIN bz),
-          sz AS (SELECT 'zorder' AS layout, file, count(*) AS n,
-                   min(x) AS x_min, max(x) AS x_max,
-                   min(y) AS y_min, max(y) AS y_max
-                 FROM fz GROUP BY 1, 2),
-          bl AS (SELECT min(x) AS kmin, max(x) AS kmax FROM base),
-          fl AS (SELECT least(15, (x - kmin) * 16 // (kmax - kmin + 1)) AS file,
-                   x, y FROM base CROSS JOIN bl),
-          sl AS (SELECT 'linear' AS layout, file, count(*) AS n,
-                   min(x) AS x_min, max(x) AS x_max,
-                   min(y) AS y_min, max(y) AS y_max
-                 FROM fl GROUP BY 1, 2)
-          SELECT * FROM sz UNION ALL SELECT * FROM sl
-          ORDER BY layout, file"""
-    },
+    "q173_zorder_layout" ->
+      (zorderStatsChain + """
+          SELECT layout, file, n, x_min, x_max, y_min, y_max FROM stats
+          ORDER BY layout, file"""),
+    // q173's stats chain + a 4x4 predicate-box lattice intersected
+    // against the per-file min/max — the skipping decision, measured
+    "q176_zorder_pruning" ->
+      (zorderStatsChain + """,
+          bounds AS (SELECT min(x) AS bxmin, max(x) AS bxmax,
+                       min(y) AS bymin, max(y) AS bymax FROM base),
+          boxes AS (SELECT i * 4 + j AS box,
+                      bxmin + (i * (bxmax - bxmin + 1)) // 4 AS bxlo,
+                      bxmin + ((i + 1) * (bxmax - bxmin + 1)) // 4 - 1 AS bxhi,
+                      bymin + (j * (bymax - bymin + 1)) // 4 AS bylo,
+                      bymin + ((j + 1) * (bymax - bymin + 1)) // 4 - 1 AS byhi
+                    FROM bounds CROSS JOIN range(4) ti(i)
+                      CROSS JOIN range(4) tj(j)),
+          touched AS (SELECT layout, count(*) AS touched
+                      FROM stats s JOIN boxes b
+                        ON s.x_min <= b.bxhi AND s.x_max >= b.bxlo
+                       AND s.y_min <= b.byhi AND s.y_max >= b.bylo
+                      GROUP BY 1),
+          pl AS (SELECT layout, count(*) AS n_files FROM stats GROUP BY 1)
+          SELECT p.layout, p.n_files, 16 AS n_boxes, t.touched,
+                 round(1.0 - t.touched / (p.n_files * 16)::DOUBLE, 6) + 0.0
+                   AS skip_ratio
+          FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""),
+    "q177_layout_health" ->
+      """SELECT *, (small_frac >= 0.5 AND n_files > 1) AS needs_compaction
+         FROM (
+           SELECT source, count(*) AS n_files, sum(bytes)::BIGINT AS total_bytes,
+                  round(avg(bytes), 2) + 0.0 AS avg_bytes,
+                  round((sum(CASE WHEN bytes < 2000 THEN 1 ELSE 0 END))::DOUBLE
+                    / count(*), 6) + 0.0 AS small_frac
+           FROM (SELECT source, (rn - 1) // 10 AS seq,
+                   sum(n_chars)::BIGINT AS bytes
+                 FROM (SELECT source, n_chars,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY doc_id) AS rn
+                       FROM documents)
+                 GROUP BY 1, 2)
+           GROUP BY 1)
+         ORDER BY source""",
     "q174_compaction_plan" ->
       """WITH f AS (SELECT source, (rn - 1) // 10 AS seq,
                       sum(n_chars)::BIGINT AS bytes
@@ -5858,6 +5890,37 @@ object SparkEntry {
          FROM neg n LEFT JOIN pos p USING (qid)
          WHERE n.rank <= 5 ORDER BY n.qid, n.rank""",
   )
+
+  /** q173/q176 shared oracle text: lineitem bucketed into 16 files by
+    * the 16-bit Morton interleave of (l_partkey, l_suppkey) and by
+    * l_partkey alone, with per-file min/max stats — through the
+    * `stats` CTE (`base` stays visible for q176's bounds).
+    */
+  private val zorderStatsChain: String = {
+    val morton = (0 until 16).map(b =>
+      s"((((mx >> $b) & 1) << ${2 * b}) | (((my >> $b) & 1) << ${2 * b + 1}))")
+      .mkString(" | ")
+    s"""WITH base AS (SELECT l_partkey::BIGINT AS x, l_suppkey::BIGINT AS y
+                        FROM lineitem),
+          kz AS (SELECT x, y, ($morton) AS k
+                 FROM (SELECT x, y, x & 65535 AS mx, y & 65535 AS my
+                       FROM base)),
+          bz AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kz),
+          fz AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM kz CROSS JOIN bz),
+          sz AS (SELECT 'zorder' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fz GROUP BY 1, 2),
+          bl AS (SELECT min(x) AS kmin, max(x) AS kmax FROM base),
+          fl AS (SELECT least(15, (x - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM base CROSS JOIN bl),
+          sl AS (SELECT 'linear' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fl GROUP BY 1, 2),
+          stats AS (SELECT * FROM sz UNION ALL SELECT * FROM sl)"""
+  }
 
   /** q171/q172 shared oracle text: the full IVF-PQ-residual replay in
     * DuckDB SQL through the ADC-ranking CTE `rk` (the `e`/`q` vector

@@ -92,6 +92,79 @@ object Layout {
       .orderBy(col("layout"), col("file"))
   }
 
+  /** Quantified data-skipping readout for [[zOrderLayout]]: lay a
+    * `grid`×`grid` lattice of predicate boxes over the (x, y) key
+    * space (equal fractional bands between the global min/max of each
+    * dimension) and count, per layout, how many files' min/max stats
+    * intersect each box — exactly the pruning decision a reader's
+    * file-skipping pass makes. The output is two rows (zorder,
+    * linear) with the average touched-file count and the skip ratio:
+    * the z-order claim as a measured number instead of an eyeballed
+    * stats table.
+    *
+    * Everything after the two layout scans is metadata-sized: file
+    * stats (2·files rows) theta-joined against broadcast boxes
+    * (grid² rows), then two tiny aggregates. Integer floor arithmetic
+    * throughout — oracle-exact.
+    */
+  def zOrderPruning(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int, grid: Int): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val stats = zOrderLayout(df, xCol, yCol, files, bits)
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val bounds = base.agg(min(col("x")).as("bxmin"), max(col("x")).as("bxmax"),
+      min(col("y")).as("bymin"), max(col("y")).as("bymax"))
+    val boxes = bounds
+      .withColumn("i", explode(sequence(lit(0), lit(grid - 1))))
+      .withColumn("j", explode(sequence(lit(0), lit(grid - 1))))
+      .withColumn("spanx", col("bxmax") - col("bxmin") + lit(1L))
+      .withColumn("spany", col("bymax") - col("bymin") + lit(1L))
+      .select(
+        (col("i") * grid + col("j")).as("box"),
+        (col("bxmin") + floor(col("i") * col("spanx") / grid)).as("bxlo"),
+        (col("bxmin") + floor((col("i") + 1) * col("spanx") / grid) - 1)
+          .as("bxhi"),
+        (col("bymin") + floor(col("j") * col("spany") / grid)).as("bylo"),
+        (col("bymin") + floor((col("j") + 1) * col("spany") / grid) - 1)
+          .as("byhi"))
+    val touched = stats.join(broadcast(boxes),
+        col("x_min") <= col("bxhi") && col("x_max") >= col("bxlo") &&
+        col("y_min") <= col("byhi") && col("y_max") >= col("bylo"))
+      .groupBy(col("layout")).agg(count(lit(1)).as("touched"))
+    val perLayout = stats.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"))
+    perLayout.join(touched, "layout")
+      .select(col("layout"), col("n_files"), lit(grid * grid).as("n_boxes"),
+        col("touched"),
+        round(lit(1.0) - col("touched") /
+          (col("n_files") * lit(grid * grid)).cast("double"), 6)
+          .as("skip_ratio"))
+      .orderBy(col("layout"))
+  }
+
+  /** Layout-health triage: per table partition, the file-count /
+    * byte-size profile and a needs-compaction verdict (≥half the
+    * files under half the target size, and more than one file to
+    * merge) — the monitoring pass that decides where [[compactionPlan]]
+    * runs next. One metadata aggregate; at 100 TB this reads the file
+    * manifest, never the data.
+    */
+  def layoutHealth(files: DataFrame, partCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    files.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).cast("long").as("total_bytes"),
+        round(avg(col(bytesCol)), 2).as("avg_bytes"),
+        round(
+          sum(when(col(bytesCol) < lit(targetBytes / 2), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("small_frac"))
+      .withColumn("needs_compaction",
+        col("small_frac") >= 0.5 && col("n_files") > 1)
+      .orderBy(col(partCol))
+  }
+
   /** Sequential small-file compaction plan: within each table
     * partition, pack consecutive files (in `seqCol` order) into
     * output groups of at least `targetBytes` — the planning pass of

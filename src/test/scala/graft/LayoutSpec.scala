@@ -110,6 +110,43 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.map(_._2._1).sum == 8L)
   }
 
+  test("zOrderPruning: z-order skips files on the dense grid, linear layout skips none in y-bands") {
+    val s = spark; import s.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = Layout.zOrderPruning(grid, "x", "y", files = 16, bits = 6,
+      grid = 4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // dense 64x64 grid, 16 z-order files = 16x16 quadrants, 4x4 boxes =
+    // 16x16 bands: each box intersects exactly ONE quadrant -> 16
+    // touched of 256 pairs = skip ratio 0.9375
+    assert(got("zorder") == ((16L, 16, 16L, 0.9375)))
+    // linear files span all of y, so each box touches every file whose
+    // x-range intersects: 4 x-bands x 16 boxes... each box's x-band
+    // covers exactly 4 of the 16 x-striped files -> 64 touched, 0.75
+    assert(got("linear") == ((16L, 16, 64L, 0.75)))
+  }
+
+  test("layoutHealth: small-file triage verdict") {
+    val s = spark; import s.implicits._
+    val files = Seq(
+      // "fragmented": 4 files all under half target (500 < 1000)
+      ("frag", 0L, 400L), ("frag", 1L, 500L), ("frag", 2L, 300L),
+      ("frag", 3L, 450L),
+      // "healthy": 2 big files
+      ("ok", 0L, 5000L), ("ok", 1L, 4000L),
+      // "single": one small file — nothing to merge
+      ("single", 0L, 100L)
+    ).toDF("part", "seq", "bytes")
+    val got = Layout.layoutHealth(files, "part", "bytes", 2000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got("frag") == ((4L, 1650L, 412.5, 1.0, true)))
+    assert(got("ok") == ((2L, 9000L, 4500.0, 0.0, false)))
+    assert(got("single") == ((1L, 100L, 100.0, 1.0, false)))
+  }
+
   test("refineTopK over a full shortlist equals brute-force cosine top-k") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
