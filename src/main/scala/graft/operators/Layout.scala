@@ -92,6 +92,32 @@ object Layout {
       .orderBy(col("layout"), col("file"))
   }
 
+  /** The actual clustered WRITE path (what `OPTIMIZE ZORDER BY` runs):
+    * range-partition the rows on the Morton key — sampled boundaries
+    * give ~equal-sized output files, the balance [[zOrderLayout]]'s
+    * deterministic equi-width readout trades away for oracle
+    * exactness — then sort within each partition so row groups inside
+    * a file are also z-contiguous (parquet column min/max stats then
+    * prune at row-group granularity too). Caller does
+    * `.write.parquet(...)`; each task writes one z-contiguous file.
+    *
+    * Sampled `repartitionByRange` boundaries make file CONTENTS
+    * nondeterministic across runs (never the row set), so this is
+    * spec-verified on written files' footer stats, not oracle-gated —
+    * the oracle-gated siblings are q173/q176.
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int): DataFrame = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val mask = lit((1L << bits) - 1)
+    val z = mortonValue(col(xCol).cast("long").bitwiseAND(mask),
+      col(yCol).cast("long").bitwiseAND(mask), bits)
+    df.withColumn("zval", z)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+  }
+
   /** Quantified data-skipping readout for [[zOrderLayout]]: lay a
     * `grid`×`grid` lattice of predicate boxes over the (x, y) key
     * space (equal fractional bands between the global min/max of each

@@ -523,6 +523,42 @@ object Ingest {
       }
   }
 
+  /** q174's streaming twin — incremental compaction planning as file
+    * manifests arrive (the auto-compaction service loop): per table
+    * partition, the running byte total is the ONLY state (one long per
+    * partition, bounded by partition count, never by file count), and
+    * each incoming file is assigned the output group the batch planner
+    * would give it — grp = floor(bytesBefore / target), the identical
+    * running-sum bin of Layout.compactionPlan. Emits one assignment
+    * row per file; a downstream aggregate (or the compaction executor
+    * itself) folds assignments into (partition, group) work items.
+    */
+  case class FileMeta(part: String, seq: Long, bytes: Long)
+  case class FileAssign(part: String, seq: Long, bytes: Long, grp: Long)
+  case class PackState(cumBytes: Long)
+
+  def compactionPlanStream(files: Dataset[FileMeta], targetBytes: Long)(
+      implicit spark: SparkSession): Dataset[FileAssign] = {
+    import spark.implicits._
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    files
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[PackState, FileAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (part: String, rows: Iterator[FileMeta], state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumBytes).getOrElse(0L)
+          // bounded by (micro-batch × key) under a trigger limit — see
+          // the interpolateEnergy note above
+          val out = rows.toSeq.sortBy(_.seq).map { f =>
+            val grp = cum / targetBytes
+            cum += f.bytes
+            FileAssign(part, f.seq, f.bytes, grp)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** q59's streaming twin — gap-based sessionization on an unbounded
     * event stream via the NATIVE session_window (merging-window state
     * store), not a hand-rolled flatMapGroupsWithState: Spark merges

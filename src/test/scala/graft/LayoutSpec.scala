@@ -147,6 +147,75 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("single") == ((1L, 100L, 100.0, 1.0, false)))
   }
 
+  test("zOrderWrite: written files' footer stats are tight in both dims vs a linear write") {
+    val s = spark; import s.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def fileSpans(dir: String): Array[(Long, Long)] = {
+      val by = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      by
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    Layout.zOrderWrite(grid, "x", "y", files = 16, bits = 6)
+      .write.mode("overwrite").parquet(zDir)
+    val lDir = java.nio.file.Files.createTempDirectory("graft_lw").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(lDir)
+    val zs = fileSpans(zDir)
+    val ls = fileSpans(lDir)
+    // all rows land somewhere, roughly balanced across 16 range buckets
+    assert(zs.length >= 12 && zs.length <= 16, s"z files: ${zs.length}")
+    // a z-range file covers at most ~2-3 Morton quadrants even when a
+    // sampled boundary straddles blocks — far below the full 0..63
+    zs.foreach { case (xsp, ysp) =>
+      assert(xsp <= 47 && ysp <= 47, s"z-file span too wide: ($xsp, $ysp)")
+    }
+    assert(zs.map(_._2).sum.toDouble / zs.length <= 24.0,
+      "z files' mean y-span should be quadrant-sized")
+    // the linear layout never narrows y
+    ls.foreach { case (_, ysp) => assert(ysp == 63L, s"linear y-span $ysp") }
+  }
+
+  test("compactionPlanStream matches the batch planner across micro-batches") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    val files = Seq(
+      Ingest.FileMeta("a", 0L, 700L), Ingest.FileMeta("a", 1L, 600L),
+      Ingest.FileMeta("a", 2L, 100L), Ingest.FileMeta("a", 3L, 900L),
+      Ingest.FileMeta("a", 4L, 100L),
+      Ingest.FileMeta("b", 0L, 2500L), Ingest.FileMeta("b", 1L, 100L))
+    val mem = MemoryStream[Ingest.FileMeta]
+    val q = Ingest.compactionPlanStream(mem.toDS(), 1000L)
+      .writeStream.format("memory").queryName("compact_stream")
+      .outputMode("append").start()
+    try {
+      // split MID-partition: state must carry a's running total across
+      mem.addData(files.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(files.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("compact_stream")
+        .groupBy(col("part"), col("grp"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("grp_bytes"),
+          min(col("seq")).as("first_seq"), max(col("seq")).as("last_seq"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batch = Layout.compactionPlan(
+        files.toDF(), "part", "seq", "bytes", 1000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("refineTopK over a full shortlist equals brute-force cosine top-k") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
