@@ -5902,9 +5902,13 @@ object SparkEntry {
       .mkString(" | ")
     s"""WITH base AS (SELECT l_partkey::BIGINT AS x, l_suppkey::BIGINT AS y
                         FROM lineitem),
+          bz0 AS (SELECT min(x) AS xmn, max(x) AS xmx,
+                    min(y) AS ymn, max(y) AS ymx FROM base),
           kz AS (SELECT x, y, ($morton) AS k
-                 FROM (SELECT x, y, x & 65535 AS mx, y & 65535 AS my
-                       FROM base)),
+                 FROM (SELECT x, y,
+                         (x - xmn) * 65536 // (xmx - xmn + 1) AS mx,
+                         (y - ymn) * 65536 // (ymx - ymn + 1) AS my
+                       FROM base CROSS JOIN bz0)),
           bz AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kz),
           fz AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
                    x, y FROM kz CROSS JOIN bz),
