@@ -113,13 +113,20 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q82_kcenter_coreset", 4096L, "1-row farthest-point argmax per center"),
     ("q125_power_iteration_pc1", 4096L, "d-dim iterate vector per step"),
     ("q161_sq8_recall", 4096L, "d per-dim min/max rows"),
-    ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"))
+    ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"),
+    ("q171_ivfpq_residual", 4096L, "centroids + residual sub-codebooks"),
+    ("q172_refine_rerank", 4096L, "q171's index folds; refine adds none"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;
   // never collecting is the property worth pinning (a future "helper"
-  // collect sneaking in would fail here).
-  private val lazyOps: Seq[String] = Seq("q165_binary_recall")
+  // collect sneaking in would fail here). The round-13 layout family
+  // (q173/q174/q176/q177) and hard-negative mining (q175) are pure
+  // declarative plans — broadcast scalar bounds ride subquery
+  // exchanges inside ONE query execution, never a driver collect.
+  private val lazyOps: Seq[String] = Seq("q165_binary_recall",
+    "q173_zorder_layout", "q174_compaction_plan", "q175_hard_negatives",
+    "q176_zorder_pruning", "q177_layout_health")
 
   test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
     val corpusRows = 5000L // sf0.1 documents = 5k, embeddings = 2k

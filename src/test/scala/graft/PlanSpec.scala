@@ -48,6 +48,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p44.contains("SortMergeJoin"), p44.take(3000))
   }
 
+  test("layout readouts prune the lineitem scan to the two key columns (q173/q176)") {
+    for (q <- Seq("q173_zorder_layout", "q176_zorder_pruning")) {
+      val p = plan(q)
+      // every lineitem scan must read ONLY (l_partkey, l_suppkey) — a
+      // layout pass over a 16-column 100 TB table that drags the other
+      // 14 columns through memory is wrong
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+      assert(reads.nonEmpty, s"$q: no parquet scan found\n${p.take(2000)}")
+      // every scan reads a SUBSET of the keys (the scalar-bounds scans
+      // legitimately prune down to one column) and none drags extras
+      for (r <- reads) {
+        assert(!r.contains("l_extendedprice") && !r.contains("l_comment") &&
+          !r.contains("l_quantity") && !r.contains("l_orderkey"),
+          s"$q scan reads extra columns: $r")
+      }
+      assert(reads.exists(r =>
+        r.contains("l_partkey") && r.contains("l_suppkey")),
+        s"$q: no scan reads both key columns: ${reads.mkString("; ")}")
+      // file assignment is a map-side expression: no window anywhere
+      assert(!p.contains("Window"), s"$q plans a Window:\n${p.take(2000)}")
+    }
+  }
+
   test("aggregations combine map-side before the exchange (q01)") {
     val p = plan("q01_hourly_avg")
     // partial + final HashAggregate pair around one exchange
