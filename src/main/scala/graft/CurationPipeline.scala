@@ -188,6 +188,20 @@ object CurationPipeline {
       .parquet(s"$outDir/source_vocab_est")
     overlap.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/source_overlap_est")
+    // layout triage over the pipeline's OWN output files (the real
+    // manifest, not a model): small-file health verdict + the
+    // compaction work list an OPTIMIZE pass would execute next
+    val manifest = graft.operators.Layout.fileManifest(
+      spark, s"$outDir/curated")
+    graft.operators.Layout
+      .layoutHealth(manifest, "part", "bytes", targetBytes = 4L << 20)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/layout_health")
+    graft.operators.Layout
+      .compactionPlan(manifest, "part", "seq", "bytes",
+        targetBytes = 4L << 20)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/compaction_plan")
     val secs = (System.nanoTime() - t0) / 1e9
     // read the summary back from the parquet just written — collecting
     // the uncached `savings` frame would recompute the entire

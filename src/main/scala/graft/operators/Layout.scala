@@ -224,6 +224,27 @@ object Layout {
       .orderBy(col(partCol))
   }
 
+  /** File manifest of a written dataset directory — (part, seq, file,
+    * bytes) rows from the Hadoop FS listing, the REAL input
+    * [[layoutHealth]] / [[compactionPlan]] consume in production.
+    * Driver-side listing is manifest-scale (bounded by file count, the
+    * same bound a table format's metadata layer carries), never the
+    * data; at 100 TB a lakehouse table would serve this from its
+    * manifest files instead.
+    */
+  def fileManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    import spark.implicits._
+    parts.zipWithIndex.toSeq
+      .map { case (st, i) => (dir, i.toLong, st.getPath.getName, st.getLen) }
+      .toDF("part", "seq", "file", "bytes")
+  }
+
   /** Sequential small-file compaction plan: within each table
     * partition, pack consecutive files (in `seqCol` order) into
     * output groups of at least `targetBytes` — the planning pass of

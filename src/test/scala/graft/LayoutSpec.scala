@@ -181,6 +181,28 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     ls.foreach { case (_, ysp) => assert(ysp == 63L, s"linear y-span $ysp") }
   }
 
+  test("fileManifest lists written part files with real sizes; layoutHealth consumes it") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    (0 until 1000).map(i => (i.toLong, s"row $i payload"))
+      .toDF("id", "t").repartition(4).write.mode("overwrite").parquet(dir)
+    val m = Layout.fileManifest(spark, dir)
+    val rows = m.collect()
+    assert(rows.length == 4, s"expected 4 part files, got ${rows.length}")
+    // seq is 0..3 in name order, bytes are the true on-disk sizes
+    assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    val sizes = rows.map(_.getLong(3))
+    assert(sizes.forall(_ > 0))
+    val disk = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sorted.toSeq
+    assert(sizes.sorted.toSeq == disk)
+    // the real manifest flows straight into the triage op: 4 tiny
+    // files under a 1 MB target -> one partition needing compaction
+    val health = Layout.layoutHealth(m, "part", "bytes", 1L << 20).collect()
+    assert(health.length == 1 && health(0).getBoolean(5),
+      s"expected needs_compaction=true: ${health.toSeq}")
+  }
+
   test("compactionPlanStream matches the batch planner across micro-batches") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
