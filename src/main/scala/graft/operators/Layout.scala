@@ -29,12 +29,24 @@ object Layout {
     * Pure bitwise Column algebra (shift/and/or over longs), evaluated
     * inside the scan under whole-stage codegen; exact in both engines.
     */
-  def mortonValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-    }.reduce(_ bitwiseOR _)
+  def mortonValue(x: Column, y: Column, bits: Int): Column =
+    mortonValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave (`OPTIMIZE ZORDER BY (c1 … cN)`):
+    * bit b of dimension d lands at position b·N + d. Total bits must
+    * fit a long (N·bits ≤ 63). Pure shift/and/or Column algebra, one
+    * term per (dim, bit), codegen'd inside the scan.
+    */
+  def mortonValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 1, "at least one dimension")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must be in [1,63], got $n*$bits")
+    (for {
+      b <- 0 until bits
+      (d, di) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * n + di))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Per-file min/max statistics under an equi-width range bucketing

@@ -44,6 +44,27 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSet.size == rows.toSet.size)
   }
 
+  test("mortonValueN interleaves three dimensions (bit b of dim d at b*3+d)") {
+    val s = spark; import s.implicits._
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (3 * b)) |
+          (((y >> b) & 1L) << (3 * b + 1)) |
+          (((z >> b) & 1L) << (3 * b + 2))
+      }
+    val rows = Seq((0L, 0L, 0L), (1L, 2L, 4L), (7L, 7L, 7L),
+      (5L, 3L, 6L), (1023L, 512L, 255L))
+    val got = rows.toDF("x", "y", "z")
+      .withColumn("m", Layout.mortonValueN(
+        Seq(col("x"), col("y"), col("z")), 10))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    rows.foreach { case t @ (x, y, z) =>
+      assert(got(t) == ref3(x, y, z, 10),
+        s"morton3$t = ${got(t)}, want ${ref3(x, y, z, 10)}")
+    }
+  }
+
   test("zOrderLayout: z-order files are tight in BOTH dims, linear files span all of y") {
     val s = spark; import s.implicits._
     // a dense 64x64 grid: every (x, y) combination once
