@@ -1589,6 +1589,12 @@ object SparkEntry {
     "q177_layout_health" -> ((s, dir) =>
       Layout.layoutHealth(docFileModel(s, dir), "source", "bytes",
         targetBytes = 4000L)),
+    // Layout — hilbert vs zorder vs linear head-to-head skip readout
+    // (native HilbertIndex kernel; oracle unrolls the xy2d loop as 16
+    // chained CTEs)
+    "q178_curve_pruning" -> ((s, dir) =>
+      Layout.curvePruning(Tables.lineitem(s, dir), "l_partkey",
+        "l_suppkey", files = 16, bits = 16, grid = 4)),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -5833,6 +5839,7 @@ object SparkEntry {
                  round(1.0 - t.touched / (p.n_files * 16)::DOUBLE, 6) + 0.0
                    AS skip_ratio
           FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""),
+    "q178_curve_pruning" -> hilbertPruningSql,
     "q177_layout_health" ->
       """SELECT *, (small_frac >= 0.5 AND n_files > 1) AS needs_compaction
          FROM (
@@ -5924,6 +5931,64 @@ object SparkEntry {
                    min(y) AS y_min, max(y) AS y_max
                  FROM fl GROUP BY 1, 2),
           stats AS (SELECT * FROM sz UNION ALL SELECT * FROM sl)"""
+  }
+
+  /** q178 oracle: the zorder/linear stats chain + the Hilbert xy2d
+    * algorithm UNROLLED as 16 chained CTEs (one per bit, high to low —
+    * each stage applies the quadrant rotation and accumulates
+    * s²·((3·rx) xor ry), exactly the native HilbertIndex kernel's
+    * loop), then the three-layout box-lattice pruning readout.
+    * Generated programmatically so the per-stage algebra is written
+    * once.
+    */
+  private val hilbertPruningSql: String = {
+    val stages = (15 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val s = 1L << b
+      s"""h${i + 1} AS (SELECT x, y,
+           CASE WHEN ((hy >> $b) & 1) = 0 THEN
+             CASE WHEN ((hx >> $b) & 1) = 1 THEN ${s - 1} - hy ELSE hy END
+           ELSE hx END AS hx,
+           CASE WHEN ((hy >> $b) & 1) = 0 THEN
+             CASE WHEN ((hx >> $b) & 1) = 1 THEN ${s - 1} - hx ELSE hx END
+           ELSE hy END AS hy,
+           d + ${s * s} * xor(3 * ((hx >> $b) & 1), (hy >> $b) & 1) AS d
+         FROM h$i)"""
+    }
+    zorderStatsChain + s""",
+          h0 AS (SELECT x, y,
+                   (x - xmn) * 65536 // (xmx - xmn + 1) AS hx,
+                   (y - ymn) * 65536 // (ymx - ymn + 1) AS hy,
+                   0::BIGINT AS d
+                 FROM base CROSS JOIN bz0),
+          ${stages.mkString(",\n          ")},
+          kh AS (SELECT x, y, d AS k FROM h16),
+          bh AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kh),
+          fh AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM kh CROSS JOIN bh),
+          sh AS (SELECT 'hilbert' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fh GROUP BY 1, 2),
+          stats3 AS (SELECT * FROM stats UNION ALL SELECT * FROM sh),
+          bounds AS (SELECT min(x) AS bxmin, max(x) AS bxmax,
+                       min(y) AS bymin, max(y) AS bymax FROM base),
+          boxes AS (SELECT i * 4 + j AS box,
+                      bxmin + (i * (bxmax - bxmin + 1)) // 4 AS bxlo,
+                      bxmin + ((i + 1) * (bxmax - bxmin + 1)) // 4 - 1 AS bxhi,
+                      bymin + (j * (bymax - bymin + 1)) // 4 AS bylo,
+                      bymin + ((j + 1) * (bymax - bymin + 1)) // 4 - 1 AS byhi
+                    FROM bounds CROSS JOIN range(4) ti(i)
+                      CROSS JOIN range(4) tj(j)),
+          touched AS (SELECT layout, count(*) AS touched
+                      FROM stats3 s JOIN boxes b
+                        ON s.x_min <= b.bxhi AND s.x_max >= b.bxlo
+                       AND s.y_min <= b.byhi AND s.y_max >= b.bylo
+                      GROUP BY 1),
+          pl AS (SELECT layout, count(*) AS n_files FROM stats3 GROUP BY 1)
+          SELECT p.layout, p.n_files, 16 AS n_boxes, t.touched,
+                 round(1.0 - t.touched / (p.n_files * 16)::DOUBLE, 6) + 0.0
+                   AS skip_ratio
+          FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""
   }
 
   /** q171/q172 shared oracle text: the full IVF-PQ-residual replay in

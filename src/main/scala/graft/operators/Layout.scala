@@ -179,11 +179,51 @@ object Layout {
     * throughout — oracle-exact.
     */
   def zOrderPruning(df: DataFrame, xCol: String, yCol: String,
-      files: Int, bits: Int, grid: Int): DataFrame = {
-    require(grid >= 1, s"grid must be >= 1, got $grid")
-    val stats = zOrderLayout(df, xCol, yCol, files, bits)
+      files: Int, bits: Int, grid: Int): DataFrame =
+    pruneReadout(zOrderLayout(df, xCol, yCol, files, bits),
+      df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")), grid)
+
+  /** Hilbert-curve index on the normalized lattice — the
+    * `org.apache.spark.sql.graft.HilbertIndex` native kernel (see its
+    * scaladoc for why it is not Column algebra).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.Signatures.hilbert_index(x, y, bits)
+
+  /** [[zOrderLayout]] plus a third clustering: the Hilbert curve.
+    * Same normalization, same per-file stats readout — three layouts
+    * (hilbert, linear, zorder) to compare in one frame.
+    */
+  def curveLayout(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
+    val hkeyed = normalized(base, bits)
+      .withColumn("hk", hilbertValue(col("mx"), col("my"), bits))
+      .select(col("x"), col("y"), col("hk"))
+    zOrderLayout(df, xCol, yCol, files, bits)
+      .unionAll(fileStats(hkeyed, col("hk"), files, "hilbert"))
+      .orderBy(col("layout"), col("file"))
+  }
+
+  /** [[zOrderPruning]] over all three curves — the head-to-head skip
+    * readout. Both curves beat linear decisively; between them the
+    * winner is alignment-dependent: on a power-of-two-ALIGNED box
+    * lattice Morton's axis-aligned quadrants fit the boxes exactly
+    * (lineitem 4×4 readout: zorder 0.9375, hilbert 0.9102, linear
+    * 0.75), while Hilbert's edge-connected ranges win on unaligned /
+    * arbitrary range predicates — the reason Iceberg/Hudi offer both.
+    */
+  def curvePruning(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int, grid: Int): DataFrame =
+    pruneReadout(curveLayout(df, xCol, yCol, files, bits),
+      df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")), grid)
+
+  private def pruneReadout(stats: DataFrame, base: DataFrame,
+      grid: Int): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
     val bounds = base.agg(min(col("x")).as("bxmin"), max(col("x")).as("bxmax"),
       min(col("y")).as("bymin"), max(col("y")).as("bymax"))
     val boxes = bounds

@@ -524,7 +524,82 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
       newChild: Expression): BpeApplyMerges = copy(child = newChild)
 }
 
+/** Hilbert-curve index of an (x, y) cell on the 2^bits × 2^bits grid
+  * (the standard per-bit quadrant-rotation formulation of the xy2d
+  * mapping). Unlike Morton, CONSECUTIVE indices are always
+  * edge-adjacent cells (|Δx|+|Δy| = 1), so a contiguous index range —
+  * one file under range-partitioned clustering — covers a tighter
+  * region: measurably better min/max pruning for the same file count.
+  *
+  * A native expression rather than Column algebra because the per-bit
+  * rotation feeds BOTH coordinates of step b into step b−1: unrolled
+  * `when()` chains duplicate the (x, y) subtrees at every level and
+  * Catalyst's project collapse makes the expression tree grow ~2^bits.
+  * Here it is a 16-iteration compiled loop under whole-stage codegen.
+  * Inputs must already lie on the lattice (0 ≤ v < 2^bits) — callers
+  * normalize exactly like the Morton path.
+  */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long]
+    var y = b.asInstanceOf[Long]
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a; long $y = $b; long $d = 0L;
+         |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 object Signatures {
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    ExpressionUtils.column(
+      HilbertIndex(ExpressionUtils.expression(x),
+        ExpressionUtils.expression(y), bits))
+
   def bpe_apply(tokens: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(
       BpeApplyMerges(ExpressionUtils.expression(tokens), merges))

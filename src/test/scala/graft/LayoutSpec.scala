@@ -65,6 +65,47 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HilbertIndex: bijection onto 0..4^bits-1 and every step edge-adjacent (Morton is not)") {
+    val s = spark; import s.implicits._
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val h = grid.withColumn("d", Layout.hilbertValue(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection: the 256 cells map exactly onto 0..255
+    assert(h.map(_._1).toSeq == (0L until 256L).toSeq)
+    // adjacency: consecutive indices are 4-neighbors — the Hilbert
+    // property that makes contiguous ranges edge-connected regions
+    h.sliding(2).foreach { w =>
+      val (_, (x1, y1)) = w(0); val (_, (x2, y2)) = w(1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent Hilbert step ($x1,$y1)->($x2,$y2)")
+    }
+    // contrast: Morton takes long jumps (any step with |Δ| > 1)
+    val m = grid.withColumn("d", Layout.mortonValue(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    val jumps = m.sliding(2).count { w =>
+      val (_, (x1, y1)) = w(0); val (_, (x2, y2)) = w(1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(jumps > 0, "Morton should jump somewhere on a 16x16 grid")
+  }
+
+  test("curvePruning: hilbert skips at least as much as zorder, both beat linear") {
+    val s = spark; import s.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = Layout.curvePruning(grid, "x", "y", files = 16, bits = 6,
+      grid = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == Set("hilbert", "linear", "zorder"))
+    assert(got("hilbert") >= got("zorder"),
+      s"hilbert ${got("hilbert")} < zorder ${got("zorder")}")
+    assert(got("zorder") > got("linear"),
+      s"zorder ${got("zorder")} <= linear ${got("linear")}")
+  }
+
   test("zOrderLayout: z-order files are tight in BOTH dims, linear files span all of y") {
     val s = spark; import s.implicits._
     // a dense 64x64 grid: every (x, y) combination once
