@@ -1595,6 +1595,12 @@ object SparkEntry {
     "q178_curve_pruning" -> ((s, dir) =>
       Layout.curvePruning(Tables.lineitem(s, dir), "l_partkey",
         "l_suppkey", files = 16, bits = 16, grid = 4)),
+    // Layout — equi-depth (quantile range-ID) z-order vs equi-width vs
+    // linear: the layout-vs-skew story (clustered keys collapse the
+    // equi-width curve; quantile normalization keeps files populated)
+    "q179_eqdepth_pruning" -> ((s, dir) =>
+      Layout.eqDepthPruning(Tables.lineitem(s, dir), "l_partkey",
+        "l_suppkey", files = 16, bits = 16, depthBits = 8, grid = 4)),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -5840,6 +5846,7 @@ object SparkEntry {
                    AS skip_ratio
           FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""),
     "q178_curve_pruning" -> hilbertPruningSql,
+    "q179_eqdepth_pruning" -> eqDepthPruningSql,
     "q177_layout_health" ->
       """SELECT *, (small_frac >= 0.5 AND n_files > 1) AS needs_compaction
          FROM (
@@ -5970,6 +5977,54 @@ object SparkEntry {
                    min(y) AS y_min, max(y) AS y_max
                  FROM fh GROUP BY 1, 2),
           stats3 AS (SELECT * FROM stats UNION ALL SELECT * FROM sh),
+          bounds AS (SELECT min(x) AS bxmin, max(x) AS bxmax,
+                       min(y) AS bymin, max(y) AS bymax FROM base),
+          boxes AS (SELECT i * 4 + j AS box,
+                      bxmin + (i * (bxmax - bxmin + 1)) // 4 AS bxlo,
+                      bxmin + ((i + 1) * (bxmax - bxmin + 1)) // 4 - 1 AS bxhi,
+                      bymin + (j * (bymax - bymin + 1)) // 4 AS bylo,
+                      bymin + ((j + 1) * (bymax - bymin + 1)) // 4 - 1 AS byhi
+                    FROM bounds CROSS JOIN range(4) ti(i)
+                      CROSS JOIN range(4) tj(j)),
+          touched AS (SELECT layout, count(*) AS touched
+                      FROM stats3 s JOIN boxes b
+                        ON s.x_min <= b.bxhi AND s.x_max >= b.bxlo
+                       AND s.y_min <= b.byhi AND s.y_max >= b.bylo
+                      GROUP BY 1),
+          pl AS (SELECT layout, count(*) AS n_files FROM stats3 GROUP BY 1)
+          SELECT p.layout, p.n_files, 16 AS n_boxes, t.touched,
+                 round(1.0 - t.touched / (p.n_files * 16)::DOUBLE, 6) + 0.0
+                   AS skip_ratio
+          FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""
+  }
+
+  /** q179 oracle: the zorder/linear stats chain + the equi-depth
+    * z-order — per-dim quantile_cont cuts (≡ Spark `percentile`, the
+    * q05 parity), lattice coordinate = count of cuts below the value,
+    * 8-bit Morton interleave — then the three-layout pruning readout.
+    */
+  private val eqDepthPruningSql: String = {
+    val morton8 = (0 until 8).map(b =>
+      s"((((mx >> $b) & 1) << ${2 * b}) | (((my >> $b) & 1) << ${2 * b + 1}))")
+      .mkString(" | ")
+    val ps = (1 until 256).map(i => (i.toDouble / 256).toString)
+      .mkString("[", ", ", "]")
+    zorderStatsChain + s""",
+          qc AS (SELECT quantile_cont(x, $ps) AS xcuts,
+                   quantile_cont(y, $ps) AS ycuts FROM base),
+          kd AS (SELECT x, y, ($morton8) AS k
+                 FROM (SELECT x, y,
+                         len(list_filter(xcuts, c -> x > c))::BIGINT AS mx,
+                         len(list_filter(ycuts, c -> y > c))::BIGINT AS my
+                       FROM base CROSS JOIN qc)),
+          bd AS (SELECT min(k) AS kmin, max(k) AS kmax FROM kd),
+          fd AS (SELECT least(15, (k - kmin) * 16 // (kmax - kmin + 1)) AS file,
+                   x, y FROM kd CROSS JOIN bd),
+          sd AS (SELECT 'zorder_eqdepth' AS layout, file, count(*) AS n,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+                 FROM fd GROUP BY 1, 2),
+          stats3 AS (SELECT * FROM stats UNION ALL SELECT * FROM sd),
           bounds AS (SELECT min(x) AS bxmin, max(x) AS bxmax,
                        min(y) AS bymin, max(y) AS bymax FROM base),
           boxes AS (SELECT i * 4 + j AS box,

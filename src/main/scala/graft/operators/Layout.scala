@@ -221,6 +221,51 @@ object Layout {
       df.select(col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y")), grid)
 
+  /** Equi-DEPTH per-dim normalization — the quantile "range-ID" pass a
+    * production `OPTIMIZE ZORDER` actually runs (each column is
+    * range-bucketed before interleaving). [[normalized]]'s equi-width
+    * scaling collapses on CLUSTERED keys: the scaled sf1 lineitem
+    * packs 6M rows into 10 narrow key islands across a 90M range,
+    * leaving most equi-width z-files empty. Cut points here are exact
+    * interpolated percentiles — ONE aggregate row of 2·(2^bits−1)
+    * doubles, index-sized — broadcast back, and a row's lattice
+    * coordinate is the count of cuts below its value. At 100 TB the
+    * writer swaps exact cuts for sampled boundaries
+    * (repartitionByRange) — same semantics, bounded sampling error;
+    * the exact form is what the DuckDB oracle can replay
+    * (quantile_cont ≡ Spark percentile, the q05 parity).
+    */
+  private def normalizedEqDepth(base: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 12, s"depth bits must be in [1,12], got $bits")
+    val n = 1 << bits
+    val ps = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val cuts = base.agg(percentile(col("x"), ps).as("xcuts"),
+      percentile(col("y"), ps).as("ycuts"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("mx",
+        size(filter(col("xcuts"), c => col("x") > c)).cast("long"))
+      .withColumn("my",
+        size(filter(col("ycuts"), c => col("y") > c)).cast("long"))
+  }
+
+  /** [[zOrderPruning]] plus the equi-depth z-order row — the skew
+    * story for layout: on clustered/skewed key distributions the
+    * equi-width curve degenerates (empty files, giant spans) while the
+    * quantile-normalized curve keeps every file populated and tight.
+    */
+  def eqDepthPruning(df: DataFrame, xCol: String, yCol: String,
+      files: Int, bits: Int, depthBits: Int, grid: Int): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val dkeyed = normalizedEqDepth(base, depthBits)
+      .withColumn("dk", mortonValue(col("mx"), col("my"), depthBits))
+      .select(col("x"), col("y"), col("dk"))
+    pruneReadout(
+      zOrderLayout(df, xCol, yCol, files, bits)
+        .unionAll(fileStats(dkeyed, col("dk"), files, "zorder_eqdepth")),
+      base, grid)
+  }
+
   private def pruneReadout(stats: DataFrame, base: DataFrame,
       grid: Int): DataFrame = {
     require(grid >= 1, s"grid must be >= 1, got $grid")

@@ -126,7 +126,8 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
   // exchanges inside ONE query execution, never a driver collect.
   private val lazyOps: Seq[String] = Seq("q165_binary_recall",
     "q173_zorder_layout", "q174_compaction_plan", "q175_hard_negatives",
-    "q176_zorder_pruning", "q177_layout_health", "q178_curve_pruning")
+    "q176_zorder_pruning", "q177_layout_health", "q178_curve_pruning",
+    "q179_eqdepth_pruning")
 
   test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
     val corpusRows = 5000L // sf0.1 documents = 5k, embeddings = 2k

@@ -106,6 +106,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"zorder ${got("zorder")} <= linear ${got("linear")}")
   }
 
+  test("eqDepthPruning: quantile normalization survives clustered keys, equi-width collapses") {
+    val s = spark; import s.implicits._
+    // narrow key islands across a huge range IN BOTH DIMS — the
+    // scaled-corpus shape (sf1 lineitem) that collapses equi-width
+    // bucketing; a dim has to be clustered for its lattice bits to
+    // degenerate, and the collapse needs both
+    val rows = for {
+      (xi, yi) <- Seq((0L, 90000000L), (40000000L, 0L),
+        (90000000L, 40000000L))
+      i <- 0 until 800
+    } yield (xi + i % 200, yi + i % 40)
+    val df = rows.toDF("x", "y")
+    val got = Layout.eqDepthPruning(df, "x", "y", files = 16, bits = 16,
+      depthBits = 8, grid = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    val (wFiles, _) = got("zorder")
+    val (dFiles, dSkip) = got("zorder_eqdepth")
+    // equi-width: almost all z-range buckets are empty (islands)
+    assert(wFiles <= 6, s"equi-width should collapse on islands: $wFiles files")
+    // equi-depth: quantile cuts spread the SAME rows over (nearly) all
+    // 16 files — the joint z distribution can leave an odd bucket empty
+    assert(dFiles >= 14L, s"equi-depth should fill (nearly) all files: $dFiles")
+    // ... and those populated files are still tight enough to skip most
+    // (file, box) pairs — the balance does not cost the pruning
+    assert(dSkip >= 0.85, s"eqdepth skip ratio degraded: $dSkip")
+  }
+
   test("zOrderLayout: z-order files are tight in BOTH dims, linear files span all of y") {
     val s = spark; import s.implicits._
     // a dense 64x64 grid: every (x, y) combination once

@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("layout readouts prune the lineitem scan to the two key columns (q173/q176)") {
     for (q <- Seq("q173_zorder_layout", "q176_zorder_pruning",
-        "q178_curve_pruning")) {
+        "q178_curve_pruning", "q179_eqdepth_pruning")) {
       val p = plan(q)
       // every lineitem scan must read ONLY (l_partkey, l_suppkey) — a
       // layout pass over a 16-column 100 TB table that drags the other
