@@ -241,11 +241,16 @@ object Layout {
     val ps = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val cuts = base.agg(percentile(col("x"), ps).as("xcuts"),
       percentile(col("y"), ps).as("ycuts"))
+    // Count-below via the native binary-search kernel: the
+    // size(filter(cuts, c => v > c)) HigherOrderFunction form walks
+    // all 2^bits−1 cuts interpreted per row (40 s on q179's sf0.1
+    // assignment); lower_bound does log₂ compares under codegen.
+    // Identical count because percentile output is sorted ascending.
     base.crossJoin(broadcast(cuts))
-      .withColumn("mx",
-        size(filter(col("xcuts"), c => col("x") > c)).cast("long"))
-      .withColumn("my",
-        size(filter(col("ycuts"), c => col("y") > c)).cast("long"))
+      .withColumn("mx", org.apache.spark.sql.graft.Signatures
+        .lower_bound(col("xcuts"), col("x").cast("double")))
+      .withColumn("my", org.apache.spark.sql.graft.Signatures
+        .lower_bound(col("ycuts"), col("y").cast("double")))
   }
 
   /** [[zOrderPruning]] plus the equi-depth z-order row — the skew

@@ -594,11 +594,67 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of elements strictly below `value` in a SORTED ascending
+  * `array<double>` — the equi-depth range-ID lookup (row value →
+  * quantile bucket against broadcast percentile cuts). Binary search:
+  * log₂(cuts) compares per row where the equivalent
+  * `size(filter(cuts, c => v > c))` HigherOrderFunction walks all
+  * cuts interpreted, one lambda invocation per element — measured
+  * 40.5 s → sub-second on q179's 255-cut × 600k-row assignment.
+  * Exactly equivalent to the linear count ONLY on sorted input
+  * (percentile output is monotone by construction).
+  */
+case class LowerBound(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lower_bound"
+
+  override protected def nullSafeEval(arr: Any, v: Any): Any = {
+    val cuts = arr.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[Double]
+    var lo = 0
+    var hi = cuts.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts.getDouble(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, v) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $arr.numElements();
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($arr.getDouble($mid) < $v) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LowerBound =
+    copy(left = newLeft, right = newRight)
+}
+
 object Signatures {
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     ExpressionUtils.column(
       HilbertIndex(ExpressionUtils.expression(x),
         ExpressionUtils.expression(y), bits))
+
+  def lower_bound(sortedCuts: Column, value: Column): Column =
+    ExpressionUtils.column(
+      LowerBound(ExpressionUtils.expression(sortedCuts),
+        ExpressionUtils.expression(value)))
 
   def bpe_apply(tokens: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(

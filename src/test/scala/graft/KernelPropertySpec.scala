@@ -138,4 +138,29 @@ class KernelPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("LowerBound equals the linear strictly-below count on sorted arrays") {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.choose(-100.0, 100.0)).map(_.sorted),
+      Gen.choose(-150.0, 150.0))
+    checkProp("lower_bound", Prop.forAll(gen) { case (cuts, v) =>
+      val e = org.apache.spark.sql.graft.LowerBound(
+        Literal.create(cuts, ArrayType(DoubleType)),
+        Literal.create(v, DoubleType))
+      val got = e.eval(null).asInstanceOf[Long]
+      got == cuts.count(_ < v).toLong
+    })
+  }
+
+  test("LowerBound edges: empty array, all-below, all-above, exact-tie") {
+    def lb(cuts: Seq[Double], v: Double): Long =
+      org.apache.spark.sql.graft.LowerBound(
+        Literal.create(cuts, ArrayType(DoubleType)),
+        Literal.create(v, DoubleType)).eval(null).asInstanceOf[Long]
+    assert(lb(Nil, 1.0) == 0L)
+    assert(lb(Seq(1.0, 2.0, 3.0), 10.0) == 3L)
+    assert(lb(Seq(1.0, 2.0, 3.0), 0.0) == 0L)
+    // tie: a cut equal to the value is NOT below it (v > c is strict)
+    assert(lb(Seq(1.0, 2.0, 2.0, 3.0), 2.0) == 1L)
+  }
 }

@@ -8,8 +8,17 @@ matching SQL from oracle_sql.json in DuckDB over the same sf parquet tables,
 sorts columns by name, and compares row-by-row (values stringified; floats
 compared after round-trip through repr). NOT part of the shipped library —
 driver-side python is available locally for dev testing only.
+
+Env knobs (all optional, for big-SF sweeps where single-node DuckDB is the
+bottleneck, not Spark):
+  PARITY_TIMEOUT_SEC   per-oracle DuckDB wall budget; on expiry the query is
+                       interrupted and recorded as ORACLE TIMEOUT (the sweep
+                       continues). Default: no timeout.
+  PARITY_SKIP          comma-separated query names to skip (already verified).
+  PARITY_ONLY          comma-separated query names to check (overrides order).
+  PARITY_THREADS       DuckDB thread cap (default: all cores).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time, threading
 import duckdb
 import pandas as pd
 
@@ -48,6 +57,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    timeout = float(os.environ.get("PARITY_TIMEOUT_SEC", "0"))
+    skip = set(filter(None, os.environ.get("PARITY_SKIP", "").split(",")))
+    only = list(filter(None, os.environ.get("PARITY_ONLY", "").split(",")))
+    threads = os.environ.get("PARITY_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
@@ -59,20 +74,45 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted([d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d))])
-    n_pass = n_fail = 0
+    if only:
+        names = [n for n in only if os.path.isdir(os.path.join(out_dir, n))]
+    n_pass = n_fail = n_timeout = 0
     for name in names:
+        if name in skip:
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                              ignore_index=True)
         if name not in oracle:
             print(f"  {name}: NO ORACLE (rows-only) rows={len(spark_df)}")
             continue
+        t0 = time.monotonic()
+        timer = None
+        if timeout > 0:
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
+        except duckdb.InterruptException:
+            print(f"⏱ {name}: ORACLE TIMEOUT after {timeout:.0f}s "
+                  f"(DuckDB-side cost; spark rows={len(spark_df)})",
+                  flush=True)
+            n_timeout += 1
+            continue
         except Exception as e:
-            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            if timer is not None and not timer.is_alive():
+                print(f"⏱ {name}: ORACLE TIMEOUT after {timeout:.0f}s "
+                      f"(DuckDB-side cost; spark rows={len(spark_df)})",
+                      flush=True)
+                n_timeout += 1
+                continue
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}", flush=True)
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
+        dur = f" [{time.monotonic() - t0:.1f}s]"
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"✗ {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
@@ -107,12 +147,12 @@ def main(sf_dir, out_dir):
             except (TypeError, ValueError):
                 pass
             print(f"✗ {name}: VALUE MISMATCH col={c} row={i} "
-                  f"spark={x!r} duck={y!r}{hint}")
+                  f"spark={x!r} duck={y!r}{hint}", flush=True)
             n_fail += 1
         else:
-            print(f"✓ {name}: {len(a)} rows match")
+            print(f"✓ {name}: {len(a)} rows match{dur}", flush=True)
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
