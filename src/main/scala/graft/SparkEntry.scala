@@ -1601,6 +1601,25 @@ object SparkEntry {
     "q179_eqdepth_pruning" -> ((s, dir) =>
       Layout.eqDepthPruning(Tables.lineitem(s, dir), "l_partkey",
         "l_suppkey", files = 16, bits = 16, depthBits = 8, grid = 4)),
+    // Layout — per-file Bloom filters vs zone maps on point lookups
+    // over a column UNcorrelated with the clustered write (orderkey
+    // scattered across partkey-bucketed files): zone maps touch every
+    // file (fp 1.0), the bloom prunes; md5-derived bits, both probe
+    // classes (present keys + beyond-max absent keys)
+    "q180_bloom_skipping" -> ((s, dir) =>
+      Layout.bloomSkipping(Tables.lineitem(s, dir), "l_partkey",
+        "l_orderkey", files = 16, hexDigits = 5, kHash = 3, nProbes = 16)),
+    // ANN — incremental-index maintenance: assign a new batch to the
+    // STALE centroids, one Lloyd refresh over the merged corpus,
+    // per-cell membership drift (the refresh-vs-rebuild readout)
+    "q181_ivf_drift" -> ((s, dir) =>
+      Similarity.ivfReassignDrift(Tables.embeddings(s, dir),
+        numCells = 8, iters = 2, deltaMod = 10)),
+    // ANN — late-interaction (ColBERT MaxSim) top-k: per query
+    // sub-vector, max cosine over document sub-vectors, summed
+    "q182_maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(Tables.embeddings(s, dir),
+        nQueries = 4, parts = 4, subDim = 16, k = 3)),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -5847,6 +5866,35 @@ object SparkEntry {
           FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""),
     "q178_curve_pruning" -> hilbertPruningSql,
     "q179_eqdepth_pruning" -> eqDepthPruningSql,
+    "q180_bloom_skipping" -> bloomSkippingSql,
+    "q181_ivf_drift" -> ivfDriftSql,
+    "q182_maxsim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         dp AS (SELECT vec_id AS doc_id, p AS dpart,
+                  v[p*16+1 : (p+1)*16] AS dv
+                FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS p)),
+         qp AS (SELECT vec_id AS qid, p AS qpart,
+                  v[p*16+1 : (p+1)*16] AS qv
+                FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS p)
+                WHERE vec_id < 4),
+         cosv AS (SELECT q.qid, d.doc_id, q.qpart,
+             round(CASE WHEN list_inner_product(q.qv, q.qv) = 0
+                 OR list_inner_product(d.dv, d.dv) = 0 THEN 0.0
+               ELSE list_inner_product(q.qv, d.dv) /
+                 (sqrt(list_inner_product(q.qv, q.qv)) *
+                  sqrt(list_inner_product(d.dv, d.dv))) END, 6) AS c
+           FROM dp d JOIN qp q ON q.qid <> d.doc_id),
+         best AS (SELECT qid, doc_id, qpart, max(c) AS mx
+                  FROM cosv GROUP BY 1, 2, 3),
+         score AS (SELECT qid, doc_id, round(sum(mx), 6) AS score
+                   FROM best GROUP BY 1, 2),
+         ranked AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS rank
+           FROM score)
+         SELECT qid, rank::BIGINT AS rank, doc_id, score FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
     "q177_layout_health" ->
       """SELECT *, (small_frac >= 0.5 AND n_files > 1) AS needs_compaction
          FROM (
@@ -6044,6 +6092,141 @@ object SparkEntry {
                  round(1.0 - t.touched / (p.n_files * 16)::DOUBLE, 6) + 0.0
                    AS skip_ratio
           FROM pl p JOIN touched t USING (layout) ORDER BY p.layout"""
+  }
+
+  /** q180 oracle: the md5-derived Bloom filter replayed digit-by-digit
+    * (strpos hex decode ≡ Spark's conv(…, 16, 10)); generated so the
+    * hexDigits/kHash config stays in one place.
+    */
+  private val bloomSkippingSql: String = {
+    val files = 16; val hex = 5; val kHash = 3; val np = 16
+    def hexVal(expr: String): String =
+      (0 until hex).map { d =>
+        s"(strpos('0123456789abcdef', substring($expr, ${d + 1}, 1)) - 1) * ${BigInt(16).pow(hex - 1 - d)}"
+      }.mkString("(", " + ", ")")
+    def posList(keyExpr: String): String =
+      (0 until kHash)
+        .map(i => hexVal(s"md5($keyExpr::VARCHAR || ':$i')"))
+        .mkString("unnest([", ", ", "]) AS pos")
+    s"""WITH base AS (SELECT l_partkey::BIGINT AS fk, l_orderkey::BIGINT AS key
+                      FROM lineitem),
+       fb AS (SELECT min(fk) AS fmin, max(fk) AS fmax FROM base),
+       filed AS (SELECT least(${files - 1},
+                    (fk - fmin) * $files // (fmax - fmin + 1)) AS file, key
+                 FROM base CROSS JOIN fb),
+       zone AS (SELECT file, min(key) AS kmin, max(key) AS kmax
+                FROM filed GROUP BY 1),
+       fkeys AS (SELECT DISTINCT file, key FROM filed),
+       bits AS (SELECT DISTINCT file, pos
+                FROM (SELECT file, ${posList("key")} FROM fkeys)),
+       present AS (SELECT key AS probe, 'present' AS klass
+                   FROM (SELECT DISTINCT key FROM filed)
+                   ORDER BY md5(key::VARCHAR), key LIMIT $np),
+       absent AS (SELECT gmax + o AS probe, 'absent' AS klass
+                  FROM (SELECT max(key) AS gmax FROM base)
+                  CROSS JOIN (SELECT unnest(range(1, ${np + 1})) AS o)),
+       probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+       probebits AS (SELECT DISTINCT probe, klass, pos
+                     FROM (SELECT probe, klass, ${posList("probe")}
+                           FROM probes)),
+       required AS (SELECT probe, klass, count(*) AS req
+                    FROM probebits GROUP BY 1, 2),
+       hits AS (SELECT pb.probe, pb.klass, b.file, count(*) AS got
+                FROM probebits pb JOIN bits b USING (pos) GROUP BY 1, 2, 3),
+       bloomtouch AS (SELECT h.probe, h.klass, h.file FROM hits h
+                      JOIN required r
+                        ON h.probe = r.probe AND h.klass = r.klass
+                      WHERE h.got = r.req),
+       zonetouch AS (SELECT probe, klass, file FROM probes CROSS JOIN zone
+                     WHERE probe BETWEEN kmin AND kmax),
+       actual AS (SELECT DISTINCT probe, klass, f.file
+                  FROM filed f JOIN probes p ON f.key = p.probe),
+       touched AS (SELECT 'bloom' AS method, klass, file FROM bloomtouch
+                   UNION ALL SELECT 'zonemap', klass, file FROM zonetouch),
+       np AS (SELECT klass, count(*) AS n_probes FROM probes GROUP BY 1),
+       tc AS (SELECT klass, count(*) AS true_files FROM actual GROUP BY 1),
+       tcount AS (SELECT method, klass, count(*) AS touched
+                  FROM touched GROUP BY 1, 2),
+       scaffold AS (SELECT method, klass, n_probes FROM np
+                    CROSS JOIN (SELECT unnest(['bloom', 'zonemap'])
+                                AS method))
+       SELECT s.method, s.klass, s.n_probes::BIGINT AS n_probes,
+         coalesce(t.touched, 0)::BIGINT AS touched,
+         coalesce(c.true_files, 0)::BIGINT AS true_files,
+         round((coalesce(t.touched, 0) - coalesce(c.true_files, 0))::DOUBLE /
+               (s.n_probes * $files - coalesce(c.true_files, 0)), 6)
+           AS fp_rate,
+         round(1.0 - coalesce(t.touched, 0)::DOUBLE / (s.n_probes * $files),
+           6) AS skip_ratio
+       FROM scaffold s
+       LEFT JOIN tcount t ON s.method = t.method AND s.klass = t.klass
+       LEFT JOIN tc c ON s.klass = c.klass
+       ORDER BY s.method, s.klass"""
+  }
+
+  /** q181 oracle: the stale-index assignment + one-refresh replay —
+    * the q23 Lloyd CTE recurrence generated per step (train on the
+    * base slice, refresh over the merged corpus).
+    */
+  private val ivfDriftSql: String = {
+    def cosSql(v: String, c: String): String =
+      s"""CASE WHEN list_inner_product($v, $v) = 0
+             OR list_inner_product($c, $c) = 0 THEN 0.0
+           ELSE list_inner_product($v, $c) /
+             (sqrt(list_inner_product($v, $v)) *
+              sqrt(list_inner_product($c, $c))) END"""
+    def asn(src: String, cent: String, out: String): String =
+      s"""$out AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT s.vec_id, s.v, c.cid,
+            row_number() OVER (PARTITION BY s.vec_id ORDER BY
+              ${cosSql("s.v", "c.cv")} DESC, c.cid) AS rk
+          FROM $src s CROSS JOIN $cent c)
+        WHERE rk = 1)"""
+    def step(src: String, out: String): String =
+      s"""$out AS (
+        SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+          SELECT cell, i, round(avg(x), 6) AS m
+          FROM (SELECT cell, unnest(v) AS x,
+                  generate_subscripts(v, 1) - 1 AS i FROM $src)
+          GROUP BY 1, 2) GROUP BY 1)"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+       eb AS (SELECT * FROM e WHERE vec_id % 10 <> 9),
+       cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM eb
+                 WHERE vec_id < 8),
+       ${asn("eb", "cent0", "asn1")},
+       ${step("asn1", "cent1")},
+       ${asn("eb", "cent1", "asn2")},
+       ${step("asn2", "cent2")},
+       ${asn("e", "cent2", "a0")},
+       ${step("a0", "cent3")},
+       ${asn("e", "cent3", "a1")},
+       moves AS (SELECT a0.vec_id, a0.cell AS cell0, a1.cell AS cell1
+                 FROM a0 JOIN a1 USING (vec_id)),
+       cells AS (SELECT cid AS cell FROM cent0),
+       n0 AS (SELECT cell0 AS cell, count(*) AS n_before FROM moves
+              GROUP BY 1),
+       n1 AS (SELECT cell1 AS cell, count(*) AS n_after FROM moves
+              GROUP BY 1),
+       mo AS (SELECT cell0 AS cell, count(*) AS moved_out FROM moves
+              WHERE cell0 <> cell1 GROUP BY 1),
+       mi AS (SELECT cell1 AS cell, count(*) AS moved_in FROM moves
+              WHERE cell0 <> cell1 GROUP BY 1)
+       SELECT c.cell, coalesce(n0.n_before, 0)::BIGINT AS n_before,
+         coalesce(n1.n_after, 0)::BIGINT AS n_after,
+         coalesce(mi.moved_in, 0)::BIGINT AS moved_in,
+         coalesce(mo.moved_out, 0)::BIGINT AS moved_out,
+         CASE WHEN coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0) = 0
+             THEN 0.0
+           ELSE round((coalesce(mi.moved_in, 0) +
+               coalesce(mo.moved_out, 0))::DOUBLE /
+             (coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0)), 6) END
+           AS churn_frac
+       FROM cells c
+       LEFT JOIN n0 USING (cell) LEFT JOIN n1 USING (cell)
+       LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
+       ORDER BY c.cell"""
   }
 
   /** q171/q172 shared oracle text: the full IVF-PQ-residual replay in

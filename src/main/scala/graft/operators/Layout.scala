@@ -347,6 +347,101 @@ object Layout {
       .toDF("part", "seq", "file", "bytes")
   }
 
+  /** Bloom-filter file skipping vs zone maps — the point-lookup half
+    * of the data-skipping story. Zone maps (per-file min/max, q173/
+    * q176) prune RANGE predicates on clustered columns but are useless
+    * for point lookups on a column UNcorrelated with the layout: every
+    * file's [min,max] spans the probe. A per-file Bloom filter over
+    * that column (what Parquet bloom_filter_enabled / Delta BLOOMFILTER
+    * indexes materialize) answers "might this file contain key k?" in
+    * `kHash` bit probes with no false negatives.
+    *
+    * Files are assigned by equi-width bucketing of `fileKeyCol` (the
+    * clustered write column); `probeCol` is the lookup column that
+    * scatters across files. Bit positions are md5-derived
+    * (`hexDigits` hex digits → m = 16^hexDigits bits, `kHash`
+    * independent salts) so both engines replay the exact filter.
+    * Probes: `nProbes` present keys (md5-ranked — deterministic) and
+    * `nProbes` absent keys (beyond the global max).
+    *
+    * Output, one row per (method, klass): files touched, truly
+    * containing files, false-positive rate over the prunable
+    * candidates, and the skip ratio. At scale everything here is one
+    * corpus scan (bloom build = the write path's side product) + bit
+    * joins that are probe-bounded (≤ 2·nProbes·kHash rows broadcast);
+    * the (file, pos) bit table is capped at files · m rows and lives
+    * file-local in a real writer (no shuffle — it IS the parquet
+    * footer bloom).
+    */
+  def bloomSkipping(df: DataFrame, fileKeyCol: String, probeCol: String,
+      files: Int, hexDigits: Int, kHash: Int, nProbes: Int): DataFrame = {
+    require(files >= 1 && hexDigits >= 1 && hexDigits <= 8 && kHash >= 1 &&
+      nProbes >= 1, s"bad config ($files, $hexDigits, $kHash, $nProbes)")
+    val base = df.select(col(fileKeyCol).cast("long").as("fk"),
+      col(probeCol).cast("long").as("key"))
+    val fb = base.agg(min(col("fk")).as("fmin"), max(col("fk")).as("fmax"))
+    val filed = base.crossJoin(broadcast(fb))
+      .withColumn("file", least(lit(files - 1),
+        floor((col("fk") - col("fmin")) * files /
+          (col("fmax") - col("fmin") + lit(1L)))).cast("long"))
+      .select(col("file"), col("key"))
+    val zone = filed.groupBy(col("file"))
+      .agg(min(col("key")).as("kmin"), max(col("key")).as("kmax"))
+    def bitPos(key: Column, i: Int): Column =
+      conv(substring(md5(concat(key.cast("string"), lit(s":$i"))),
+        1, hexDigits), 16, 10).cast("long")
+    def posArr(key: Column): Column =
+      array((0 until kHash).map(i => bitPos(key, i)): _*)
+    val bits = filed
+      .select(col("file"), explode(posArr(col("key"))).as("pos")).distinct()
+    val present = filed.select(col("key")).distinct()
+      .withColumn("h", md5(col("key").cast("string")))
+      .orderBy(col("h"), col("key")).limit(nProbes)
+      .select(col("key").as("probe"), lit("present").as("klass"))
+    val gm = base.agg(max(col("key")).as("gmax"))
+    val absent = broadcast(gm)
+      .withColumn("o", explode(sequence(lit(1L), lit(nProbes.toLong))))
+      .select((col("gmax") + col("o")).as("probe"), lit("absent").as("klass"))
+    val probes = present.unionAll(absent)
+    val probeBits = probes.select(col("probe"), col("klass"),
+      explode(posArr(col("probe"))).as("pos")).distinct()
+    val required = probeBits.groupBy(col("probe"), col("klass"))
+      .agg(count(lit(1)).as("req"))
+    val hits = bits.join(broadcast(probeBits), "pos")
+      .groupBy(col("probe"), col("klass"), col("file"))
+      .agg(count(lit(1)).as("got"))
+    val bloomTouch = hits.join(broadcast(required), Seq("probe", "klass"))
+      .filter(col("got") === col("req"))
+      .select(col("probe"), col("klass"), col("file"))
+    val zoneTouch = broadcast(probes).crossJoin(zone)
+      .filter(col("probe") >= col("kmin") && col("probe") <= col("kmax"))
+      .select(col("probe"), col("klass"), col("file"))
+    val actual = filed.join(broadcast(probes), col("key") === col("probe"))
+      .select(col("probe"), col("klass"), col("file")).distinct()
+    val touched = bloomTouch.withColumn("method", lit("bloom"))
+      .unionAll(zoneTouch.withColumn("method", lit("zonemap")))
+      .groupBy(col("method"), col("klass")).agg(count(lit(1)).as("touched"))
+    val trueCnt = actual.groupBy(col("klass"))
+      .agg(count(lit(1)).as("true_files"))
+    val scaffold = probes.groupBy(col("klass"))
+      .agg(count(lit(1)).as("n_probes"))
+      .crossJoin(broadcast(
+        gm.select(explode(array(lit("bloom"), lit("zonemap"))).as("method"))))
+    scaffold
+      .join(touched, Seq("method", "klass"), "left")
+      .join(trueCnt, Seq("klass"), "left")
+      .select(col("method"), col("klass"), col("n_probes"),
+        coalesce(col("touched"), lit(0L)).as("touched"),
+        coalesce(col("true_files"), lit(0L)).as("true_files"),
+        round((coalesce(col("touched"), lit(0L)) -
+            coalesce(col("true_files"), lit(0L))).cast("double") /
+          (col("n_probes") * files - coalesce(col("true_files"), lit(0L))),
+          6).as("fp_rate"),
+        round(lit(1.0) - coalesce(col("touched"), lit(0L)).cast("double") /
+          (col("n_probes") * files), 6).as("skip_ratio"))
+      .orderBy(col("method"), col("klass"))
+  }
+
   /** Sequential small-file compaction plan: within each table
     * partition, pack consecutive files (in `seqCol` order) into
     * output groups of at least `targetBytes` — the planning pass of

@@ -52,6 +52,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Late-interaction (MaxSim) retrieval over multi-vector
+    * representations — the ColBERT scoring shape (Khattab & Zaharia
+    * 2020 §3.1): score(q, d) = Σ over query sub-vectors of the MAX
+    * cosine against any document sub-vector. Single-vector retrieval
+    * collapses a document to one point; late interaction keeps `parts`
+    * sub-vectors per side (here: contiguous `subDim`-wide slices of
+    * the embedding — the fixture stand-in for per-token vectors) and
+    * matches each query facet to its best document facet.
+    *
+    * Shape at scale: documents explode to `parts` skinny rows, the
+    * query side (nQueries·parts rows) broadcasts, cosines are map-side,
+    * and the two aggregations (max per query-part, sum per pair) are
+    * narrow shuffles on (qid, doc) keys — corpus-linear, never
+    * pairwise. Cosines round to 6 decimals before the max/sum so both
+    * engines run the identical recurrence; final rank is
+    * (score desc, doc asc), row_number ≤ k per query.
+    */
+  def maxSimTopK(vectors: DataFrame, nQueries: Int, parts: Int,
+      subDim: Int, k: Int): DataFrame = {
+    require(nQueries >= 1 && parts >= 1 && subDim >= 1 && k >= 1,
+      s"bad config ($nQueries, $parts, $subDim, $k)")
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def sliced(df: DataFrame, idOut: String, pOut: String,
+        vOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut),
+        posexplode(array((0 until parts).map(p =>
+          slice(col("v"), p * subDim + 1, subDim)): _*)).as(Seq(pOut, vOut)))
+    val dp = sliced(v, "doc_id", "dpart", "dv")
+      .withColumn("dnrm", l2norm(col("dv")))
+    val qp = sliced(v.filter(col("vec_id") < nQueries), "qid", "qpart", "qv")
+      .withColumn("qnrm", l2norm(col("qv")))
+    val cos = dp.join(broadcast(qp), col("qid") =!= col("doc_id"))
+      .select(col("qid"), col("doc_id"), col("qpart"),
+        round(when(col("qnrm") > 0 && col("dnrm") > 0,
+          dot_product(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")))
+          .otherwise(lit(0.0)), 6).as("c"))
+    val best = cos.groupBy(col("qid"), col("doc_id"), col("qpart"))
+      .agg(max(col("c")).as("mx"))
+    val score = best.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("mx")), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    score.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** All vector pairs with cosine ≥ threshold (embedding near-dup).
     * Brute force O(N²) via theta join — the exactness baseline used by
     * specs/oracles only; queries use [[nearDupPairsBlocked]] (same
@@ -368,6 +417,74 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("sim")), 6).as("avg_cos"),
         round(min(col("sim")), 6).as("min_cos"))
+  }
+
+  /** Incremental-index maintenance readout: when a new ingest batch
+    * lands on an existing IVF index, how stale does the index get and
+    * what does one refresh step move? The corpus is split by id into
+    * the INDEXED base (vec_id % deltaMod ≠ deltaMod−1) and the new
+    * BATCH; centroids are trained on the base only (the index that
+    * existed before the batch), everything is assigned to those stale
+    * centroids (how a real system appends — new vectors go to their
+    * nearest existing cell), then ONE Lloyd refresh over the merged
+    * corpus recomputes the centroids and everything is reassigned.
+    *
+    * Output, one row per original cell: member count before/after the
+    * refresh, vectors moved in/out, and the churn fraction — the
+    * number an index operator reads to decide between cheap periodic
+    * refreshes and a full rebuild. Both centroid sets are k×d driver
+    * literals (the kmeansCentroidSeq bound); each assignment is
+    * map-only against literals, so the whole readout is three corpus
+    * scans + two narrow aggregations at any corpus size.
+    */
+  def ivfReassignDrift(vectors: DataFrame, numCells: Int, iters: Int,
+      deltaMod: Int): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
+    val isBatch = col("vec_id") % deltaMod === (deltaMod - 1)
+    val cent0 = kmeansCentroidSeq(vectors.filter(!isBatch), numCells, iters)
+    val all = vectors.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val a0 = assignCells(all, cent0, probes = 1)
+      .select(col("vec_id"), col("v"), col("cell").as("cell0"))
+    // one Lloyd refresh over the merged corpus: means of the stale
+    // assignment, rounded to 6 decimals (the kmeansCentroidSeq
+    // recurrence), collected as the next k×d literal set
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cent1: Seq[(Long, Seq[Double])] = a0
+      .select(col("cell0").as("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .select(col("cell").cast("long"), col("cv"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val a1 = assignCells(all, cent1, probes = 1)
+      .select(col("vec_id"), col("cell").as("cell1"))
+    val moves = a0.select(col("vec_id"), col("cell0")).join(a1, "vec_id")
+    val cells = cent0.map(_._1).toDF("cell")
+    val n0 = moves.groupBy(col("cell0").as("cell"))
+      .agg(count(lit(1)).as("n_before"))
+    val n1 = moves.groupBy(col("cell1").as("cell"))
+      .agg(count(lit(1)).as("n_after"))
+    val out = moves.filter(col("cell0") =!= col("cell1"))
+      .groupBy(col("cell0").as("cell")).agg(count(lit(1)).as("moved_out"))
+    val in = moves.filter(col("cell0") =!= col("cell1"))
+      .groupBy(col("cell1").as("cell")).agg(count(lit(1)).as("moved_in"))
+    broadcast(cells)
+      .join(n0, Seq("cell"), "left").join(n1, Seq("cell"), "left")
+      .join(out, Seq("cell"), "left").join(in, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"))
+      .withColumn("churn_frac",
+        when(col("n_before") + col("n_after") === 0, lit(0.0))
+          .otherwise(round((col("moved_in") + col("moved_out"))
+            .cast("double") / (col("n_before") + col("n_after")), 6)))
+      .orderBy(col("cell"))
   }
 
   /** ANN recall@k readout: per query, how much of the exact brute-force

@@ -115,7 +115,8 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q161_sq8_recall", 4096L, "d per-dim min/max rows"),
     ("q162_mmr_select", 4096L, "candN rel + candN²/2 sims"),
     ("q171_ivfpq_residual", 4096L, "centroids + residual sub-codebooks"),
-    ("q172_refine_rerank", 4096L, "q171's index folds; refine adds none"))
+    ("q172_refine_rerank", 4096L, "q171's index folds; refine adds none"),
+    ("q181_ivf_drift", 4096L, "k centroids × (Lloyd iters + 1 refresh)"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;
@@ -127,7 +128,7 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val lazyOps: Seq[String] = Seq("q165_binary_recall",
     "q173_zorder_layout", "q174_compaction_plan", "q175_hard_negatives",
     "q176_zorder_pruning", "q177_layout_health", "q178_curve_pruning",
-    "q179_eqdepth_pruning")
+    "q179_eqdepth_pruning", "q180_bloom_skipping", "q182_maxsim_topk")
 
   test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
     val corpusRows = 5000L // sf0.1 documents = 5k, embeddings = 2k

@@ -398,4 +398,60 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flags = got.map(r => (r.getLong(1), r.getBoolean(5))).toMap
     assert(!flags(4L) && flags(2L) && flags(3L))
   }
+
+  test("bloomSkipping: no false negatives, zone maps blind to scattered keys, absent keys zone-pruned") {
+    val s = spark; import s.implicits._
+    // 4 files bucketed by fk; the probe key i is UNcorrelated with fk
+    // (i % 7 scatters keys across fk buckets), so every file's key
+    // [min,max] spans most of the range — the zone map's blind spot.
+    val rows = (0L until 400L).map(i => (i % 7, i))
+    val df = rows.toDF("fk", "key")
+    val got = Layout.bloomSkipping(df, "fk", "key", files = 4,
+        hexDigits = 3, kHash = 2, nProbes = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet == Set(("bloom", "present"), ("bloom", "absent"),
+      ("zonemap", "present"), ("zonemap", "absent")))
+    // Bloom property: never a false negative — every truly-containing
+    // file is touched, for BOTH methods
+    Seq("bloom", "zonemap").foreach { m =>
+      val (_, touched, trueF, _, _) = got((m, "present"))
+      assert(touched >= trueF, s"$m misses containing files")
+    }
+    // zone maps on a scattered key: replicate the zone decision on the
+    // driver (md5-ranked probes, per-file min/max) — exact expectation
+    def md5hex(v: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val fileOf = (fk: Long) => math.min(3L, fk * 4 / 7)
+    val zones = rows.groupBy(r => fileOf(r._1))
+      .map { case (f, rs) => f -> (rs.map(_._2).min, rs.map(_._2).max) }
+    val probes = rows.map(_._2).distinct
+      .sortBy(k => (md5hex(k), k)).take(8)
+    val expZt = (for { p <- probes; (_, (lo, hi)) <- zones
+      if p >= lo && p <= hi } yield 1).size.toLong
+    val (np, zt, ztrue, _, _) = got(("zonemap", "present"))
+    assert(np == 8L && zt == expZt,
+      s"zone touches: got $zt want $expZt")
+    assert(zt > np * 3, "scattered keys must leave zone maps nearly blind")
+    // absent keys beyond the global max: zone maps prune everything
+    val (_, za, _, _, zskip) = got(("zonemap", "absent"))
+    assert(za == 0L && zskip == 1.0)
+    // the bloom prunes present-key lookups the zone map cannot
+    val (_, bt, btrue, _, _) = got(("bloom", "present"))
+    assert(bt < zt, "bloom must touch fewer files than the blind zone map")
+    assert(btrue == ztrue, "both methods see the same containment truth")
+  }
+
+  test("bloomSkipping plan: no cartesian product, bit joins broadcast the probe side") {
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i => (i % 5, i)).toDF("fk", "key")
+    val plan = Layout.bloomSkipping(df, "fk", "key", files = 4,
+        hexDigits = 3, kHash = 2, nProbes = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"), "probe side must broadcast")
+  }
 }

@@ -596,4 +596,66 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(mine.toSeq == expect, s"query $qid")
     }
   }
+
+  test("maxSimTopK with parts=1 reduces to single-vector brute-force top-k") {
+    // The late-interaction scorer must degrade to plain cosine
+    // retrieval when each side has exactly one sub-vector — the
+    // reduction law that pins the MaxSim algebra (max over one dpart =
+    // the cosine; sum over one qpart = that max).
+    val e = Tables.embeddings(spark, sf)
+    val ms = Similarity.maxSimTopK(e, nQueries = 3, parts = 1,
+        subDim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val bf = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(ms.keySet == bf.keySet)
+    ms.foreach { case (key, (doc, score)) =>
+      assert(bf(key)._1 == doc && math.abs(bf(key)._2 - score) < 1e-9,
+        s"$key: maxsim ($doc, $score) vs brute ${bf(key)}")
+    }
+  }
+
+  test("maxSimTopK ranks facet-swapped doc above aggregate-aligned doc (the late-interaction property)") {
+    // q = [u; v] (two orthogonal facets). X = [v; u] matches EVERY
+    // query facet somewhere (MaxSim score 2) but cancels in aggregate
+    // (single-vector cosine 0); Y = [u; u] aligns in aggregate
+    // (cosine 0.5) but serves facet 2 not at all (MaxSim score 1).
+    // Late interaction must order X > Y; single-vector orders Y > X.
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),  // q = [u; v]
+      (1L, Seq(0f, 1f, 1f, 0f), 0),  // X = [v; u]
+      (2L, Seq(1f, 0f, 1f, 0f), 0))  // Y = [u; u]
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimTopK(e, nQueries = 1, parts = 2,
+        subDim = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2.0), (2L, 2L, 1.0)),
+      s"maxsim order: ${got.toSeq}")
+    val single = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        k = 2)
+      .orderBy(col("rank")).select(col("nid")).collect().map(_.getLong(0))
+    assert(single.toSeq == Seq(2L, 1L), s"single-vector order: ${single.toSeq}")
+  }
+
+  test("ivfReassignDrift conserves membership and is deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val d1 = Similarity.ivfReassignDrift(e, numCells = 8, iters = 2,
+      deltaMod = 10).collect()
+    val total = e.count()
+    assert(d1.map(_.getLong(1)).sum == total, "n_before must sum to corpus")
+    assert(d1.map(_.getLong(2)).sum == total, "n_after must sum to corpus")
+    assert(d1.map(_.getLong(3)).sum == d1.map(_.getLong(4)).sum,
+      "every move out lands in some cell")
+    assert(d1.map(_.getLong(0)).toSeq == (0L until 8L),
+      "one row per original cell, ordered")
+    val d2 = Similarity.ivfReassignDrift(e, numCells = 8, iters = 2,
+      deltaMod = 10).collect()
+    assert(d1.map(_.toSeq).toSeq == d2.map(_.toSeq).toSeq,
+      "drift readout must be deterministic")
+  }
 }
