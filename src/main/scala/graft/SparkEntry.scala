@@ -1620,6 +1620,11 @@ object SparkEntry {
     "q182_maxsim_topk" -> ((s, dir) =>
       Similarity.maxSimTopK(Tables.embeddings(s, dir),
         nQueries = 4, parts = 4, subDim = 16, k = 3)),
+    // Curation — exemplar centrality: integer fixed-point PageRank
+    // over the k=3 IVF kNN graph, top-20 diversity-weighted exemplars
+    "q183_knn_pagerank" -> ((s, dir) =>
+      Similarity.knnPageRank(Tables.embeddings(s, dir), k = 3,
+        numCells = 8, iters = 2, probes = 2, prIters = 3, top = 20)),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -3188,82 +3193,9 @@ object SparkEntry {
     // to probed cells, and the q62 argmax discipline: rank on the
     // 6-dp-ROUNDED cosine with the nid tie-break.
     "q78_ivf_knn_graph" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                    FROM embeddings),
-         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
-         asn1 AS (
-           SELECT vec_id, v, cid AS cell FROM (
-             SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 CASE WHEN list_inner_product(e.v, e.v) = 0
-                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
-                   ELSE list_inner_product(e.v, c.cv) /
-                     (sqrt(list_inner_product(e.v, e.v)) *
-                      sqrt(list_inner_product(c.cv, c.cv))) END
-                 DESC, c.cid) AS rk
-             FROM e CROSS JOIN cent0 c)
-           WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
-                FROM (SELECT cell, unnest(v) AS x,
-                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
-                GROUP BY 1, 2),
-         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
-         asn2 AS (
-           SELECT vec_id, v, cid AS cell FROM (
-             SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 CASE WHEN list_inner_product(e.v, e.v) = 0
-                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
-                   ELSE list_inner_product(e.v, c.cv) /
-                     (sqrt(list_inner_product(e.v, e.v)) *
-                      sqrt(list_inner_product(c.cv, c.cv))) END
-                 DESC, c.cid) AS rk
-             FROM e CROSS JOIN cent1 c)
-           WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
-                FROM (SELECT cell, unnest(v) AS x,
-                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
-                GROUP BY 1, 2),
-         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
-         members AS (
-           SELECT vec_id, v, cell FROM (
-             SELECT e.vec_id, e.v, c.cid AS cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 CASE WHEN list_inner_product(e.v, e.v) = 0
-                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
-                   ELSE list_inner_product(e.v, c.cv) /
-                     (sqrt(list_inner_product(e.v, e.v)) *
-                      sqrt(list_inner_product(c.cv, c.cv))) END
-                 DESC, c.cid) AS rk
-             FROM e CROSS JOIN cent2 c)
-           WHERE rk = 1),
-         probed AS (
-           SELECT vec_id AS qid, v AS qv, cell FROM (
-             SELECT e.vec_id, e.v, c.cid AS cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 CASE WHEN list_inner_product(e.v, e.v) = 0
-                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
-                   ELSE list_inner_product(e.v, c.cv) /
-                     (sqrt(list_inner_product(e.v, e.v)) *
-                      sqrt(list_inner_product(c.cv, c.cv))) END
-                 DESC, c.cid) AS rk
-             FROM e CROSS JOIN cent2 c)
-           WHERE rk <= 2),
-         scored AS (
-           SELECT p.qid, m.vec_id AS nid,
-             round(list_inner_product(p.qv, m.v) /
-               (sqrt(list_inner_product(p.qv, p.qv)) *
-                sqrt(list_inner_product(m.v, m.v))), 6) AS cos
-           FROM probed p JOIN members m
-             ON p.cell = m.cell AND p.qid <> m.vec_id
-           WHERE sqrt(list_inner_product(p.qv, p.qv)) > 0
-             AND sqrt(list_inner_product(m.v, m.v)) > 0),
-         r AS (SELECT qid, nid, cos,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, nid) AS rank
-               FROM scored)
+      (knnGraphRankChain + """
          SELECT qid, nid, cos + 0.0 AS cos, rank FROM r WHERE rank <= 1
-         ORDER BY qid, rank""",
+         ORDER BY qid, rank"""),
     // The q47/q76 Lloyd replay through single-cell membership, then a
     // per-cell rank in md5(id) order (the q41 sampleBucket discipline
     // — engine-independent, no RNG) capped at 40 per cell.
@@ -5868,6 +5800,7 @@ object SparkEntry {
     "q179_eqdepth_pruning" -> eqDepthPruningSql,
     "q180_bloom_skipping" -> bloomSkippingSql,
     "q181_ivf_drift" -> ivfDriftSql,
+    "q183_knn_pagerank" -> knnPageRankSql,
     "q182_maxsim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                     FROM embeddings),
@@ -6227,6 +6160,121 @@ object SparkEntry {
        LEFT JOIN n0 USING (cell) LEFT JOIN n1 USING (cell)
        LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
        ORDER BY c.cell"""
+  }
+
+  /** q78/q183 shared oracle text: the IVF kNN-graph replay through
+    * the per-query ranking CTE `r` (q78 selects its edge list from it;
+    * q183 runs the integer PageRank recurrence over it).
+    */
+  private val knnGraphRankChain: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent0 c)
+           WHERE rk = 1),
+         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn1)
+                GROUP BY 1, 2),
+         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS (
+           SELECT vec_id, v, cid AS cell FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent1 c)
+           WHERE rk = 1),
+         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+                FROM (SELECT cell, unnest(v) AS x,
+                        generate_subscripts(v, 1) - 1 AS i FROM asn2)
+                GROUP BY 1, 2),
+         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk = 1),
+         probed AS (
+           SELECT vec_id AS qid, v AS qv, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN list_inner_product(e.v, e.v) = 0
+                        OR list_inner_product(c.cv, c.cv) = 0 THEN 0.0
+                   ELSE list_inner_product(e.v, c.cv) /
+                     (sqrt(list_inner_product(e.v, e.v)) *
+                      sqrt(list_inner_product(c.cv, c.cv))) END
+                 DESC, c.cid) AS rk
+             FROM e CROSS JOIN cent2 c)
+           WHERE rk <= 2),
+         scored AS (
+           SELECT p.qid, m.vec_id AS nid,
+             round(list_inner_product(p.qv, m.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(m.v, m.v))), 6) AS cos
+           FROM probed p JOIN members m
+             ON p.cell = m.cell AND p.qid <> m.vec_id
+           WHERE sqrt(list_inner_product(p.qv, p.qv)) > 0
+             AND sqrt(list_inner_product(m.v, m.v)) > 0),
+         r AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+               FROM scored)"""
+
+  /** q183 oracle: integer fixed-point PageRank (micros, damping 17/20,
+    * floor divisions only) over the k=3 kNN edge list — generated per
+    * iteration, every division `//` over BIGINTs so the replay is
+    * engine-exact with no float summation anywhere.
+    */
+  private val knnPageRankSql: String = {
+    val iters = 3
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s""",
+       ct$i AS (SELECT ed.dst, sum(p.pr // ed.deg) AS csum
+                FROM (SELECT e2.src, e2.dst, o.deg FROM edges e2
+                      JOIN outdeg o USING (src)) ed
+                JOIN $prev p ON p.id = ed.src GROUP BY 1),
+       dg$i AS (SELECT coalesce(sum(p.pr), 0) // (SELECT n FROM nn)
+                  AS dshare
+                FROM $prev p LEFT JOIN outdeg o ON p.id = o.src
+                WHERE o.src IS NULL),
+       pr$i AS (SELECT p0.id,
+                  (150000 + (17 * (coalesce(c.csum, 0) +
+                    (SELECT dshare FROM dg$i))) // 20)::BIGINT AS pr
+                FROM pr0 p0 LEFT JOIN ct$i c ON p0.id = c.dst)"""
+    }.mkString
+    knnGraphRankChain + s""",
+       edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rank <= 3),
+       outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM e),
+       pr0 AS (SELECT vec_id AS id, 1000000::BIGINT AS pr FROM e)""" +
+      steps + s"""
+       SELECT rank::BIGINT AS rank, id AS vec_id, pr AS pr_micro FROM (
+         SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rank
+         FROM pr$iters)
+       WHERE rank <= 20 ORDER BY rank"""
   }
 
   /** q171/q172 shared oracle text: the full IVF-PQ-residual replay in

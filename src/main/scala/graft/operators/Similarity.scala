@@ -653,6 +653,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PageRank centrality over the IVF kNN graph — exemplar selection
+    * for a training corpus: a vector many other vectors point AT
+    * (high in-link mass through the kNN edges) is a representative of
+    * a dense region; the top-`top` list is the "medoid sample" a
+    * curation pass keeps when it wants diversity-weighted exemplars
+    * rather than random docs.
+    *
+    * The recurrence is INTEGER fixed-point (micros): pr₀ = 10⁶;
+    * prᵢ₊₁ = 150000 + (17 · (Σ_in ⌊pr_src / outdeg⌋ + ⌊dangling / N⌋))
+    * div 20 — damping 0.85 as the exact rational 17/20, every division
+    * a floor over BIGINTs, so the whole recurrence is engine-exact
+    * with no float summation order anywhere (the oracle replays it
+    * with `//`). Remainder mass shed by the floors is the documented
+    * cost of exactness (bounded by in-degree + 1 micro per node·iter).
+    *
+    * Scale shape: edges = the L43 kNN graph (cell-partitioned
+    * equi-join); each iteration is one (src)-keyed broadcast-free
+    * equi-join + a (dst)-keyed narrow aggregation — the sparse matvec.
+    * Iteration frames are cached (N-row, two longs) so the unrolled
+    * lineage doesn't re-execute the graph build per reference.
+    */
+  def knnPageRank(vectors: DataFrame, k: Int, numCells: Int, iters: Int,
+      probes: Int, prIters: Int, top: Int): DataFrame = {
+    require(prIters >= 1 && top >= 1, s"bad config ($prIters, $top)")
+    val edges = ivfKnnGraph(vectors, k, numCells, iters, probes)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(outdeg, "src").cache()
+    val nodes = vectors.select(col("vec_id").as("id"))
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.withColumn("pr", lit(1000000L)).cache()
+    for (_ <- 1 to prIters) {
+      val contrib = edgesD.join(pr, edgesD("src") === pr("id"))
+        .select(col("dst"), expr("pr div deg").as("ct"))
+        .groupBy(col("dst")).agg(sum(col("ct")).as("csum"))
+      val dang = pr.join(outdeg, pr("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+        .crossJoin(broadcast(nFrame))
+        .select(expr("dsum div n").as("dshare"))
+      pr = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(150000L) + expr(
+            "(17 * (coalesce(csum, 0) + dshare)) div 20")).as("pr"))
+        .cache()
+    }
+    val ranked = pr.orderBy(col("pr").desc, col("id").asc).limit(top)
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pr").desc, col("id").asc)))
+      .select(col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), col("pr").as("pr_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** IVF-style approximate top-k: coarse-quantize every vector to its
     * nearest centroid (centroids = a small deterministic seed set, e.g.
     * the first C vectors), then search only within the query's cell.

@@ -658,4 +658,41 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.map(_.toSeq).toSeq == d2.map(_.toSeq).toSeq,
       "drift readout must be deterministic")
   }
+
+  test("knnPageRank equals a driver-side integer replay of the recurrence") {
+    // Independent of the DuckDB oracle: collect the (small, test-scale)
+    // kNN edge list and fold the exact micro-integer recurrence on the
+    // driver — pr' = 150000 + 17·(Σ ⌊pr/deg⌋ + ⌊dangling/N⌋) / 20,
+    // every division a floor over positive longs. The distributed
+    // result must match rank-for-rank, micro-for-micro.
+    val e = Tables.embeddings(spark, sf)
+    val edges = Similarity.ivfKnnGraph(e, 3, 8, 2, 2)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = e.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val n = ids.length
+    val outdeg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length }
+    var pr = ids.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += pr(s0) / outdeg(s0) }
+      val dshare = ids.filterNot(outdeg.contains).map(pr).sum / n
+      pr = ids.map(i => i -> (150000L + (17L * (contrib(i) + dshare)) / 20L))
+        .toMap
+    }
+    val expect = ids.map(i => (i, pr(i)))
+      .sortBy { case (i, p) => (-p, i) }.take(20).zipWithIndex
+      .map { case ((i, p), r) => (r + 1L, i, p) }
+    val got = Similarity.knnPageRank(e, k = 3, numCells = 8, iters = 2,
+        probes = 2, prIters = 3, top = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq,
+      s"got ${got.take(3).toSeq}… want ${expect.take(3)}…")
+    // mass check: total micros never exceed the injected N·10⁶ and the
+    // floors shed at most ~1% of it over three iterations
+    val total = pr.values.sum
+    assert(total <= n * 1000000L && total > (n * 1000000L * 99) / 100,
+      s"mass $total vs ${n * 1000000L}")
+  }
 }
