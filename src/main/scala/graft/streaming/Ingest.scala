@@ -559,6 +559,45 @@ object Ingest {
       }
   }
 
+  case class ZoneRow(file: Long, x: Long, y: Long)
+  case class ZoneState(n: Long, xMin: Long, xMax: Long, yMin: Long,
+    yMax: Long)
+  case class ZoneStats(file: Long, n: Long, x_min: Long, x_max: Long,
+    y_min: Long, y_max: Long)
+
+  /** Zone-map upkeep at ingest — the streaming twin of the q173/q176
+    * per-file stats readout (`Layout` fileStats): as rows append to a
+    * clustered table, each file's (count, min/max of both skipping
+    * dims) is folded incrementally in flatMapGroupsWithState, so the
+    * data-skipping metadata the readers prune on is CURRENT after
+    * every micro-batch instead of waiting for a stats recompute job.
+    * State is one 5-long record per file — bounded by the file count,
+    * the same bound the table format's manifest carries. Update mode:
+    * every batch re-emits the refreshed stats row for files it
+    * touched; the latest row per file is the manifest entry.
+    */
+  def zoneStatsStream(rows: Dataset[ZoneRow])(
+      implicit spark: SparkSession): Dataset[ZoneStats] = {
+    import spark.implicits._
+    rows
+      .groupByKey(_.file)
+      .flatMapGroupsWithState[ZoneState, ZoneStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (file: Long, it: Iterator[ZoneRow], state: GroupState[ZoneState]) =>
+          var s = state.getOption.getOrElse(
+            ZoneState(0L, Long.MaxValue, Long.MinValue, Long.MaxValue,
+              Long.MinValue))
+          it.foreach { r =>
+            s = ZoneState(s.n + 1, math.min(s.xMin, r.x),
+              math.max(s.xMax, r.x), math.min(s.yMin, r.y),
+              math.max(s.yMax, r.y))
+          }
+          state.update(s)
+          Iterator.single(
+            ZoneStats(file, s.n, s.xMin, s.xMax, s.yMin, s.yMax))
+      }
+  }
+
   /** q59's streaming twin — gap-based sessionization on an unbounded
     * event stream via the NATIVE session_window (merging-window state
     * store), not a hand-rolled flatMapGroupsWithState: Spark merges

@@ -327,6 +327,43 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("zoneStatsStream: incremental per-file stats equal the batch aggregate") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    val rows = (0L until 60L).map(i =>
+      Ingest.ZoneRow(i % 3, (i * 37) % 101, (i * 53) % 89))
+    val mem = MemoryStream[Ingest.ZoneRow]
+    val q = Ingest.zoneStatsStream(mem.toDS())
+      .writeStream.format("memory").queryName("zone_stream")
+      .outputMode("update").start()
+    try {
+      // three appends — min/max/count must fold ACROSS batches
+      mem.addData(rows.take(20): _*); q.processAllAvailable()
+      mem.addData(rows.slice(20, 40): _*); q.processAllAvailable()
+      mem.addData(rows.drop(40): _*); q.processAllAvailable()
+      // update mode re-emits per batch; the manifest entry is the LAST
+      // row per file
+      val streamed = spark.table("zone_stream")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("file"))
+            .orderBy(col("n").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batch = rows.toDF()
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"),
+          max(col("x")).as("x_max"), min(col("y")).as("y_min"),
+          max(col("y")).as("y_max"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("refineTopK over a full shortlist equals brute-force cosine top-k") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
