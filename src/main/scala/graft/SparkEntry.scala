@@ -1625,6 +1625,13 @@ object SparkEntry {
     "q183_knn_pagerank" -> ((s, dir) =>
       Similarity.knnPageRank(Tables.embeddings(s, dir), k = 3,
         numCells = 8, iters = 2, probes = 2, prIters = 3, top = 20)),
+    // Tokenizer — merge-compression (fertility) per language: which
+    // languages the trained vocab serves; rides the q138 merge table
+    "q184_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = TextOps.bpeTrainMerges(docs, "text", 3).map(t => (t._2, t._3))
+      TextOps.bpeFertilityByLang(docs, "text", "lang", m)
+    }),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -5024,50 +5031,11 @@ object SparkEntry {
          FROM u ORDER BY n_merges""",
     // BPE encode: the q138 chain's third application + per-doc counts
     "q139_bpe_encode" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         p1 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
-                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
-                        for i in range(1, len(w))]) AS p FROM t)
-                GROUP BY 1, 2),
-         m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-         a1 AS (SELECT doc_id, list_reduce(
-                  list_concat([CAST([] AS VARCHAR[])],
-                    list_transform(w, x -> [x])),
-                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
-                                    AND x[1] = r
-                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
-                    ELSE list_concat(acc, x) END) AS w
-                FROM t, m1),
-         p2 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
-                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
-                        for i in range(1, len(w))]) AS p FROM a1)
-                GROUP BY 1, 2),
-         m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-         a2 AS (SELECT doc_id, list_reduce(
-                  list_concat([CAST([] AS VARCHAR[])],
-                    list_transform(w, x -> [x])),
-                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
-                                    AND x[1] = r
-                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
-                    ELSE list_concat(acc, x) END) AS w
-                FROM a1, m2),
-         p3 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
-                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
-                        for i in range(1, len(w))]) AS p FROM a2)
-                GROUP BY 1, 2),
-         m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
-         a3 AS (SELECT doc_id, list_reduce(
-                  list_concat([CAST([] AS VARCHAR[])],
-                    list_transform(w, x -> [x])),
-                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
-                                    AND x[1] = r
-                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
-                    ELSE list_concat(acc, x) END) AS w
-                FROM a2, m3)
+      (bpeEncodeChain + """
          SELECT t.doc_id, len(t.w)::BIGINT AS n_words,
            len(a3.w)::BIGINT AS n_symbols,
            round(len(a3.w)::DOUBLE / len(t.w), 6) AS compression
-         FROM t JOIN a3 USING (doc_id) ORDER BY t.doc_id""",
+         FROM t JOIN a3 USING (doc_id) ORDER BY t.doc_id"""),
     // Training census: q106 keep ∧ q118 tolerance ∧ normalized keeper,
     // then the q129 split census over the survivors
     "q134_training_census" ->
@@ -5801,6 +5769,14 @@ object SparkEntry {
     "q180_bloom_skipping" -> bloomSkippingSql,
     "q181_ivf_drift" -> ivfDriftSql,
     "q183_knn_pagerank" -> knnPageRankSql,
+    "q184_bpe_fertility" ->
+      (bpeEncodeChain + """
+         SELECT d.lang, count(*)::BIGINT AS n_docs,
+           sum(len(t.w))::BIGINT AS n_words,
+           sum(len(a3.w))::BIGINT AS n_symbols,
+           round(sum(len(a3.w))::DOUBLE / sum(len(t.w)), 6) AS fertility
+         FROM t JOIN a3 USING (doc_id) JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY 1"""),
     "q182_maxsim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                     FROM embeddings),
@@ -6161,6 +6137,52 @@ object SparkEntry {
        LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
        ORDER BY c.cell"""
   }
+
+  /** q139/q184 shared oracle text: the 3-merge BPE train + apply
+    * replay through the encoded CTE `a3` (q139 reads per-doc symbol
+    * counts from it; q184 aggregates fertility per language).
+    */
+  private val bpeEncodeChain: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         p1 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM t)
+                GROUP BY 1, 2),
+         m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         a1 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM t, m1),
+         p2 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a1)
+                GROUP BY 1, 2),
+         m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         a2 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a1, m2),
+         p3 AS (SELECT p.l AS l, p.r AS r, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest([{'l': w[i], 'r': w[i+1]}
+                        for i in range(1, len(w))]) AS p FROM a2)
+                GROUP BY 1, 2),
+         m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         a3 AS (SELECT doc_id, list_reduce(
+                  list_concat([CAST([] AS VARCHAR[])],
+                    list_transform(w, x -> [x])),
+                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = l
+                                    AND x[1] = r
+                    THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                    ELSE list_concat(acc, x) END) AS w
+                FROM a2, m3)"""
 
   /** q78/q183 shared oracle text: the IVF kNN-graph replay through
     * the per-query ranking CTE `r` (q78 selects its edge list from it;

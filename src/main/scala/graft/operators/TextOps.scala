@@ -1193,6 +1193,30 @@ object TextOps {
       .withColumn("compression",
         round(col("n_symbols").cast("double") / col("n_words"), 6))
 
+  /** Tokenizer fit by language — the fertility table a tokenizer team
+    * reads before shipping a vocab: apply the trained merges to every
+    * document and aggregate symbols-per-word per language. A language
+    * the merge table serves well compresses hard (low ratio); a
+    * language the vocab under-serves stays near 1.0 symbols/word —
+    * the signal that its share of the training mix needs revisiting.
+    * One scan (the `bpe_apply` kernel inside the projection), one
+    * lang-keyed narrow aggregate; the merge table is a driver literal
+    * (the L70 BPE-train bound), so cost is corpus-linear.
+    */
+  def bpeFertilityByLang(docs: DataFrame, textCol: String,
+      langCol: String, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        size(tokens(col(textCol))).cast("long").as("nw"),
+        size(org.apache.spark.sql.graft.Signatures
+          .bpe_apply(tokens(col(textCol)), merges)).cast("long").as("ns"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ns")).as("n_symbols"),
+        round(sum(col("ns")).cast("double") / sum(col("nw")), 6)
+          .as("fertility"))
+      .orderBy(col("lang"))
+
   /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009) of two
     * rank lists — THE standard hybrid-retrieval combiner (sparse BM25
     * ⊕ dense ANN): score(d) = Σ_lists 1/(kRrf + rank_d), absent from a

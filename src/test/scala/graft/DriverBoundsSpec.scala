@@ -117,7 +117,8 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q171_ivfpq_residual", 4096L, "centroids + residual sub-codebooks"),
     ("q172_refine_rerank", 4096L, "q171's index folds; refine adds none"),
     ("q181_ivf_drift", 4096L, "k centroids × (Lloyd iters + 1 refresh)"),
-    ("q183_knn_pagerank", 4096L, "k centroids × Lloyd iterations"))
+    ("q183_knn_pagerank", 4096L, "k centroids × Lloyd iterations"),
+    ("q184_bpe_fertility", 64L, "1-row argmax per merge"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;

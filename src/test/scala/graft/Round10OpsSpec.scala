@@ -898,6 +898,25 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc(3L)._1 == 4L) // untouched doc keeps its word count
   }
 
+  test("bpeFertilityByLang: served language compresses, under-served stays at 1.0") {
+    val s = spark; import s.implicits._
+    // lang "aa" is wall-to-wall "new york" bigrams (the vocab serves
+    // it); lang "bb" shares no adjacent pair with the merge table
+    val docs = Seq(
+      (1L, "new york new york new york new york", "aa"),
+      (2L, "new york new york", "aa"),
+      (3L, "q w e r t y u i", "bb"),
+      (4L, "a b c d", "bb")).toDF("doc_id", "text", "lang")
+    val m = TextOps.bpeTrainMerges(docs, "text", 1).map(t => (t._2, t._3))
+    assert(m == Seq(("new", "york")))
+    val got = TextOps.bpeFertilityByLang(docs, "text", "lang", m)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // aa: 12 words -> 6 merged symbols = 0.5; bb untouched = 1.0
+    assert(got("aa") == ((2L, 12L, 6L, 0.5)), got("aa").toString)
+    assert(got("bb") == ((2L, 12L, 12L, 1.0)), got("bb").toString)
+  }
+
   test("neymanSample: quotas sum to budget; varied strata out-draw homogeneous ones") {
     val s = spark; import s.implicits._
     // stratum "flat": identical docs (sigma 0); stratum "varied":
