@@ -163,7 +163,11 @@ object SparkEntry {
       li.groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .orderBy(col("rev").desc, col("l_partkey"))
+        // rank on the ROUNDED revenue: scaled corpora replicate parts
+        // with identical logical revenue, and the raw double sums land
+        // ±1 ulp apart in each engine's summation order — ordering on
+        // the unrounded value made row 0 engine-dependent at sf1
+        .orderBy(round(col("rev"), 2).desc, col("l_partkey"))
         .limit(10)
         .select(col("l_partkey"), col("p_name"), round(col("rev"), 2).as("revenue"))
     }),
@@ -1172,8 +1176,12 @@ object SparkEntry {
     // Curation — blocklist gate (C4-style bad-words filter): per-doc
     // hit stats against a literal term list, tolerance threshold 2
     "q118_blocklist" -> ((s, dir) => {
+      // explicit order: the gate itself is map-only (scan order), and
+      // scan order is a function of the input's file/split layout —
+      // deterministic at the gate SFs, not at sf1's multi-split corpus
       TextOps.blocklistFilter(Tables.documents(s, dir), "doc_id", "text",
         blocklist = Seq("slow", "leak", "crash"), maxHits = 2)
+        .orderBy(col("doc_id"))
     }),
     // Curation — per-source language-mix chi-square drift (categorical
     // counterpart of q112's KS)
@@ -1777,7 +1785,7 @@ object SparkEntry {
          )
          SELECT l_partkey, p_name, round(rev, 2) AS revenue
          FROM r JOIN part ON l_partkey = p_partkey
-         ORDER BY rev DESC, l_partkey LIMIT 10""",
+         ORDER BY round(rev, 2) DESC, l_partkey LIMIT 10""",
     "q13_asof" ->
       """SELECT c.event_id, round(p.value, 6) AS purchase_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
@@ -6274,24 +6282,32 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       val prev = if (i == 1) "pr0" else s"pr${i - 1}"
       s""",
-       ct$i AS (SELECT ed.dst, sum(p.pr // ed.deg) AS csum
+       ct$i AS MATERIALIZED (SELECT ed.dst, sum(p.pr // ed.deg) AS csum
                 FROM (SELECT e2.src, e2.dst, o.deg FROM edges e2
                       JOIN outdeg o USING (src)) ed
                 JOIN $prev p ON p.id = ed.src GROUP BY 1),
-       dg$i AS (SELECT coalesce(sum(p.pr), 0) // (SELECT n FROM nn)
+       dg$i AS MATERIALIZED (
+                SELECT coalesce(sum(p.pr), 0) // (SELECT n FROM nn)
                   AS dshare
                 FROM $prev p LEFT JOIN outdeg o ON p.id = o.src
                 WHERE o.src IS NULL),
-       pr$i AS (SELECT p0.id,
+       pr$i AS MATERIALIZED (SELECT p0.id,
                   (150000 + (17 * (coalesce(c.csum, 0) +
                     (SELECT dshare FROM dg$i))) // 20)::BIGINT AS pr
                 FROM pr0 p0 LEFT JOIN ct$i c ON p0.id = c.dst)"""
     }.mkString
+    // MATERIALIZED: each prᵢ is referenced by ctᵢ₊₁ AND dgᵢ₊₁, and
+    // edges by every ctᵢ — default CTE inlining re-evaluates the whole
+    // kNN/Lloyd chain 2^iters times (observed: DuckDB OOM at sf1);
+    // materialization pins every stage to one evaluation.
     knnGraphRankChain + s""",
-       edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rank <= 3),
-       outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       edges AS MATERIALIZED (
+         SELECT qid AS src, nid AS dst FROM r WHERE rank <= 3),
+       outdeg AS MATERIALIZED (
+         SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        nn AS (SELECT count(*) AS n FROM e),
-       pr0 AS (SELECT vec_id AS id, 1000000::BIGINT AS pr FROM e)""" +
+       pr0 AS MATERIALIZED (
+         SELECT vec_id AS id, 1000000::BIGINT AS pr FROM e)""" +
       steps + s"""
        SELECT rank::BIGINT AS rank, id AS vec_id, pr AS pr_micro FROM (
          SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rank
