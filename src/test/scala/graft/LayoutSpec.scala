@@ -481,6 +481,25 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(btrue == ztrue, "both methods see the same containment truth")
   }
 
+  test("bloomSkipping at saturation (tiny m): degrades to touch-everything, never false-negative") {
+    val s = spark; import s.implicits._
+    // m = 16 bits, 100 distinct keys per file: every bit set — the
+    // filter degrades to the zone map's touch-everything behavior but
+    // must NEVER miss a containing file (the property that makes a
+    // Bloom safe to deploy at any sizing)
+    val df = (0L until 400L).map(i => (i % 7, i)).toDF("fk", "key")
+    val got = Layout.bloomSkipping(df, "fk", "key", files = 4,
+        hexDigits = 1, kHash = 2, nProbes = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (bt, btrue, _) = got(("bloom", "present"))
+    assert(bt >= btrue, "saturated bloom must still touch every true file")
+    // saturated: absent probes are (nearly) all false positives
+    val (bat, _, bfp) = got(("bloom", "absent"))
+    assert(bat > 0 && bfp > 0.9,
+      s"16-bit bloom over 100 keys/file must saturate (touched=$bat fp=$bfp)")
+  }
+
   test("bloomSkipping plan: no cartesian product, bit joins broadcast the probe side") {
     val s = spark; import s.implicits._
     val df = (0L until 100L).map(i => (i % 5, i)).toDF("fk", "key")

@@ -642,6 +642,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.toSeq == Seq(2L, 1L), s"single-vector order: ${single.toSeq}")
   }
 
+  test("maxSimTopK: zero sub-vectors score 0 on that facet, never NaN") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),  // q = [u; v]
+      (1L, Seq(1f, 0f, 0f, 0f), 0),  // facet 2 is the zero vector
+      (2L, Seq(0f, 0f, 0f, 0f), 0))  // entirely zero
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimTopK(e, nQueries = 1, parts = 2,
+        subDim = 2, k = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: facet1 max(cos(u,u)=1, cos(u,0)→0)=1; facet2 all guarded 0
+    assert(got(1L) == 1.0, got.toString)
+    // doc 2: every cosine guarded to 0 — a defined, comparable score
+    assert(got(2L) == 0.0, got.toString)
+    assert(!got.values.exists(_.isNaN))
+  }
+
   test("ivfReassignDrift conserves membership and is deterministic") {
     val e = Tables.embeddings(spark, sf)
     val d1 = Similarity.ivfReassignDrift(e, numCells = 8, iters = 2,
