@@ -6320,10 +6320,10 @@ object SparkEntry {
     * CTEs stay visible for q172's exact re-rank tail).
     */
   private val ivfPqResidualRkChain: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    """WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                     FROM embeddings),
-         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
-         asn1 AS (
+         cent0 AS MATERIALIZED (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+         asn1 AS MATERIALIZED (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -6335,12 +6335,12 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM e CROSS JOIN cent0 c)
            WHERE rk = 1),
-         m1 AS (SELECT cell, i, round(avg(x), 6) AS m
+         m1 AS MATERIALIZED (SELECT cell, i, round(avg(x), 6) AS m
                 FROM (SELECT cell, unnest(v) AS x,
                         generate_subscripts(v, 1) - 1 AS i FROM asn1)
                 GROUP BY 1, 2),
-         cent1 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
-         asn2 AS (
+         cent1 AS MATERIALIZED (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+         asn2 AS MATERIALIZED (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -6352,12 +6352,12 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM e CROSS JOIN cent1 c)
            WHERE rk = 1),
-         m2 AS (SELECT cell, i, round(avg(x), 6) AS m
+         m2 AS MATERIALIZED (SELECT cell, i, round(avg(x), 6) AS m
                 FROM (SELECT cell, unnest(v) AS x,
                         generate_subscripts(v, 1) - 1 AS i FROM asn2)
                 GROUP BY 1, 2),
-         cent2 AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
-         members AS (
+         cent2 AS MATERIALIZED (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1),
+         members AS MATERIALIZED (
            SELECT vec_id, cell FROM (
              SELECT e.vec_id, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -6369,7 +6369,7 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM e CROSS JOIN cent2 c)
            WHERE rk = 1),
-         qprobes AS (
+         qprobes AS MATERIALIZED (
            SELECT vec_id AS qid, cell FROM (
              SELECT e.vec_id, c.cid AS cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -6382,20 +6382,20 @@ object SparkEntry {
              FROM e CROSS JOIN cent2 c
              WHERE e.vec_id < 3)
            WHERE rk <= 2),
-         resid AS (
+         resid AS MATERIALIZED (
            SELECT t.vec_id, t.cell, list(t.x - c.cv[t.i] ORDER BY t.i) AS r
            FROM (SELECT m.vec_id, m.cell, unnest(e.v) AS x,
                    generate_subscripts(e.v, 1) AS i
                  FROM members m JOIN e USING (vec_id)) t
            JOIN cent2 c ON c.cid = t.cell
            GROUP BY t.vec_id, t.cell),
-         sv AS (SELECT vec_id, sub,
+         sv AS MATERIALIZED (SELECT vec_id, sub,
                   list_slice(r, sub * (len(r) // 4) + 1,
                     (sub + 1) * (len(r) // 4)) AS s
                 FROM resid CROSS JOIN range(4) t(sub)),
-         pcent0 AS (SELECT sub, vec_id::BIGINT AS cid, s AS cv
+         pcent0 AS MATERIALIZED (SELECT sub, vec_id::BIGINT AS cid, s AS cv
                     FROM sv WHERE vec_id < 8),
-         pasn1 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+         pasn1 AS MATERIALIZED (SELECT vec_id, sub, s, cid AS cell FROM (
              SELECT sv.vec_id, sv.sub, sv.s, c.cid,
                row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
                  CASE WHEN list_inner_product(sv.s, sv.s) = 0
@@ -6406,13 +6406,13 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM sv JOIN pcent0 c ON c.sub = sv.sub)
            WHERE rk = 1),
-         pm1 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+         pm1 AS MATERIALIZED (SELECT sub, cell, i, round(avg(x), 6) AS m
                  FROM (SELECT sub, cell, unnest(s) AS x,
                          generate_subscripts(s, 1) - 1 AS i FROM pasn1)
                  GROUP BY 1, 2, 3),
-         pcent1 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+         pcent1 AS MATERIALIZED (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
                     FROM pm1 GROUP BY 1, 2),
-         pasn2 AS (SELECT vec_id, sub, s, cid AS cell FROM (
+         pasn2 AS MATERIALIZED (SELECT vec_id, sub, s, cid AS cell FROM (
              SELECT sv.vec_id, sv.sub, sv.s, c.cid,
                row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
                  CASE WHEN list_inner_product(sv.s, sv.s) = 0
@@ -6423,13 +6423,13 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM sv JOIN pcent1 c ON c.sub = sv.sub)
            WHERE rk = 1),
-         pm2 AS (SELECT sub, cell, i, round(avg(x), 6) AS m
+         pm2 AS MATERIALIZED (SELECT sub, cell, i, round(avg(x), 6) AS m
                  FROM (SELECT sub, cell, unnest(s) AS x,
                          generate_subscripts(s, 1) - 1 AS i FROM pasn2)
                  GROUP BY 1, 2, 3),
-         pcent2 AS (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
+         pcent2 AS MATERIALIZED (SELECT sub, cell AS cid, list(m ORDER BY i) AS cv
                     FROM pm2 GROUP BY 1, 2),
-         fin AS (SELECT vec_id, sub, cid AS code FROM (
+         fin AS MATERIALIZED (SELECT vec_id, sub, cid AS code FROM (
              SELECT sv.vec_id, sv.sub, c.cid,
                row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
                  CASE WHEN list_inner_product(sv.s, sv.s) = 0
@@ -6440,25 +6440,25 @@ object SparkEntry {
                  DESC, c.cid) AS rk
              FROM sv JOIN pcent2 c ON c.sub = sv.sub)
            WHERE rk = 1),
-         q AS (SELECT vec_id AS qid, v,
+         q AS MATERIALIZED (SELECT vec_id AS qid, v,
                  sqrt(list_inner_product(v, v)) AS qnrm
                FROM e WHERE vec_id < 3),
-         cr AS (SELECT c.cid AS cell, p.sub, p.cid AS code,
+         cr AS MATERIALIZED (SELECT c.cid AS cell, p.sub, p.cid AS code,
                   list_inner_product(list_slice(c.cv,
                     p.sub * (len(c.cv) // 4) + 1,
                     (p.sub + 1) * (len(c.cv) // 4)), p.cv) AS cr,
                   list_inner_product(p.cv, p.cv) AS rn2
                 FROM cent2 c CROSS JOIN pcent2 p),
-         cn AS (SELECT cid AS cell, list_inner_product(cv, cv) AS cn2 FROM cent2),
-         part AS (SELECT q.qid, q.qnrm, p.sub, p.cid AS code,
+         cn AS MATERIALIZED (SELECT cid AS cell, list_inner_product(cv, cv) AS cn2 FROM cent2),
+         part AS MATERIALIZED (SELECT q.qid, q.qnrm, p.sub, p.cid AS code,
                     list_inner_product(list_slice(q.v,
                       p.sub * (len(q.v) // 4) + 1,
                       (p.sub + 1) * (len(q.v) // 4)), p.cv) AS qpd
                   FROM q CROSS JOIN pcent2 p),
-         qc AS (SELECT q.qid, c.cid AS cell,
+         qc AS MATERIALIZED (SELECT q.qid, c.cid AS cell,
                   list_inner_product(q.v, c.cv) AS qc
                 FROM q CROSS JOIN cent2 c),
-         sc AS (SELECT p.qid, f.vec_id AS nid, min(p.qnrm) AS qnrm,
+         sc AS MATERIALIZED (SELECT p.qid, f.vec_id AS nid, min(p.qnrm) AS qnrm,
                   min(qc.qc) AS qc, min(cn.cn2) AS cn2,
                   list_reduce(list_concat([0.0],
                     list(p.qpd - cr.cr ORDER BY p.sub)), (a, b) -> a + b) AS rdot,
@@ -6473,12 +6473,12 @@ object SparkEntry {
                   JOIN cn ON cn.cell = mb.cell
                   JOIN qc ON qc.qid = p.qid AND qc.cell = mb.cell
                 GROUP BY 1, 2),
-         r AS (SELECT qid, nid,
+         r AS MATERIALIZED (SELECT qid, nid,
                  CASE WHEN qnrm > 0 AND (cn2 + rrec) > 0
                    THEN round((qc + rdot) / (qnrm * sqrt(cn2 + rrec)), 6) + 0.0
                    ELSE 0.0 END AS cos_adc
                FROM sc),
-         rk AS (SELECT qid, nid, cos_adc,
+         rk AS MATERIALIZED (SELECT qid, nid, cos_adc,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY cos_adc DESC, nid) AS rank
                 FROM r)"""
