@@ -472,9 +472,13 @@ object Similarity {
       .groupBy(col("cell0").as("cell")).agg(count(lit(1)).as("moved_out"))
     val in = moves.filter(col("cell0") =!= col("cell1"))
       .groupBy(col("cell1").as("cell")).agg(count(lit(1)).as("moved_in"))
-    broadcast(cells)
-      .join(n0, Seq("cell"), "left").join(n1, Seq("cell"), "left")
-      .join(out, Seq("cell"), "left").join(in, Seq("cell"), "left")
+    // hint the RIGHT sides (k-row aggregates): a broadcast hint on the
+    // left of a left-outer join is unsupported and Spark warns per join
+    cells
+      .join(broadcast(n0), Seq("cell"), "left")
+      .join(broadcast(n1), Seq("cell"), "left")
+      .join(broadcast(out), Seq("cell"), "left")
+      .join(broadcast(in), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
