@@ -1640,6 +1640,11 @@ object SparkEntry {
       val m = TextOps.bpeTrainMerges(docs, "text", 3).map(t => (t._2, t._3))
       TextOps.bpeFertilityByLang(docs, "text", "lang", m)
     }),
+    // Dedup — duplicate-landscape histogram: LSH cluster sizes in
+    // exact integer buckets (pair tail vs boilerplate head)
+    "q185_cluster_size_hist" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Tables.documents(s, dir), "doc_id",
+        "text")),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -1908,26 +1913,11 @@ object SparkEntry {
     // recursive CTE, labels every node with its min reachable id, and
     // left-joins the corpus so singletons label themselves.
     "q49_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         s AS (SELECT doc_id,
-                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
-                                for i in range(1, len(w)-1)]) AS sh
-               FROM t WHERE len(w) >= 3),
-         p AS (SELECT a.doc_id AS i, b.doc_id AS j
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
-         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
-         reach(u, v) AS (
-           SELECT u, v FROM e
-           UNION
-           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
-                 FROM reach GROUP BY u)
+      (dedupClustersChain + """
          SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
            count(*) OVER (PARTITION BY coalesce(l.cluster, d.doc_id)) AS n_members
          FROM documents d LEFT JOIN lab l USING (doc_id)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""),
     // Same transitive-closure shape as q49, over brute-force cosine
     // pairs at τ=0.4 (the pair set q22 proves the blocked join equals).
     "q54_embedding_dedup_clusters" ->
@@ -5777,6 +5767,25 @@ object SparkEntry {
     "q180_bloom_skipping" -> bloomSkippingSql,
     "q181_ivf_drift" -> ivfDriftSql,
     "q183_knn_pagerank" -> knnPageRankSql,
+    "q185_cluster_size_hist" ->
+      (dedupClustersChain + """
+         , percl AS (
+           SELECT coalesce(l.cluster, d.doc_id) AS cluster,
+             count(*)::BIGINT AS sz
+           FROM documents d LEFT JOIN lab l USING (doc_id) GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM documents),
+         b AS (SELECT
+             CASE WHEN sz = 1 THEN 0 WHEN sz = 2 THEN 1
+               WHEN sz <= 4 THEN 2 WHEN sz <= 8 THEN 3
+               WHEN sz <= 16 THEN 4 ELSE 5 END AS bucket_ord,
+             CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+               WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+               WHEN sz <= 16 THEN '9-16' ELSE '17+' END AS bucket,
+             sz FROM percl)
+         SELECT bucket_ord::BIGINT AS bucket_ord, bucket,
+           count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_docs,
+           round(sum(sz)::DOUBLE / (SELECT total FROM tot), 6) AS doc_frac
+         FROM b GROUP BY 1, 2 ORDER BY bucket_ord"""),
     "q184_bpe_fertility" ->
       (bpeEncodeChain + """
          SELECT d.lang, count(*)::BIGINT AS n_docs,
@@ -6191,6 +6200,28 @@ object SparkEntry {
                     THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
                     ELSE list_concat(acc, x) END) AS w
                 FROM a2, m3)"""
+
+  /** q49/q185 shared oracle text: minhash-LSH pairs closed under the
+    * bounded-iteration reachability CTE, through the `lab` cluster
+    * labels (q49 reads per-doc labels; q185 the size histogram).
+    */
+  private val dedupClustersChain: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)"""
 
   /** q78/q183 shared oracle text: the IVF kNN-graph replay through
     * the per-query ranking CTE `r` (q78 selects its edge list from it;

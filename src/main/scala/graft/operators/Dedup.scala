@@ -679,6 +679,40 @@ object Dedup {
     labelClusters(df.select(col(idCol).as("doc_id")), "doc_id", cc)
   }
 
+  /** Duplicate-landscape histogram: cluster sizes from
+    * [[nearDupClusters]] bucketed into exact INTEGER ranges (1, 2,
+    * 3–4, 5–8, 9–16, 17+) with cluster count, doc mass, and doc-mass
+    * fraction per bucket — the one-page readout a curation run reads
+    * to decide whether its duplication is a long tail of pairs
+    * (near-dup noise) or a head of giant boilerplate clusters
+    * (template/mirror infestation, a different fix). Integer CASE
+    * ranges, not floor(log2(sz)) — ln-ratio floats misbucket exact
+    * powers of two in either engine. One k-cluster aggregate over the
+    * cluster labels; output is 6-row bounded at any corpus size.
+    */
+  def clusterSizeHistogram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val per = nearDupClusters(df, idCol, textCol)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val tot = df.agg(count(lit(1)).as("total"))
+    val ord = when(col("sz") === 1, 0).when(col("sz") === 2, 1)
+      .when(col("sz") <= 4, 2).when(col("sz") <= 8, 3)
+      .when(col("sz") <= 16, 4).otherwise(5)
+    val label = when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+      .when(col("sz") <= 4, "3-4").when(col("sz") <= 8, "5-8")
+      .when(col("sz") <= 16, "9-16").otherwise("17+")
+    per.withColumn("bucket_ord", ord.cast("long"))
+      .withColumn("bucket", label)
+      .groupBy(col("bucket_ord"), col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_ord"), col("bucket"), col("n_clusters"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 6)
+          .as("doc_frac"))
+      .orderBy(col("bucket_ord"))
+  }
+
   /** Label every id with its connected-component representative and
     * component size: ids LEFT JOIN cc (nodes in no edge stay their own
     * singleton cluster), n_members via a cluster-partitioned window

@@ -676,6 +676,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "drift readout must be deterministic")
   }
 
+  test("clusterSizeHistogram: planted 6 singletons + 2 pairs + one 5-cluster, exact buckets") {
+    val s = spark; import s.implicits._
+    def words(seed: Int) =
+      (0 until 12).map(i => s"w${seed}x$i").mkString(" ")
+    val docs = (
+      (0 until 6).map(i => (i.toLong, words(100 + i))) ++      // singletons
+      Seq((10L, words(7)), (11L, words(7)),                    // pair A
+          (12L, words(8)), (13L, words(8))) ++                 // pair B
+      (20 until 25).map(i => (i.toLong, words(9)))             // 5-cluster
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusterSizeHistogram(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("1") == ((6L, 6L, 0.4)), got.toString)
+    assert(got("2") == ((2L, 4L, 0.266667)), got.toString)
+    assert(got("5-8") == ((1L, 5L, 0.333333)), got.toString)
+    assert(got.size == 3)
+  }
+
   test("knnPageRank equals a driver-side integer replay of the recurrence") {
     // Independent of the DuckDB oracle: collect the (small, test-scale)
     // kNN edge list and fold the exact micro-integer recurrence on the
