@@ -2,10 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints the headline JSON line (totals leading, the
-  * long per-query dict last) plus a compact `"metric":"summary"` line:
+  * long per-query dict last) plus a compact `"metric":"summary"` line
+  * BOTH before and after it:
+  *   {"metric":"summary","total":N,"shared34":S,...}
   *   {"metric":"total","value":N,"shared34":S,...,"queries":{...}}
   *   {"metric":"summary","total":N,"shared34":S,...}
-  * so the headline numbers survive tail-truncated log capture.
+  * so the headline numbers survive HEAD- or TAIL-truncated log capture
+  * (the r12/r13 artifacts each lost one end; a "metric":"total" parser
+  * ignores the summary lines either way).
   *
   * Methodology (recorded in BASELINE.md): each query is executed
   * SPARK_GRAFT_REPEAT times (default 3) in-session and the reported
@@ -77,12 +81,15 @@ object Bench {
           k.slice(1, 3).toInt <= 34 && k(3) == '_'
       }.map(_._2).sum
     val nFailed = results.count(_._2 < 0)
-    // totals lead the main line AND repeat on a compact trailing line
-    // ("metric":"summary", so a "metric":"total" parser ignores it) —
-    // the round-12 artifact's tail capture truncated the 170-key line
-    // and lost the headline numbers; now they survive either way
+    // totals lead the main line AND repeat on compact summary lines at
+    // BOTH ends ("metric":"summary", so a "metric":"total" parser
+    // ignores them) — the round-12 artifact's tail capture truncated
+    // the 170-key line and lost the headline numbers; the machine-
+    // readable totals now survive head- or tail-truncation
+    val summary = s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

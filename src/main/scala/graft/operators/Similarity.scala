@@ -366,6 +366,12 @@ object Similarity {
     * break toward the LOWER cid — the order every DuckDB oracle's
     * `ORDER BY cos DESC, cid` mirror encodes — via a negated-cid sort
     * field.
+    *
+    * Plan-size caveat: the literal embeds k×d doubles as EXPRESSIONS
+    * the analyzer walks on every plan that references the assignment —
+    * right for the tested index sizes (nlist ≤ 10³), wrong for a
+    * production 10⁴–10⁵-cell index. [[assignCellsRelation]] is the
+    * scale form: identical output, index rides a broadcast relation.
     */
   def assignCells(
       v: DataFrame, centroids: Seq[(Long, Seq[Double])], probes: Int): DataFrame = {
@@ -393,6 +399,102 @@ object Similarity {
       .select(col("vec_id"), col("v"), posexplode(col("_top")).as(Seq("_p", "_c")))
       .select(col("vec_id"), col("v"), col("_c.cid").as("cell"),
         col("_c.sim").as("sim"), (col("_p") + 1).as("probe"))
+  }
+
+  /** A trained centroid set materialized as a RELATION — (cid, cv,
+    * cnrm, cn2) rows, one per centroid — instead of plan literals.
+    * cnrm/cn2 are the driver-side left folds every literal path embeds
+    * (`math.sqrt(Σx²)` / `Σx²`), precomputed here so the relation join
+    * reproduces the literal arithmetic bit-for-bit. In production the
+    * same schema is simply READ from the index's parquet — every
+    * relation-variant search op accepts any DataFrame with these
+    * columns, so a 65k-cell index never transits the driver at all.
+    */
+  def centroidRelation(spark: org.apache.spark.sql.SparkSession,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cent.map { case (cid, cv) =>
+      val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      (cid, cv, math.sqrt(cn2), cn2)
+    }.toDF("cid", "cv", "cnrm", "cn2")
+  }
+
+  /** [[pqCodebooks]]' output as a RELATION — (sub, start, code, cv,
+    * cnrm, cn2) rows, `start` the 1-based slice offset of the
+    * subspace — the same precomputed-fold discipline as
+    * [[centroidRelation]] (and the same production note: read this
+    * schema from the index store at scale).
+    */
+  def codebookRelation(spark: org.apache.spark.sql.SparkSession,
+      w: Int, books: Seq[(Int, Seq[(Long, Seq[Double])])]): DataFrame = {
+    import spark.implicits._
+    books.flatMap { case (sub, cent) =>
+      cent.map { case (code, cv) =>
+        val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        (sub, sub * w + 1, code, cv, math.sqrt(cn2), cn2)
+      }
+    }.toDF("sub", "start", "code", "cv", "cnrm", "cn2")
+  }
+
+  /** [[assignCells]] with the index as a BROADCAST RELATION — the
+    * 100×-readiness form: output is IDENTICAL (same cosine arithmetic,
+    * same zero-norm pin, same (sim desc, cid asc) tie order — enforced
+    * by the literal≡relation equality spec), but the centroid set
+    * rides a broadcast DataFrame joined onto the scan instead of k×d
+    * literal expressions the analyzer re-walks per plan. Shape: one
+    * broadcast nested-loop join (k rows per vector) folded by a
+    * map-side-partial argmax aggregation — all of a vector's k
+    * candidate rows are colocated by construction, so the partial
+    * aggregate collapses them before the (vec_id)-keyed exchange and
+    * the shuffle carries ONE narrow row per vector. probes > 1 keeps
+    * the same shape with a sorted-slice aggregate; it is meant for the
+    * QUERY side (query-bounded), corpus membership always uses
+    * probes = 1.
+    *
+    * `centroids` must have [[centroidRelation]]'s (cid, cv, cnrm)
+    * columns. An EMPTY relation yields an empty result (the literal
+    * path throws instead — a relation's cardinality isn't knowable
+    * without an action, and a scale caller validates its index store,
+    * not each query plan).
+    */
+  def assignCellsRelation(v: DataFrame, centroids: DataFrame,
+      probes: Int): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("cv"), col("cnrm")))
+    // the literal path's exact guard tree: zero-norm centroid OR vector
+    // pins the cosine to 0.0 (NaN sort order is engine-dependent)
+    val sim = when(col("cnrm") === 0.0, lit(0.0))
+      .otherwise(when(col("_vnrm") > 0,
+        dot_product(col("v"), col("cv")) / (col("_vnrm") * col("cnrm")))
+        .otherwise(lit(0.0)))
+    val scored = v.withColumn("_vnrm", l2norm(col("v")))
+      .crossJoin(c)
+      .select(col("vec_id"), col("v"), col("cid"), sim.as("_sim"))
+    if (probes == 1) {
+      // argmax by (sim desc, cid asc) via max_by on a (sim, -cid)
+      // ordering struct — unique because cid is unique, so the partial
+      // merge is deterministic
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("cid"), col("_sim")),
+          struct(col("_sim"), (-col("cid")).as("nc"))).as("_w"))
+        .select(col("vec_id"), col("_w.v").as("v"), col("_w.cid").as("cell"),
+          col("_w._sim").as("sim"), lit(0).cast("int").as("_p"))
+        .select(col("vec_id"), col("v"), col("cell"), col("sim"),
+          (col("_p") + 1).as("probe"))
+    } else {
+      // the literal path's sort_array(desc)+slice over (sim, -cid, cid)
+      // structs, fed by collect_list (order-free: the sort key is
+      // unique). `first(v)` is deterministic here — every row of the
+      // group carries the SAME vector.
+      scored.groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          slice(sort_array(collect_list(struct(col("_sim").as("sim"),
+            (-col("cid")).as("nc"), col("cid").as("cid"))), asc = false),
+            1, probes).as("_top"))
+        .select(col("vec_id"), col("v"),
+          posexplode(col("_top")).as(Seq("_p", "_c")))
+        .select(col("vec_id"), col("v"), col("_c.cid").as("cell"),
+          col("_c.sim").as("sim"), (col("_p") + 1).as("probe"))
+    }
   }
 
   /** Corpus-clustering readout over the embedding column: the k-means
@@ -675,41 +777,62 @@ object Similarity {
     * Scale shape: edges = the L43 kNN graph (cell-partitioned
     * equi-join); each iteration is one (src)-keyed broadcast-free
     * equi-join + a (dst)-keyed narrow aggregation — the sparse matvec.
-    * Iteration frames are cached (N-row, two longs) so the unrolled
-    * lineage doesn't re-execute the graph build per reference.
+    * Iteration frames are persisted and EAGERLY materialized (N-row,
+    * two longs) so the unrolled lineage doesn't re-execute the graph
+    * build per reference, then released as soon as the next iteration
+    * lands — the connectedComponents tracked-persist discipline, so a
+    * long-lived session (Bench runs each query 3×) accumulates zero
+    * cached blocks across invocations. The final top list (≤ `top`
+    * rows — driver-bounded by contract; exemplar selection asks for
+    * tens, never a corpus) is collected so every persisted frame can
+    * be dropped before return; the returned frame is a local relation
+    * with no cache dependency (the shared-session contract).
     */
   def knnPageRank(vectors: DataFrame, k: Int, numCells: Int, iters: Int,
       probes: Int, prIters: Int, top: Int): DataFrame = {
     require(prIters >= 1 && top >= 1, s"bad config ($prIters, $top)")
-    val edges = ivfKnnGraph(vectors, k, numCells, iters, probes)
-      .select(col("qid").as("src"), col("nid").as("dst"))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(outdeg, "src").cache()
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val nodes = vectors.select(col("vec_id").as("id"))
     val nFrame = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.withColumn("pr", lit(1000000L)).cache()
-    for (_ <- 1 to prIters) {
-      val contrib = edgesD.join(pr, edgesD("src") === pr("id"))
-        .select(col("dst"), expr("pr div deg").as("ct"))
-        .groupBy(col("dst")).agg(sum(col("ct")).as("csum"))
-      val dang = pr.join(outdeg, pr("id") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-        .crossJoin(broadcast(nFrame))
-        .select(expr("dsum div n").as("dshare"))
-      pr = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"),
-          (lit(150000L) + expr(
-            "(17 * (coalesce(csum, 0) + dshare)) div 20")).as("pr"))
-        .cache()
-    }
-    val ranked = pr.orderBy(col("pr").desc, col("id").asc).limit(top)
-    ranked
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("pr").desc, col("id").asc)))
-      .select(col("rank").cast("long").as("rank"),
-        col("id").as("vec_id"), col("pr").as("pr_micro"))
+    // every persist is tracked so the finally releases ALL of them even
+    // when an action throws mid-iteration (the connectedComponents
+    // error-path rule: nothing may leak into the shared session)
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val out = try {
+      val edges = ivfKnnGraph(vectors, k, numCells, iters, probes)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(outdeg, "src").persist(); live += edgesD
+      var pr = nodes.withColumn("pr", lit(1000000L)).persist(); live += pr
+      for (_ <- 1 to prIters) {
+        val contrib = edgesD.join(pr, edgesD("src") === pr("id"))
+          .select(col("dst"), expr("pr div deg").as("ct"))
+          .groupBy(col("dst")).agg(sum(col("ct")).as("csum"))
+        val dang = pr.join(outdeg, pr("id") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
+          .crossJoin(broadcast(nFrame))
+          .select(expr("dsum div n").as("dshare"))
+        val next = nodes
+          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("id"),
+            (lit(150000L) + expr(
+              "(17 * (coalesce(csum, 0) + dshare)) div 20")).as("pr"))
+          .persist()
+        live += next
+        next.count() // materialize next BEFORE dropping the previous
+        pr.unpersist(); live -= pr
+        pr = next
+      }
+      // top-bounded collect (rank, id, pr) — the q183 DriverBoundsSpec
+      // ceiling; collecting here is what lets the last iteration frame
+      // be unpersisted instead of riding the returned plan
+      pr.orderBy(col("pr").desc, col("id").asc).limit(top)
+        .as[(Long, Long)].collect()
+    } finally live.foreach(_.unpersist())
+    out.zipWithIndex.map { case ((id, p), i) => (i + 1L, id, p) }
+      .toSeq.toDF("rank", "vec_id", "pr_micro")
       .orderBy(col("rank"))
   }
 
@@ -1300,11 +1423,23 @@ object Similarity {
     * independent; the big side carries (vec_id, cell, sub, code) ints
     * only, the join is map-side on (cell, sub, code), and the fold /
     * rounded-argmax discipline is pqAdcTopK's verbatim.
+    *
+    * `indexAsRelation = true` switches every index term (centroids,
+    * codebooks, distance-table constants) from plan literals to
+    * broadcast relations ([[centroidRelation]]/[[codebookRelation]]
+    * joined on (cell)/(sub, code)) — identical output (spec-enforced),
+    * O(1) plan size, the form a production-sized index (nlist 10⁴–10⁵,
+    * k* = 256) requires. The literal default stays right for
+    * driver-tested index sizes, where it keeps assignment map-only.
     */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, cellIters: Int, probes: Int,
-      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+      numSub: Int, codebookK: Int, pqIters: Int,
+      indexAsRelation: Boolean = false): DataFrame = {
     require(k > 0 && probes > 0, s"bad search config: k=$k probes=$probes")
+    if (indexAsRelation)
+      return ivfPqTopKRelationPath(vectors, queries, k, numCells, cellIters,
+        probes, numSub, codebookK, pqIters)
     val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val memberCells = assignCells(v, coarse, probes = 1)
@@ -1357,6 +1492,99 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Explode (id, v) into one row per PQ subspace slice, norm attached
+    * — the shared front of every relation-path encode/table build. The
+    * unrolled array is numSub entries (config-sized, not index-sized).
+    */
+  private def subSliced(df: DataFrame, numSub: Int, w: Int): DataFrame =
+    df.select(col("vec_id"), explode(array((0 until numSub).map(sub =>
+        struct(lit(sub).as("sub"), slice(col("v"), sub * w + 1, w).as("sv"))
+      ): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("_svnrm", l2norm(col("sv")))
+
+  /** Per-subspace nearest-codeword encode against a broadcast codebook
+    * relation: equi-join on `sub` (broadcast hash, not nested-loop),
+    * then the [[assignCellsRelation]] argmax per (vec_id, sub). Emits
+    * (vec_id, sub, code) — [[pqCodes]]' exact rows.
+    */
+  private def encodeViaRelation(vSub: DataFrame, bookRel: DataFrame): DataFrame = {
+    val sim = when(col("cnrm") === 0.0, lit(0.0))
+      .otherwise(when(col("_svnrm") > 0,
+        dot_product(col("sv"), col("cv")) / (col("_svnrm") * col("cnrm")))
+        .otherwise(lit(0.0)))
+    vSub.join(broadcast(bookRel.select(col("sub"), col("code"), col("cv"),
+        col("cnrm"))), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), sim.as("_sim"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("code"),
+        struct(col("_sim"), (-col("code")).as("nc"))).as("code"))
+  }
+
+  /** [[ivfPqTopK]]'s index-as-relation path: plan shape and output are
+    * the literal path's verbatim — the ONLY change is where the index
+    * lives. Coarse centroids ride [[centroidRelation]] (argmax via one
+    * broadcast join + map-side-partial aggregate per assignment),
+    * codebooks ride [[codebookRelation]] (encode = broadcast hash join
+    * on `sub` + per-(vec, sub) argmax; distance tables = the same join
+    * on the query side), and the scoring join / sub-ordered fold /
+    * rounded argmax are unchanged. Nothing index-sized appears as an
+    * expression; every index term is a broadcast relation joined on
+    * (cell) or (sub, code).
+    */
+  private def ivfPqTopKRelationPath(vectors: DataFrame, queries: DataFrame,
+      k: Int, numCells: Int, cellIters: Int, probes: Int,
+      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val centRel = centroidRelation(spark, coarse)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val memberCells = assignCellsRelation(v, centRel, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    val qv = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probeCells = assignCellsRelation(qv, centRel, probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val (w, books) = pqCodebooks(vectors, numSub, codebookK, pqIters)
+    val bookRel = codebookRelation(spark, w, books)
+    val codes = encodeViaRelation(subSliced(v, numSub, w), bookRel)
+      .join(memberCells, "vec_id")
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    // distance tables: the same sub-sliced broadcast join, one row per
+    // (query, sub, code) with pd = q_sub·c and cn2 the codeword's
+    // stored fold — the literal tableEntries' exact arithmetic
+    val qSub = subSliced(
+      q.select(col("qid").as("vec_id"), col("qv").as("v")), numSub, w)
+    val tables = qSub
+      .join(broadcast(bookRel.select(col("sub"), col("code"), col("cv"),
+        col("cn2"))), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        dot_product(col("sv"), col("cv")).as("pd"), col("cn2"))
+      .join(q.select(col("qid"), col("qnrm")), "qid")
+      .join(probeCells, "qid")
+    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(min(col("qnrm")).as("qnrm"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")), lit(0.0), (a, x) => a + x).as("adot"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("cn2")))),
+          s => s.getField("cn2")), lit(0.0), (a, x) => a + x).as("rec2"))
+      .withColumn("cos_adc",
+        when(col("qnrm") > 0 && col("rec2") > 0,
+          round(col("adot") / (col("qnrm") * sqrt(col("rec2"))), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-PQ with RESIDUAL encoding — the production refinement
     * [[ivfPqTopK]]'s scaladoc names (Jégou et al. 2011 §V.A: encode
     * r = x − c(x), the vector's offset from its coarse centroid,
@@ -1382,11 +1610,24 @@ object Similarity {
     * is a map-side `zip_with` against `element_at` of the literal
     * centroid map — no join, no shuffle, exact IEEE subtraction both
     * engines.
+    *
+    * `indexAsRelation = true` moves EVERY index term — centroids,
+    * residual codebooks, and all three ADC constant maps (cr, rn2,
+    * cn2) — into broadcast relations joined on (cell)/(sub, code)/
+    * (cell, sub, code); the cr terms are even COMPUTED distributively
+    * (centroid relation × codebook relation, one codegen'd dot each)
+    * instead of folded on the driver. Identical output
+    * (spec-enforced); the form a numCells·numSub·codebookK-entry
+    * constant table requires at production index sizes.
     */
   def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, cellIters: Int, probes: Int,
-      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+      numSub: Int, codebookK: Int, pqIters: Int,
+      indexAsRelation: Boolean = false): DataFrame = {
     require(k > 0 && probes > 0, s"bad search config: k=$k probes=$probes")
+    if (indexAsRelation)
+      return ivfPqResidualTopKRelationPath(vectors, queries, k, numCells,
+        cellIters, probes, numSub, codebookK, pqIters)
     val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
     val centMap = typedLit(coarse.toMap)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1461,6 +1702,105 @@ object Similarity {
           .as("rc2"),
         dot_product(col("qv"), element_at(centMap, col("cell"))).as("qc"),
         element_at(cn2Map, col("cell")).as("cn2"))
+    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(min(col("qnrm")).as("qnrm"),
+        min(col("qc")).as("qc"), min(col("cn2")).as("cn2"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")), lit(0.0), (a, x) => a + x).as("rdot"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("sub"), col("rc2")))),
+          s => s.getField("rc2")), lit(0.0), (a, x) => a + x).as("rrec"))
+      .withColumn("adot", col("qc") + col("rdot"))
+      .withColumn("rec2", col("cn2") + col("rrec"))
+      .withColumn("cos_adc",
+        when(col("qnrm") > 0 && col("rec2") > 0,
+          round(col("adot") / (col("qnrm") * sqrt(col("rec2"))), 6))
+          .otherwise(lit(0.0)))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_adc").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_adc"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[ivfPqResidualTopK]]'s index-as-relation path. Same algebra
+    * (q·x̂ = q·c + Σ q_sub·r̂ − c_sub·r̂; ‖x̂‖² = ‖c‖² + Σ 2·c_sub·r̂ +
+    * ‖r̂‖²), but the crMap/rn2Map/cn2Map literals become relations:
+    * rn2/cn2 are the stored folds of [[codebookRelation]]/
+    * [[centroidRelation]], and cr(cell, sub, code) = c_sub·r̂ is
+    * DERIVED by a distributed cross of the two small relations — the
+    * codegen'd dot over the centroid slice runs the identical
+    * left-to-right accumulation the driver fold ran, so the constants
+    * are bit-equal (spec-enforced). Residuals come from one broadcast
+    * join on `cell` instead of `element_at` of a literal map; the
+    * scoring join and fold/argmax discipline are unchanged.
+    */
+  private def ivfPqResidualTopKRelationPath(vectors: DataFrame,
+      queries: DataFrame, k: Int, numCells: Int, cellIters: Int, probes: Int,
+      numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val centRel = centroidRelation(spark, coarse)
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val asn = assignCellsRelation(v, centRel, probes = 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    // residuals r = v − c(cell): one broadcast join on cell, the same
+    // elementwise IEEE subtraction as the literal map lookup
+    val resid = asn
+      .join(broadcast(centRel.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    val (w, books) = pqCodebooks(
+      resid.select(col("vec_id"), col("r").as("embedding")),
+      numSub, codebookK, pqIters)
+    val bookRel = codebookRelation(spark, w, books)
+    val memberCells = asn.select(col("vec_id"), col("cell"))
+    val codes = encodeViaRelation(
+      subSliced(resid.select(col("vec_id"), col("r").as("v")), numSub, w),
+      bookRel)
+      .join(memberCells, "vec_id")
+    val qv0 = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val probeCells = assignCellsRelation(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      centRel, probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // cr(cell, sub, code) = c_sub·r̂ — computed WHERE the data is:
+    // centroid relation × codebook relation (index-sized output, both
+    // inputs broadcastable), one codegen'd dot per row
+    val crRel = centRel.select(col("cid").as("cell"), col("cv"), col("cn2"))
+      .crossJoin(broadcast(bookRel.select(col("sub"), col("start"),
+        col("code"), col("cv").as("rv"), col("cn2").as("rn2"))))
+      .select(col("cell"), col("sub"), col("code"),
+        dot_product(slice(col("cv"), col("start"), lit(w)), col("rv"))
+          .as("cr"),
+        col("rn2"), col("cn2"))
+    // per-query (sub, code) partial dots q_sub·r̂ — cell-independent
+    val qSub = subSliced(
+      qv0.select(col("qid").as("vec_id"), col("qv").as("v")), numSub, w)
+    val qpd = qSub
+      .join(broadcast(bookRel.select(col("sub"), col("code"),
+        col("cv").as("rv"))), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        dot_product(col("sv"), col("rv")).as("qpd"))
+    val tables = qpd
+      .join(qv0.select(col("qid"), col("qnrm"), col("qv")), "qid")
+      .join(probeCells, "qid")
+      .join(broadcast(crRel), Seq("cell", "sub", "code"))
+      .join(broadcast(centRel.select(col("cid").as("cell"),
+        col("cv").as("ccv"))), "cell")
+      .select(col("qid"), col("qnrm"), col("cell"), col("sub"), col("code"),
+        // pd = (q − c)_sub · r̂ = q_sub·r̂ − c_sub·r̂
+        (col("qpd") - col("cr")).as("pd"),
+        // rc2 = 2·c_sub·r̂ + ‖r̂_sub‖², the per-sub ‖x̂‖² increment
+        (lit(2.0) * col("cr") + col("rn2")).as("rc2"),
+        dot_product(col("qv"), col("ccv")).as("qc"),
+        col("cn2"))
     val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))

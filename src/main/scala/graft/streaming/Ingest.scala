@@ -532,10 +532,23 @@ object Ingest {
     * running-sum bin of Layout.compactionPlan. Emits one assignment
     * row per file; a downstream aggregate (or the compaction executor
     * itself) folds assignments into (partition, group) work items.
+    *
+    * The batch≡stream equivalence holds only when files arrive in
+    * global seq order per partition (the manifest-append contract: seq
+    * is assigned at commit time, so a commit log replays in order). A
+    * file whose seq is ≤ the highest seq already binned CANNOT be
+    * given its batch group — the running sum has moved past it — so it
+    * is emitted with `grp = -1` (the explicit out-of-order marker, not
+    * silently binned by arrival order) and its bytes are EXCLUDED from
+    * the running sum, keeping every in-order file's assignment
+    * identical to Layout.compactionPlan's. A downstream consumer
+    * routes grp = -1 rows to a manifest repair/replan, the same way a
+    * late-data row past the watermark is surfaced rather than
+    * misfiled.
     */
   case class FileMeta(part: String, seq: Long, bytes: Long)
   case class FileAssign(part: String, seq: Long, bytes: Long, grp: Long)
-  case class PackState(cumBytes: Long)
+  case class PackState(cumBytes: Long, lastSeq: Long)
 
   def compactionPlanStream(files: Dataset[FileMeta], targetBytes: Long)(
       implicit spark: SparkSession): Dataset[FileAssign] = {
@@ -546,15 +559,21 @@ object Ingest {
       .flatMapGroupsWithState[PackState, FileAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (part: String, rows: Iterator[FileMeta], state: GroupState[PackState]) =>
-          var cum = state.getOption.map(_.cumBytes).getOrElse(0L)
+          var st = state.getOption.getOrElse(PackState(0L, Long.MinValue))
           // bounded by (micro-batch × key) under a trigger limit — see
           // the interpolateEnergy note above
           val out = rows.toSeq.sortBy(_.seq).map { f =>
-            val grp = cum / targetBytes
-            cum += f.bytes
-            FileAssign(part, f.seq, f.bytes, grp)
+            if (f.seq <= st.lastSeq) {
+              // out-of-order arrival: the batch bin is unrecoverable —
+              // flag it (grp = -1) and leave the running sum untouched
+              FileAssign(part, f.seq, f.bytes, -1L)
+            } else {
+              val grp = st.cumBytes / targetBytes
+              st = PackState(st.cumBytes + f.bytes, f.seq)
+              FileAssign(part, f.seq, f.bytes, grp)
+            }
           }
-          state.update(PackState(cum))
+          state.update(st)
           out.iterator
       }
   }

@@ -327,6 +327,34 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("compactionPlanStream flags out-of-seq-order arrivals with grp = -1") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    val mem = MemoryStream[Ingest.FileMeta]
+    val q = Ingest.compactionPlanStream(mem.toDS(), 1000L)
+      .writeStream.format("memory").queryName("compact_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1 bins seq 0 and 2; seq 1 then arrives LATE in batch 2 —
+      // its batch-planner bin is unrecoverable, so it must be flagged,
+      // and the in-order successor (seq 3) must bin as if the late
+      // file never existed (running sum excludes flagged bytes)
+      mem.addData(Ingest.FileMeta("a", 0L, 700L), Ingest.FileMeta("a", 2L, 600L))
+      q.processAllAvailable()
+      mem.addData(Ingest.FileMeta("a", 1L, 100L), Ingest.FileMeta("a", 3L, 900L))
+      q.processAllAvailable()
+      val got = spark.table("compact_ooo")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+      assert(got(0L) == 0L && got(2L) == 0L, s"in-order bins changed: $got")
+      assert(got(1L) == -1L, s"late seq 1 not flagged: $got")
+      // cum after seq 0,2 = 1300 -> seq 3 bins at grp 1, late bytes excluded
+      assert(got(3L) == 1L, s"successor bin shifted by late bytes: $got")
+    } finally q.stop()
+  }
+
   test("zoneStatsStream: incremental per-file stats equal the batch aggregate") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

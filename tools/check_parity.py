@@ -88,8 +88,24 @@ def main(sf_dir, out_dir):
             continue
         t0 = time.monotonic()
         timer = None
+        # The timer only interrupts while `done` is unset, and `done`
+        # is set BEFORE timer.cancel() in the finally — otherwise a
+        # timer firing in the race window between query completion and
+        # cancel() leaves a pending interrupt that poisons the NEXT
+        # query with an immediate InterruptException. `fired` records
+        # that the callback ran at all so a just-lost race (callback
+        # passed the done check as the query finished) is drained
+        # defensively below.
+        done = threading.Event()
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            if not done.is_set():
+                con.interrupt()
+
         if timeout > 0:
-            timer = threading.Timer(timeout, con.interrupt)
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
@@ -110,8 +126,17 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         finally:
+            done.set()
             if timer is not None:
                 timer.cancel()
+                if fired.is_set():
+                    # the callback ran: any interrupt it issued that the
+                    # finished query never consumed would hit the next
+                    # execute() — drain it on a throwaway statement
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except duckdb.InterruptException:
+                        pass
         dur = f" [{time.monotonic() - t0:.1f}s]"
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
