@@ -1645,6 +1645,24 @@ object SparkEntry {
     "q185_cluster_size_hist" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(Tables.documents(s, dir), "doc_id",
         "text")),
+    // Similarity — q121's exact search with the index as BROADCAST
+    // RELATIONS instead of plan literals (the production-index form);
+    // output is literal-identical, so it shares q121's oracle verbatim
+    "q187_ivfpq_relation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCells = 8, cellIters = 2, probes = 2,
+        numSub = 4, codebookK = 8, pqIters = 2, indexAsRelation = true)
+    }),
+    // Similarity — q171's residual search, index-as-relation form
+    // (cr/rn2/cn2 constants derived distributively); shares q171's
+    // oracle verbatim
+    "q188_residual_relation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCells = 8, cellIters = 2, probes = 2,
+        numSub = 4, codebookK = 8, pqIters = 2, indexAsRelation = true)
+    }),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -1663,8 +1681,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    * The index-as-relation twins (q187/q188) produce output IDENTICAL
+    * to their plan-literal siblings (spec-enforced), so they share the
+    * sibling oracle text verbatim — appended after the base map.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q187_ivfpq_relation" -> oracleSqlBase("q121_ivfpq_topk"),
+    "q188_residual_relation" -> oracleSqlBase("q171_ivfpq_residual"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_hourly_avg" ->
       """SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
          round(avg(value), 6) AS avg_value

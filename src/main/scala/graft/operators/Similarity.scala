@@ -1429,8 +1429,13 @@ object Similarity {
     * broadcast relations ([[centroidRelation]]/[[codebookRelation]]
     * joined on (cell)/(sub, code)) — identical output (spec-enforced),
     * O(1) plan size, the form a production-sized index (nlist 10⁴–10⁵,
-    * k* = 256) requires. The literal default stays right for
-    * driver-tested index sizes, where it keeps assignment map-only.
+    * k* = 256) requires. Measured (BASELINE.md round-14 crossover
+    * table): the relation path is FASTER at every tested geometry
+    * (1.3–1.9× at nlist 8→128, both SFs — literal analysis/codegen
+    * cost grows with the index, the relation path stays flat), so
+    * there is no crossover in the literal's favor; the literal stays
+    * the default only as the established benchmark anchor (q121) and
+    * for single-scan map-only assignment when an index is tiny.
     */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, cellIters: Int, probes: Int,

@@ -118,7 +118,12 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q172_refine_rerank", 4096L, "q171's index folds; refine adds none"),
     ("q181_ivf_drift", 4096L, "k centroids × (Lloyd iters + 1 refresh)"),
     ("q183_knn_pagerank", 4096L, "k centroids × Lloyd iterations"),
-    ("q184_bpe_fertility", 64L, "1-row argmax per merge"))
+    ("q184_bpe_fertility", 64L, "1-row argmax per merge"),
+    // relation-path twins: index TRAINING still folds k×d centroids on
+    // the driver (the documented kmeansCentroidSeq bound); the SEARCH
+    // plan itself adds no collect (index rides broadcast relations)
+    ("q187_ivfpq_relation", 4096L, "centroids + sub-codebooks"),
+    ("q188_residual_relation", 4096L, "centroids + residual sub-codebooks"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;
