@@ -58,10 +58,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — tumbling 1 h average per series (Program.cs:71-75)
     "q01_hourly_avg" -> ((s, dir) => {
+      // order-pinned numerator (sorted-value fold, the q111/q119
+      // discipline): a partition-order avg() drifted one bucket by a
+      // half-ulp at sf1; group sizes are bucket-bounded (≤ events per
+      // (series, hour) — 51 at sf0.1), so the list fold is O(bucket)
       Tables.events(s, dir)
         .groupBy(col("event_type").as("series"),
           date_trunc("hour", col("ts")).as("bucket"))
-        .agg(round(avg(col("value")), 6).as("avg_value"))
+        .agg(round(
+          aggregate(array_sort(collect_list(col("value"))), lit(0.0),
+            (a, x) => a + x) / count(lit(1)), 6).as("avg_value"))
         .orderBy(col("series"), col("bucket"))
     }),
     // A2 — tumbling 1 min average, single series (ZeroExport.cs:86-104)
@@ -552,7 +558,12 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("max_events"),
-          round(avg(col("duration_us")) / 1e6, 6).as("avg_duration_s"))
+          // order-pinned: durations are exact longs, so the EXACT
+          // integer sum (order-free) replaces the double-summing avg()
+          // that drifted a half-ulp at sf1; the two divisions mirror
+          // the oracle's parenthesization
+          round((sum(col("duration_us")).cast("double") / count(lit(1)))
+            / lit(1e6), 6).as("avg_duration_s"))
         .orderBy(col("user_id"))
     }),
     // Curation verdict — the filter-first readout of the training-data
@@ -599,9 +610,17 @@ object SparkEntry {
     // (completes the q58 ROLLUP pair; grouping_id disambiguates a real
     // NULL key from a subtotal row)
     "q65_cube" -> ((s, dir) => {
+      // order-pinned revenue: the grand-total CUBE cell sums the WHOLE
+      // table, so a sorted-list fold would collect corpus-sized state —
+      // instead each product is cast to DECIMAL(30,6) (deterministic
+      // per-row rounding, identical in both engines) and the decimal
+      // sum is EXACT integer arithmetic, order-free at any group size.
+      // 13-significant-digit money sums are exactly the case TPC-H
+      // specifies decimals for; a half-ulp drifted one cent at sf1.
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,6)")), 2).cast("double")
           .as("revenue"), count(lit(1)).as("n"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
@@ -1663,6 +1682,24 @@ object SparkEntry {
         numCells = 8, cellIters = 2, probes = 2,
         numSub = 4, codebookK = 8, pqIters = 2, indexAsRelation = true)
     }),
+    // Dedup — the q19 banded chain at REDUCED width with portable md5
+    // signatures (round-14 item 2): the oracle replays the whole chain
+    // — signature minima, banding, hot-bucket cap, candidate join,
+    // verify — candidate-bounded, so the minhash family is verifiable
+    // at sf1 where the brute-force oracle times out
+    "q189_minhash16_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPortable(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+    // Dedup — q49's cluster machinery over the portable reduced-width
+    // pair chain (CC closure + labels, sf1-replayable oracle)
+    "q190_minhash16_clusters" -> ((s, dir) => {
+      Dedup.nearDupClustersPortable(Tables.documents(s, dir), "doc_id",
+        "text")
+        .select(col("doc_id"), col("cluster"), col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -1687,12 +1724,45 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q187_ivfpq_relation" -> oracleSqlBase("q121_ivfpq_topk"),
-    "q188_residual_relation" -> oracleSqlBase("q171_ivfpq_residual"))
+    "q188_residual_relation" -> oracleSqlBase("q171_ivfpq_residual"),
+    "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
+         p AS (SELECT i, j,
+                 len(list_intersect(si.sh, sj.sh))::DOUBLE
+                   / len(list_distinct(list_concat(si.sh, sj.sh))) AS jac
+               FROM cand JOIN s si ON si.doc_id = cand.i
+                         JOIN s sj ON sj.doc_id = cand.j)
+         SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
+         ORDER BY i, j"""),
+    "q190_minhash16_clusters" -> ("WITH RECURSIVE " + minhash16Chain + """,
+         p AS MATERIALIZED (SELECT i, j
+               FROM cand JOIN s si ON si.doc_id = cand.i
+                         JOIN s sj ON sj.doc_id = cand.j
+               WHERE len(list_intersect(si.sh, sj.sh))::DOUBLE
+                   / len(list_distinct(list_concat(si.sh, sj.sh))) >= 0.7),
+         e AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+           count(*) OVER (PARTITION BY coalesce(l.cluster, d.doc_id)) AS n_members
+         FROM documents d LEFT JOIN lab l USING (doc_id)
+         ORDER BY doc_id"""))
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // Order-pinned numerator (sorted fold) + Spark's EXACT rounding
+    // semantics: Spark round(x, 6) is HALF_UP on the double's SHORTEST
+    // DECIMAL REPRESENTATION (BigDecimal.valueOf = Double.toString),
+    // which DuckDB's multiply-based round() diverges from on the 20
+    // sf1 buckets whose mean lands on a 7-decimal midpoint — the
+    // VARCHAR→DECIMAL cast replays the shortest-repr HALF_UP exactly.
     "q01_hourly_avg" ->
       """SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
-         round(avg(value), 6) AS avg_value
+         round(CAST(CAST(list_reduce(list_prepend(0.0, list_sort(list(value))),
+           (a, x) -> a + x) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE
+           AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_minute_avg" ->
       """SELECT date_trunc('minute', ts) AS bucket,
@@ -1988,7 +2058,8 @@ object SparkEntry {
              max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
            FROM g GROUP BY user_id, sess_id)
          SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
-           round(avg(duration_us) / 1e6, 6) + 0.0 AS avg_duration_s
+           round(CAST(CAST((CAST(sum(duration_us) AS DOUBLE) / count(*)) / 1e6
+             AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS avg_duration_s
          FROM sess GROUP BY user_id ORDER BY user_id""",
     // composition of the q16 langid and q51 dup_word_frac fragments;
     // keep = thresholds over the UNROUNDED repetition fraction
@@ -2106,7 +2177,8 @@ object SparkEntry {
     // column = most significant bit)
     "q65_cube" ->
       """SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(30,6))), 2)::DOUBLE AS revenue,
            count(*) AS n, grouping(l_returnflag, l_linestatus) AS gid
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -6225,6 +6297,32 @@ object SparkEntry {
                     THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
                     ELSE list_concat(acc, x) END) AS w
                 FROM a2, m3)"""
+
+  /** q189/q190 shared oracle text: the PORTABLE reduced-width minhash
+    * chain replayed end to end — md5 permutation hashes, lexicographic
+    * hex minima, 4×4 banding, hot-bucket cap, candidate join — through
+    * the verified pair set `p` (q189 reads pairs+jac; q190 closes them
+    * under the reachability CTE). Candidate-bounded, so unlike the
+    * brute-force q19/q49 oracles this replays at sf1.
+    */
+  private val minhash16Chain: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         sig AS (SELECT doc_id, sh,
+                  [list_min([substr(md5(x || '#' || k::VARCHAR), 1, 16) for x in sh])
+                   for k in range(0, 16)] AS sg
+                 FROM s),
+         band AS (SELECT doc_id, b, array_to_string(sg[b*4+1:b*4+4], '|') AS bs
+                  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         bn AS (SELECT b, bs, count(*) AS n FROM band GROUP BY 1, 2),
+         bandc AS (SELECT band.doc_id, band.b, band.bs FROM band
+                   JOIN bn USING (b, bs) WHERE bn.n <= 100000),
+         cand AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+                  FROM bandc a JOIN bandc b2
+                    ON a.b = b2.b AND a.bs = b2.bs AND a.doc_id < b2.doc_id)"""
 
   /** q49/q185 shared oracle text: minhash-LSH pairs closed under the
     * bounded-iteration reachability CTE, through the `lab` cluster

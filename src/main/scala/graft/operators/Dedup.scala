@@ -208,6 +208,101 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** [[minhashLsh]]'s banded chain with ENGINE-PORTABLE signatures and
+    * a REDUCED width — the sf1-oracle twin of the q19 family (round-14
+    * item 2). The production chain's XXH64 signatures can't be
+    * replayed by a SQL oracle, so at the gate SFs its oracle is the
+    * brute-force Jaccard join (valid because k=64/b=16 makes banding
+    * recall 1 in practice) — which is O(N²) in DuckDB and infeasible
+    * at sf1. This twin runs the SAME chain shape — distinct shingles →
+    * per-permutation min-hash → contiguous bands → (band, bandsig)
+    * self-join under the hot-bucket cap → exact-Jaccard verify — with
+    * the q100/q150 exact-contract hash discipline: permutation k of a
+    * shingle is the first 16 hex chars of md5(shingle ∥ "#k"), the
+    * component min is the LEXICOGRAPHIC min over those fixed-width hex
+    * strings (identical to the unsigned-64 order), and the band key is
+    * the '|'-join of the slice. At numPerms=16/bands=4, banding recall
+    * is deliberately < 1 — the POINT is that the oracle replays the
+    * whole chain INCLUDING the misses, candidate-bounded instead of
+    * all-pairs, which is what makes the family verifiable at 50k docs.
+    *
+    * Scale shape is [[minhashLsh]]'s verbatim (map-side signatures,
+    * two candidate-bounded shuffles); the md5-per-(shingle, perm)
+    * signature is interpreted and ~4× the XXH64 kernel's cost, which
+    * is the documented price of portability — the production path
+    * stays [[minhashLsh]].
+    */
+  def minhashLshPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    require(numPerms % bands == 0, s"bands $bands must divide perms $numPerms")
+    val rows = numPerms / bands
+    val shingleStrs = {
+      val w = split(col(textCol), " ")
+      when(size(w) < shingleN, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(0), size(w) - shingleN),
+          i => concat_ws(" ", slice(w, i + 1, lit(shingleN))))))
+    }
+    val sh = df.select(col(idCol).as("doc_id"), shingleStrs.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sig = sh.select(col("doc_id"),
+      array((0 until numPerms).map { k =>
+        array_min(transform(col("__sh"),
+          s => substring(md5(concat(s, lit("#" + k))), 1, 16)))
+      }: _*).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandsig"))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|")))
+        .as(Seq("band", "bandsig")))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandsig") === col("b.bandsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("__sh").as("sh_i")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("__sh").as("sh_j")), "j")
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** [[nearDupClusters]] over the PORTABLE reduced-width chain — the
+    * sf1-oracle twin of the cluster family (q49/q110/q116/q131):
+    * [[minhashLshPortable]] pairs closed under the same alternating-
+    * star connected components, every document labeled with rep and
+    * size. Verifies the pair→CC→label machinery at a scale where the
+    * production chain's brute-force oracle can't follow.
+    */
+  def nearDupClustersPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPortable(df, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cc = connectedComponents(pairs.select(col("i"), col("j")))
+    labelClusters(df.select(col(idCol).as("doc_id")), "doc_id", cc)
+  }
+
   /** Incremental dedup — an INCOMING batch LSH-joined against an
     * EXISTING corpus index: the daily-crawl shape, where re-shingling
     * and self-joining the whole corpus per increment (q19 on the
