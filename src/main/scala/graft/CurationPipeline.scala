@@ -202,6 +202,21 @@ object CurationPipeline {
         targetBytes = 4L << 20)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/compaction_plan")
+    // …and EXECUTE the plan (round-14: layoutHealth → plan → rewrite,
+    // closing the loop): small files in the pipeline's own output are
+    // packed and swapped in place, then re-triaged — the report and
+    // the after-health land next to the plan so the round's artifact
+    // shows the verdict flipping
+    graft.operators.Layout
+      .compactionRewrite(spark, s"$outDir/curated", targetBytes = 4L << 20)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/compaction_report")
+    graft.operators.Layout
+      .layoutHealth(
+        graft.operators.Layout.fileManifest(spark, s"$outDir/curated"),
+        "part", "bytes", targetBytes = 4L << 20)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/layout_health_after")
     val secs = (System.nanoTime() - t0) / 1e9
     // read the summary back from the parquet just written — collecting
     // the uncached `savings` frame would recompute the entire

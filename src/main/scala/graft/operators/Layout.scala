@@ -470,4 +470,88 @@ object Layout {
         min(col(seqCol)).as("first_seq"), max(col(seqCol)).as("last_seq"))
       .orderBy(col(partCol), col("grp"))
   }
+
+  /** Compaction rewrite EXECUTOR — the missing half [[compactionPlan]]
+    * plans for (round-14 item 4): consume the (partition, group,
+    * seq-range) work list, rewrite each multi-file group's members
+    * into ONE parquet file, and swap it in. The row SET is preserved
+    * exactly (the executor counts every group's input rows and refuses
+    * the swap on any mismatch — a rewrite that loses or invents a row
+    * must fail loudly, not land); single-file groups are left
+    * untouched, so a second run over a compacted directory is a no-op
+    * (idempotence, spec-enforced).
+    *
+    * Only SMALL files — bytes < targetBytes/2, [[layoutHealth]]'s own
+    * smallness definition — enter the plan (the Delta/Iceberg OPTIMIZE
+    * selection rule). This is what makes the executor IDEMPOTENT: a
+    * packed bin's input is ≥ target (except the one tail bin), so its
+    * rewritten output lands ≥ ~target even after re-encoding shrink
+    * and is never re-selected; the sole possible sub-threshold output
+    * (the tail) has no small sibling left to pair with, and 1-file
+    * bins are skipped. Binning EVERY file instead (the naive reading
+    * of the plan) re-merges tail/shrunken outputs forever — measured,
+    * not hypothetical: the first spec run caught exactly that.
+    *
+    * Mechanics: group outputs are staged under `<dir>/.compact_tmp`
+    * (dot-prefixed — invisible to both the parquet reader and
+    * [[fileManifest]]), verified, then the member files are deleted
+    * and the staged file moves in as
+    * `part-compacted-g<grp>-<n>.parquet` — the crash window is the
+    * per-group delete+rename, the same non-transactional exposure a
+    * bare-directory OPTIMIZE has anywhere (a lakehouse table closes it
+    * with a manifest commit; this executor targets the plain-directory
+    * layout the rest of the Layout family reads). Driver state is
+    * manifest-scale only (the plan + file list — bounded by file
+    * count, the [[fileManifest]] bound); each group rewrite is a
+    * distributed read of just that group's files.
+    *
+    * Returns the rewrite report, one row per plan group: files/bytes
+    * in, rows carried, whether it was rewritten, and the output file.
+    */
+  def compactionRewrite(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    val manifest = fileManifest(spark, dir)
+      .filter(col("bytes") < lit(targetBytes / 2))
+    val plan = compactionPlan(manifest, "part", "seq", "bytes", targetBytes)
+    // manifest-scale collects: (seq, file) list + the plan's group rows
+    val files = manifest.select(col("seq"), col("file"), col("bytes"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val groups = plan
+      .select(col("grp"), col("n_files"), col("grp_bytes"),
+        col("first_seq"), col("last_seq"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(dir, ".compact_tmp")
+    val report = try {
+      groups.map { case (grp, nFiles, grpBytes, firstSeq, lastSeq) =>
+        val members = files.filter(f => f._1 >= firstSeq && f._1 <= lastSeq)
+        if (nFiles <= 1L) (grp, nFiles, grpBytes, -1L, false, members.head._2)
+        else {
+          val paths = members.map(m => s"$dir/${m._2}")
+          val in = spark.read.parquet(paths: _*)
+          val tmpDir = new org.apache.hadoop.fs.Path(tmpRoot, s"g$grp")
+          in.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+          val written = fs.listStatus(tmpDir)
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          require(written.length == 1,
+            s"compaction group $grp wrote ${written.length} files, wanted 1")
+          // row-preservation gate BEFORE any destructive move
+          val nIn = in.count()
+          val nOut = spark.read.parquet(tmpDir.toString).count()
+          require(nIn == nOut,
+            s"compaction group $grp row mismatch: read $nIn wrote $nOut")
+          val outName = f"part-compacted-g$grp%05d.parquet"
+          members.foreach(m =>
+            fs.delete(new org.apache.hadoop.fs.Path(dir, m._2), false))
+          fs.rename(written.head.getPath,
+            new org.apache.hadoop.fs.Path(dir, outName))
+          (grp, nFiles, grpBytes, nIn, true, outName)
+        }
+      }.toSeq
+    } finally fs.delete(tmpRoot, true)
+    report.toDF("grp", "n_files_in", "bytes_in", "n_rows", "rewritten",
+      "out_file").orderBy(col("grp"))
+  }
 }

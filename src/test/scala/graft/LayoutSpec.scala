@@ -292,6 +292,62 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected needs_compaction=true: ${health.toSeq}")
   }
 
+  test("compactionRewrite executes the plan: row set preserved, fewer files, healthy, idempotent") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 12 small files of INCOMPRESSIBLE rows (md5 hex — dictionary and
+    // snappy can't shrink a merged group much below its input bytes),
+    // target at ~3.5 file-sizes so each packed group's INPUT is ~1.14×
+    // target and its rewritten output stays ABOVE target — otherwise a
+    // recompressed output could dip under target and re-merge on the
+    // second run, breaking the idempotence half of the spec
+    def hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until 6000).map(i =>
+        (i.toLong, (0 until 4).map(j => hex(s"$i:$j")).mkString))
+      .toDF("id", "t").repartition(12).write.mode("overwrite").parquet(dir)
+    val before = Layout.fileManifest(spark, dir).collect()
+    assert(before.length == 12)
+    val target = before.map(_.getLong(3)).sum * 7 / 24 // ≈ 3.5 file-sizes
+    val unhealthy = Layout.layoutHealth(
+      Layout.fileManifest(spark, dir), "part", "bytes", target).collect()
+    assert(unhealthy(0).getBoolean(5), "precondition: needs compaction")
+    val rowsBefore = spark.read.parquet(dir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+
+    val report = Layout.compactionRewrite(spark, dir, target).collect()
+    // every multi-file group rewritten, counts carried
+    assert(report.exists(_.getBoolean(4)), "no group was rewritten")
+    report.filter(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(3) > 0, s"rewritten group carried 0 rows: $r")
+    }
+    // byte-identical row SET
+    val rowsAfter = spark.read.parquet(dir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(rowsAfter.length == rowsBefore.length &&
+      rowsAfter.toSeq == rowsBefore.toSeq, "row set changed under compaction")
+    // fewer files, and triage flips to healthy
+    val after = Layout.fileManifest(spark, dir).collect()
+    assert(after.length < before.length,
+      s"no file-count reduction: ${before.length} -> ${after.length}")
+    val healthy = Layout.layoutHealth(
+      Layout.fileManifest(spark, dir), "part", "bytes", target).collect()
+    assert(!healthy(0).getBoolean(5),
+      s"still needs compaction after rewrite: ${healthy.toSeq}")
+    // no staging residue
+    assert(!new java.io.File(dir, ".compact_tmp").exists())
+
+    // idempotence: a second run performs zero rewrites and leaves the
+    // file list untouched (the Round13OpsSpec re-run pattern)
+    val report2 = Layout.compactionRewrite(spark, dir, target).collect()
+    assert(report2.forall(!_.getBoolean(4)),
+      s"second run rewrote groups: ${report2.toSeq}")
+    val after2 = Layout.fileManifest(spark, dir).collect()
+    assert(after2.map(_.getString(2)).sorted.toSeq ==
+      after.map(_.getString(2)).sorted.toSeq, "idempotent run moved files")
+  }
+
   test("compactionPlanStream matches the batch planner across micro-batches") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
