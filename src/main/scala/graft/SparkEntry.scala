@@ -1682,6 +1682,13 @@ object SparkEntry {
         numCells = 8, cellIters = 2, probes = 2,
         numSub = 4, codebookK = 8, pqIters = 2, indexAsRelation = true)
     }),
+    // ANN — index MAINTENANCE action on the q181 drift: append batch →
+    // drift → refresh-vs-rebuild decision (churn > 0.1 ⇒ rebuild);
+    // the maintained centroid set the decision selects is persisted by
+    // the caller (spec pins the centroidRelation parquet round-trip)
+    "q186_ivf_maintain" -> ((s, dir) =>
+      Similarity.ivfIndexMaintain(Tables.embeddings(s, dir),
+        numCells = 8, iters = 2, deltaMod = 10, churnThreshold = 0.1)._1),
     // Dedup — the q19 banded chain at REDUCED width with portable md5
     // signatures (round-14 item 2): the oracle replays the whole chain
     // — signature minima, banding, hot-bucket cap, candidate join,
@@ -1723,6 +1730,7 @@ object SparkEntry {
     * sibling oracle text verbatim — appended after the base map.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q186_ivf_maintain" -> ivfMaintainSql,
     "q187_ivfpq_relation" -> oracleSqlBase("q121_ivfpq_topk"),
     "q188_residual_relation" -> oracleSqlBase("q171_ivfpq_residual"),
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
@@ -6191,7 +6199,49 @@ object SparkEntry {
     * the q23 Lloyd CTE recurrence generated per step (train on the
     * base slice, refresh over the merged corpus).
     */
-  private val ivfDriftSql: String = {
+  private def ivfDriftSql: String = ivfDriftChain + """
+       , cells AS (SELECT cid AS cell FROM cent0),
+       n0 AS (SELECT cell0 AS cell, count(*) AS n_before FROM moves
+              GROUP BY 1),
+       n1 AS (SELECT cell1 AS cell, count(*) AS n_after FROM moves
+              GROUP BY 1),
+       mo AS (SELECT cell0 AS cell, count(*) AS moved_out FROM moves
+              WHERE cell0 <> cell1 GROUP BY 1),
+       mi AS (SELECT cell1 AS cell, count(*) AS moved_in FROM moves
+              WHERE cell0 <> cell1 GROUP BY 1)
+       SELECT c.cell, coalesce(n0.n_before, 0)::BIGINT AS n_before,
+         coalesce(n1.n_after, 0)::BIGINT AS n_after,
+         coalesce(mi.moved_in, 0)::BIGINT AS moved_in,
+         coalesce(mo.moved_out, 0)::BIGINT AS moved_out,
+         CASE WHEN coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0) = 0
+             THEN 0.0
+           ELSE round((coalesce(mi.moved_in, 0) +
+               coalesce(mo.moved_out, 0))::DOUBLE /
+             (coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0)), 6) END
+           AS churn_frac
+       FROM cells c
+       LEFT JOIN n0 USING (cell) LEFT JOIN n1 USING (cell)
+       LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
+       ORDER BY c.cell"""
+
+  /** q186: the q181 drift chain folded into the single-row maintenance
+    * decision readout (round/compare mirrors the Spark op exactly).
+    */
+  private def ivfMaintainSql: String = ivfDriftChain + """
+       SELECT count(*)::BIGINT AS n_total,
+         sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END)::BIGINT AS n_batch,
+         sum(CASE WHEN cell0 <> cell1 THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+         round(sum(CASE WHEN cell0 <> cell1 THEN 1 ELSE 0 END)::DOUBLE
+           / count(*), 6) AS churn,
+         CASE WHEN round(sum(CASE WHEN cell0 <> cell1 THEN 1 ELSE 0
+               END)::DOUBLE / count(*), 6) > 0.1
+           THEN 'rebuild' ELSE 'refresh' END AS decision
+       FROM moves"""
+
+  /** q181/q186 shared oracle text: the stale-index/refresh drift
+    * recurrence through the per-vector `moves` CTE.
+    */
+  private val ivfDriftChain: String = {
     def cosSql(v: String, c: String): String =
       s"""CASE WHEN list_inner_product($v, $v) = 0
              OR list_inner_product($c, $c) = 0 THEN 0.0
@@ -6226,30 +6276,7 @@ object SparkEntry {
        ${step("a0", "cent3")},
        ${asn("e", "cent3", "a1")},
        moves AS (SELECT a0.vec_id, a0.cell AS cell0, a1.cell AS cell1
-                 FROM a0 JOIN a1 USING (vec_id)),
-       cells AS (SELECT cid AS cell FROM cent0),
-       n0 AS (SELECT cell0 AS cell, count(*) AS n_before FROM moves
-              GROUP BY 1),
-       n1 AS (SELECT cell1 AS cell, count(*) AS n_after FROM moves
-              GROUP BY 1),
-       mo AS (SELECT cell0 AS cell, count(*) AS moved_out FROM moves
-              WHERE cell0 <> cell1 GROUP BY 1),
-       mi AS (SELECT cell1 AS cell, count(*) AS moved_in FROM moves
-              WHERE cell0 <> cell1 GROUP BY 1)
-       SELECT c.cell, coalesce(n0.n_before, 0)::BIGINT AS n_before,
-         coalesce(n1.n_after, 0)::BIGINT AS n_after,
-         coalesce(mi.moved_in, 0)::BIGINT AS moved_in,
-         coalesce(mo.moved_out, 0)::BIGINT AS moved_out,
-         CASE WHEN coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0) = 0
-             THEN 0.0
-           ELSE round((coalesce(mi.moved_in, 0) +
-               coalesce(mo.moved_out, 0))::DOUBLE /
-             (coalesce(n0.n_before, 0) + coalesce(n1.n_after, 0)), 6) END
-           AS churn_frac
-       FROM cells c
-       LEFT JOIN n0 USING (cell) LEFT JOIN n1 USING (cell)
-       LEFT JOIN mo USING (cell) LEFT JOIN mi USING (cell)
-       ORDER BY c.cell"""
+                 FROM a0 JOIN a1 USING (vec_id))"""
   }
 
   /** q139/q184 shared oracle text: the 3-merge BPE train + apply

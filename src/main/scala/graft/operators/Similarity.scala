@@ -541,30 +541,9 @@ object Similarity {
     */
   def ivfReassignDrift(vectors: DataFrame, numCells: Int, iters: Int,
       deltaMod: Int): DataFrame = {
-    require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
-    val isBatch = col("vec_id") % deltaMod === (deltaMod - 1)
-    val cent0 = kmeansCentroidSeq(vectors.filter(!isBatch), numCells, iters)
-    val all = vectors.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-    val a0 = assignCells(all, cent0, probes = 1)
-      .select(col("vec_id"), col("v"), col("cell").as("cell0"))
-    // one Lloyd refresh over the merged corpus: means of the stale
-    // assignment, rounded to 6 decimals (the kmeansCentroidSeq
-    // recurrence), collected as the next k×d literal set
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cent1: Seq[(Long, Seq[Double])] = a0
-      .select(col("cell0").as("cell"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("cell"), col("d"))
-      .agg(round(avg(col("x")), 6).as("m"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s.getField("m")).as("cv"))
-      .select(col("cell").cast("long"), col("cv"))
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val a1 = assignCells(all, cent1, probes = 1)
-      .select(col("vec_id"), col("cell").as("cell1"))
-    val moves = a0.select(col("vec_id"), col("cell0")).join(a1, "vec_id")
+    val (moves, cent0, _) = driftMoves(vectors, numCells, iters, deltaMod)
     val cells = cent0.map(_._1).toDF("cell")
     val n0 = moves.groupBy(col("cell0").as("cell"))
       .agg(count(lit(1)).as("n_before"))
@@ -591,6 +570,84 @@ object Similarity {
           .otherwise(round((col("moved_in") + col("moved_out"))
             .cast("double") / (col("n_before") + col("n_after")), 6)))
       .orderBy(col("cell"))
+  }
+
+  /** The shared half of [[ivfReassignDrift]] / [[ivfIndexMaintain]]:
+    * stale-index assignment of the merged corpus (a0), one Lloyd
+    * refresh, reassignment (a1), joined into the per-vector move
+    * frame. Returns (moves = (vec_id, cell0, cell1), cent0, cent1) —
+    * both centroid sets are the documented k×d driver folds.
+    */
+  private def driftMoves(vectors: DataFrame, numCells: Int, iters: Int,
+      deltaMod: Int): (DataFrame, Seq[(Long, Seq[Double])],
+        Seq[(Long, Seq[Double])]) = {
+    require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
+    val isBatch = col("vec_id") % deltaMod === (deltaMod - 1)
+    val cent0 = kmeansCentroidSeq(vectors.filter(!isBatch), numCells, iters)
+    val all = vectors.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val a0 = assignCells(all, cent0, probes = 1)
+      .select(col("vec_id"), col("v"), col("cell").as("cell0"))
+    // one Lloyd refresh over the merged corpus: means of the stale
+    // assignment, rounded to 6 decimals (the kmeansCentroidSeq
+    // recurrence), collected as the next k×d literal set
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cent1: Seq[(Long, Seq[Double])] = a0
+      .select(col("cell0").as("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .select(col("cell").cast("long"), col("cv"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val a1 = assignCells(all, cent1, probes = 1)
+      .select(col("vec_id"), col("cell").as("cell1"))
+    (a0.select(col("vec_id"), col("cell0")).join(a1, "vec_id"),
+      cent0, cent1)
+  }
+
+  /** Index MAINTENANCE action on the [[ivfReassignDrift]] readout
+    * (round-14 item 6) — the operator loop a production IVF index runs
+    * on every ingest batch: append the batch to the stale index, read
+    * the drift, then DECIDE — `churn ≤ threshold` keeps the cheap path
+    * (adopt the one-step REFRESHED centroids, cent1) while
+    * `churn > threshold` declares the index geometry stale and
+    * RETRAINS from scratch on the merged corpus (the full Lloyd
+    * recurrence, new seeds). Returns the decision readout (one row:
+    * corpus/batch sizes, moved count, churn, decision — oracle-gated
+    * as q186) together with the MAINTAINED centroid set the decision
+    * selected, which the caller persists ([[centroidRelation]] →
+    * parquet is the round-trip the spec pins) and serves until the
+    * next batch.
+    *
+    * The decision itself is a 1-row driver read (the readout frame's
+    * head) — the chain executes once; everything corpus-sized stays in
+    * the drift machinery's map-only assignments.
+    */
+  def ivfIndexMaintain(vectors: DataFrame, numCells: Int, iters: Int,
+      deltaMod: Int, churnThreshold: Double):
+      (DataFrame, Seq[(Long, Seq[Double])]) = {
+    require(churnThreshold >= 0.0 && churnThreshold <= 1.0,
+      s"churnThreshold must be in [0, 1], got $churnThreshold")
+    val (moves, _, cent1) = driftMoves(vectors, numCells, iters, deltaMod)
+    val isBatch = col("vec_id") % deltaMod === (deltaMod - 1)
+    val readout = moves.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(isBatch, 1L).otherwise(0L)).as("n_batch"),
+      sum(when(col("cell0") =!= col("cell1"), 1L).otherwise(0L))
+        .as("n_moved"))
+      .withColumn("churn",
+        round(col("n_moved").cast("double") / col("n_total"), 6))
+      .withColumn("decision",
+        when(col("churn") > churnThreshold, lit("rebuild"))
+          .otherwise(lit("refresh")))
+    val decision = readout.select(col("decision")).head().getString(0)
+    val maintained =
+      if (decision == "rebuild") kmeansCentroidSeq(vectors, numCells, iters)
+      else cent1
+    (readout, maintained)
   }
 
   /** ANN recall@k readout: per query, how much of the exact brute-force

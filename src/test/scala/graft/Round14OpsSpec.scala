@@ -97,6 +97,41 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfIndexMaintain: decision thresholds, rebuild = full retrain, persistence round-trip") {
+    val e = embeddings
+    // τ=1.0 can never trip: the cheap refresh path is taken
+    val (ro1, refreshed) = Similarity.ivfIndexMaintain(e, numCells = 8,
+      iters = 2, deltaMod = 10, churnThreshold = 1.0)
+    val r1 = ro1.collect()(0)
+    assert(r1.getAs[String]("decision") == "refresh")
+    assert(r1.getAs[Long]("n_batch") > 0 &&
+      r1.getAs[Long]("n_batch") < r1.getAs[Long]("n_total"))
+    // τ=0.0 trips on any movement: full retrain, and the maintained
+    // set must equal the from-scratch Lloyd on the merged corpus
+    val (ro0, rebuilt) = Similarity.ivfIndexMaintain(e, numCells = 8,
+      iters = 2, deltaMod = 10, churnThreshold = 0.0)
+    val r0 = ro0.collect()(0)
+    assert(r0.getAs[Long]("n_moved") > 0,
+      "fixture must exhibit drift for the rebuild branch to mean anything")
+    assert(r0.getAs[String]("decision") == "rebuild")
+    assert(rebuilt == Similarity.kmeansCentroidSeq(e, 8, 2))
+    // refresh ≠ rebuild on this fixture (the decision matters)
+    assert(refreshed != rebuilt)
+    // persistence round-trip: the maintained set written as a relation
+    // and reloaded serves assignments identical to the in-memory set
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Similarity.centroidRelation(spark, refreshed)
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val v = e.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val viaDisk = Similarity.assignCellsRelation(v, reloaded, 1)
+      .orderBy(col("vec_id")).collect().toSeq.map(_.toSeq)
+    val viaMem = Similarity.assignCells(v, refreshed, 1)
+      .orderBy(col("vec_id")).collect().toSeq.map(_.toSeq)
+    assert(viaDisk == viaMem, "persisted index diverges from trained index")
+  }
+
   test("relation search plan carries no index-sized literals") {
     // The point of the swap: the literal plan embeds the index as
     // expressions (k·d doubles in typedLit maps/arrays); the relation
