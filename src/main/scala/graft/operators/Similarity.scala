@@ -324,7 +324,8 @@ object Similarity {
     * index build scales with the vector count, not pairs.
     */
   def kmeansCentroidSeq(
-      vectors: DataFrame, numCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+      vectors: DataFrame, numCells: Int, iters: Int,
+      viaRelation: Boolean = false): Seq[(Long, Seq[Double])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // cached across the Lloyd iterations — each step re-scans the full
@@ -336,12 +337,20 @@ object Similarity {
     // vector count — and feeding the next iteration a LITERAL centroid
     // frame keeps each Lloyd step to one scan + one narrow aggregation
     // instead of re-deriving the whole centroid lineage per downstream
-    // branch.
+    // branch. `viaRelation = true` runs the SAME recurrence with each
+    // iteration's assignment joined against a broadcast centroid
+    // relation instead of k×d literal expressions (the L152 form —
+    // identical output, spec-enforced; the per-iteration k×d driver
+    // transit stays, the plan-size dependence on k goes).
     var cent: Seq[(Long, Seq[Double])] = v.filter(col("vec_id") < numCells)
       .select(col("vec_id").cast("long"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      cent = assignCells(v, cent, probes = 1)
+      val asn =
+        if (viaRelation)
+          assignCellsRelation(v, centroidRelation(spark, cent), probes = 1)
+        else assignCells(v, cent, probes = 1)
+      cent = asn
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
         .agg(round(avg(col("x")), 6).as("m"))
@@ -1598,7 +1607,8 @@ object Similarity {
       k: Int, numCells: Int, cellIters: Int, probes: Int,
       numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
     val spark = vectors.sparkSession
-    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters,
+      viaRelation = true)
     val centRel = centroidRelation(spark, coarse)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val memberCells = assignCellsRelation(v, centRel, probes = 1)
@@ -1805,7 +1815,8 @@ object Similarity {
       queries: DataFrame, k: Int, numCells: Int, cellIters: Int, probes: Int,
       numSub: Int, codebookK: Int, pqIters: Int): DataFrame = {
     val spark = vectors.sparkSession
-    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters)
+    val coarse = kmeansCentroidSeq(vectors, numCells, cellIters,
+      viaRelation = true)
     val centRel = centroidRelation(spark, coarse)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val asn = assignCellsRelation(v, centRel, probes = 1)

@@ -33,6 +33,15 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  test("kmeansCentroidSeq viaRelation trains identical centroids (two geometries)") {
+    val e = embeddings
+    for ((nc, it) <- Seq((7, 2), (5, 3))) {
+      val lit0 = Similarity.kmeansCentroidSeq(e, nc, it)
+      val rel = Similarity.kmeansCentroidSeq(e, nc, it, viaRelation = true)
+      assert(lit0 == rel, s"Lloyd literal≠relation at ($nc, $it)")
+    }
+  }
+
   test("assignCellsRelation equals assignCells (probes 1 and 3)") {
     val e = embeddings
     val v = e.select(col("vec_id"),
