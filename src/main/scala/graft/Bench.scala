@@ -60,7 +60,12 @@ object Bench {
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        catch {
+          case e: Throwable =>
+            // diagnosis goes to stderr so the stdout JSON stays parseable
+            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       }.sorted
       // true median (mean of middle two when the repeat count is even)
       val median =

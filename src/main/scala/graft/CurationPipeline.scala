@@ -50,19 +50,53 @@ object CurationPipeline {
     * (doc_id, bool) verdict — 9 bytes/row, never text. In a shared
     * session, unpersist after materializing the outputs (main() clears
     * its own session's cache once the parquet writes land).
+    *
+    * `stageDir` bounds DISK, the resource a one-lineage run exhausts at
+    * scale: executed as a single job, every verdict chain's shuffle
+    * files stay referenced (and on disk) until the final write, so the
+    * box pays the SUM of all stage shuffles — measured at sf10
+    * (modelGates + repairLeaks, 500k docs): >70 GB accumulated and the
+    * run died on `No space left on device` at the leak-repair chain.
+    * With a stage directory each id-keyed verdict (doc_id + bool —
+    * megabytes at any corpus) is written to parquet and re-read, so
+    * the heavy chain behind it becomes driver-garbage, its shuffle
+    * files are reclaimed, and live shuffle is bounded by the LARGEST
+    * stage instead of the sum — the checkpoint-at-stage-boundary
+    * discipline every production multi-stage pipeline runs on. Output
+    * is IDENTICAL (spec-pinned): staging changes where intermediate
+    * bytes live, never what they say.
     */
   def run(spark: SparkSession, sfDir: String,
       blocklist: Seq[String] = Seq("slow", "leak", "crash"),
       maxHits: Int = 2,
       gateFirst: Boolean = true,
       modelGates: Boolean = false,
-      repairLeaks: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      repairLeaks: Boolean = false,
+      stageDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
+    // stage boundary: materialize an id-keyed verdict frame and cut its
+    // lineage (parquet round-trip + a GC nudge so ContextCleaner
+    // reclaims the now-unreferenced upstream shuffle files)
+    def staged(name: String, df: DataFrame): DataFrame = stageDir match {
+      case None => df
+      case Some(d) =>
+        val p = s"$d/$name"
+        df.write.mode("overwrite").parquet(p)
+        // the ContextCleaner deletes shuffle files ASYNCHRONOUSLY off a
+        // weak-reference queue the GC feeds — nudge the GC, then give
+        // the cleaner thread a moment to drain before the next stage
+        // starts piling up its own files (measured: without the settle,
+        // ~30 GB of a finished stage's shuffle was still on disk when
+        // the next stage began)
+        System.gc()
+        Thread.sleep(3000)
+        spark.read.parquet(p)
+    }
     val docs = Tables.documents(spark, sfDir)
-    val gate = TextOps.gopherRules(docs, "doc_id", "text")
-      .select(col("doc_id"), col("keep").as("__k1"))
-    val block = TextOps.blocklistFilter(docs, "doc_id", "text",
-        blocklist, maxHits)
-      .select(col("doc_id"), col("keep").as("__k2"))
+    val gate = staged("gate", TextOps.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("__k1")))
+    val block = staged("block", TextOps.blocklistFilter(docs, "doc_id",
+        "text", blocklist, maxHits)
+      .select(col("doc_id"), col("keep").as("__k2")))
     // Optional round-11 model-gate stage (the modern curation order:
     // rules first, then learned signals, then PII policy): hashed
     // linear classifier (L122), bigram-LM perplexity (L125), PII
@@ -81,11 +115,12 @@ object CurationPipeline {
         // the verdict frame is consumed twice (dedup-input filter +
         // final join) and its perplexity branch re-derives a 3-shuffle
         // model chain per use — cache the (doc_id, bool) result, which
-        // is corpus-row-count × 9 bytes, not text
-        c.join(p, "doc_id").join(pii, "doc_id")
+        // is corpus-row-count × 9 bytes, not text (staged runs get the
+        // same reuse from the parquet round-trip and skip the cache)
+        val verdict = c.join(p, "doc_id").join(pii, "doc_id")
           .select(col("doc_id"),
             (col("__kc") && col("__kp") && col("__kpii")).as("__km"))
-          .cache()
+        if (stageDir.isDefined) staged("model", verdict) else verdict.cache()
       }
     // Dedup corpus: gate survivors (production) or the full corpus
     // (q134-parity AND-composition). Either way the dedup operators
@@ -96,12 +131,15 @@ object CurationPipeline {
           .join(block.filter(col("__k2")).select(col("doc_id")), "doc_id")
           .join(model.filter(col("__km")).select(col("doc_id")), "doc_id")
       else docs
-    val exactKeep = Dedup.normalizedDedup(dedupDocs, "doc_id", "text")
-      .select(col("keeper").as("doc_id"), lit(true).as("__k3"))
-    val nearKeep = Dedup.clusterCanonicalSelect(dedupDocs, "doc_id", "text")
-      .select(col("keeper").as("doc_id"), lit(true).as("__k4"))
-    val split = Curation.splitAssignment(docs, "doc_id", "source")
-      .select(col("doc_id"), col("split"))
+    val exactKeep = staged("exact_keep",
+      Dedup.normalizedDedup(dedupDocs, "doc_id", "text")
+        .select(col("keeper").as("doc_id"), lit(true).as("__k3")))
+    val nearKeep = staged("near_keep",
+      Dedup.clusterCanonicalSelect(dedupDocs, "doc_id", "text")
+        .select(col("keeper").as("doc_id"), lit(true).as("__k4")))
+    val split = staged("split",
+      Curation.splitAssignment(docs, "doc_id", "source")
+        .select(col("doc_id"), col("split")))
     // Split-leakage repair (L133): drop the less-protected member of
     // every cross-split near-dup pair, so the shipped corpus carries
     // zero train→eval leakage by construction. Runs on the FULL corpus
@@ -110,8 +148,9 @@ object CurationPipeline {
     val leakOk =
       if (!repairLeaks)
         docs.select(col("doc_id"), lit(true).as("__kl"))
-      else Curation.splitLeakRepair(docs, "doc_id", "text")
-        .select(col("doc_id"), (col("action") === "keep").as("__kl"))
+      else staged("leak_ok",
+        Curation.splitLeakRepair(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("action") === "keep").as("__kl")))
     val curated = docs
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -175,7 +214,8 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val (curated, census, savings) = run(spark, sfDir,
-      modelGates = modelGates, repairLeaks = repairLeaks)
+      modelGates = modelGates, repairLeaks = repairLeaks,
+      stageDir = Some(s"$outDir/_stages"))
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")

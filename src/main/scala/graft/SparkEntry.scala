@@ -1650,8 +1650,35 @@ object SparkEntry {
     // Curation — exemplar centrality: integer fixed-point PageRank
     // over the k=3 IVF kNN graph, top-20 diversity-weighted exemplars
     "q183_knn_pagerank" -> ((s, dir) =>
+      // salt=4 widens the 8-key candidate join to 32 tasks — output
+      // identical (spec-pinned), oracle unchanged
       Similarity.knnPageRank(Tables.embeddings(s, dir), k = 3,
-        numCells = 8, iters = 2, probes = 2, prIters = 3, top = 20)),
+        numCells = 8, iters = 2, probes = 2, prIters = 3, top = 20,
+        salt = 4)),
+    // q183 at SCALE geometry: cells follow the √N rule (autoCells —
+    // exact integer, oracle-mirrored), index rides the broadcast
+    // relation. The fixed-8 gate geometry is quadratic in N (measured
+    // infeasible at 200k vectors); this is the form that survives the
+    // corpus growing 100×.
+    "q191_knn_pagerank_auto" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // one count scalar: geometry derivation, the documented bounded
+      // driver action (DriverBoundsSpec class: 1-row)
+      val cells = Similarity.autoCells(e.count())
+      Similarity.knnPageRank(e, k = 3, numCells = cells,
+        iters = 2, probes = 2, prIters = 3, top = 20, viaRelation = true)
+    }),
+    // q191 with Lloyd trained on the deterministic 1/4 id-mod sample
+    // (the FAISS points-per-cell discipline: training needs tens of
+    // points per cell, not the corpus — the m× train-cost cut at any
+    // scale; seeds + all final assignments still full-corpus)
+    "q192_knn_pagerank_sampled" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cells = Similarity.autoCells(e.count())
+      Similarity.knnPageRank(e, k = 3, numCells = cells,
+        iters = 2, probes = 2, prIters = 3, top = 20, viaRelation = true,
+        trainSampleMod = 4)
+    }),
     // Tokenizer — merge-compression (fertility) per language: which
     // languages the trained vocab serves; rides the q138 merge table
     "q184_bpe_fertility" -> ((s, dir) => {
@@ -5872,6 +5899,8 @@ object SparkEntry {
     "q180_bloom_skipping" -> bloomSkippingSql,
     "q181_ivf_drift" -> ivfDriftSql,
     "q183_knn_pagerank" -> knnPageRankSql,
+    "q191_knn_pagerank_auto" -> knnPageRankAutoSql,
+    "q192_knn_pagerank_sampled" -> knnPageRankSampledSql,
     "q185_cluster_size_hist" ->
       (dedupClustersChain + """
          , percl AS (
@@ -6377,10 +6406,32 @@ object SparkEntry {
     * the per-query ranking CTE `r` (q78 selects its edge list from it;
     * q183 runs the integer PageRank recurrence over it).
     */
-  private val knnGraphRankChain: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                    FROM embeddings),
-         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < 8),
+  /** The kNN-graph replay chain with the cell-count term injectable:
+    * `preCte` adds CTEs between `e` and `cent0` (q191's data-driven
+    * geometry), `centPred` is the seed predicate's right-hand side.
+    * The fixed-8 default is the q183 gate geometry.
+    */
+  private def knnGraphRankChainWith(preCte: String, centPred: String,
+      trainSrc: String = "e"): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),$preCte
+         cent0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < $centPred),""" +
+    // the two TRAINING assignments (asn1 vs cent0, asn2 vs cent1) run
+    // over `trainSrc` (q192: the id-mod sample CTE), ALIASED `e` so the
+    // projection's `e.vec_id` binds to the sample rather than laterally
+    // to the corpus CTE; the final member/probe assignments always
+    // cover the full corpus `e`
+    (if (trainSrc == "e") knnGraphRankChainBody
+     else knnGraphRankChainBody
+       .replace("FROM e CROSS JOIN cent0", s"FROM $trainSrc e CROSS JOIN cent0")
+       .replace("FROM e CROSS JOIN cent1", s"FROM $trainSrc e CROSS JOIN cent1"))
+
+  // def, not val: the body val below is declared later in the object,
+  // so a val here would capture null during object init
+  private def knnGraphRankChain: String = knnGraphRankChainWith("", "8")
+
+  private val knnGraphRankChainBody: String =
+    """
          asn1 AS (
            SELECT vec_id, v, cid AS cell FROM (
              SELECT e.vec_id, e.v, c.cid,
@@ -6458,7 +6509,38 @@ object SparkEntry {
     * iteration, every division `//` over BIGINTs so the replay is
     * engine-exact with no float summation anywhere.
     */
-  private val knnPageRankSql: String = {
+  private val knnPageRankSql: String = knnPageRankSqlOver(knnGraphRankChain)
+
+  /** q191 oracle: the identical PageRank replay with the GEOMETRY
+    * data-driven — cells = the smallest power of two p with p·p ≥ N
+    * ([[graft.operators.Similarity.autoCells]]'s exact integer mirror:
+    * a VALUES table of powers, integer comparison, no float sqrt/log2).
+    */
+  private val knnPageRankAutoSql: String = knnPageRankSqlOver(
+    knnGraphRankChainWith(
+      """
+         nc AS (SELECT coalesce(min(p), 65536) AS k
+                FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),
+                             (2048),(4096),(8192),(16384),(32768),(65536)) t(p)
+                WHERE p::BIGINT * p >= (SELECT count(*) FROM e)),""",
+      "(SELECT k FROM nc)"))
+
+  /** q192 oracle: q191's auto-geometry replay with Lloyd TRAINED on the
+    * deterministic 1/4 sample (`vec_id % 4 = 0`) — seeds and every
+    * post-training assignment still over the full corpus.
+    */
+  private val knnPageRankSampledSql: String = knnPageRankSqlOver(
+    knnGraphRankChainWith(
+      """
+         nc AS (SELECT coalesce(min(p), 65536) AS k
+                FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),
+                             (2048),(4096),(8192),(16384),(32768),(65536)) t(p)
+                WHERE p::BIGINT * p >= (SELECT count(*) FROM e)),
+         es AS (SELECT * FROM e WHERE vec_id % 4 = 0),""",
+      "(SELECT k FROM nc)",
+      trainSrc = "es"))
+
+  private def knnPageRankSqlOver(chain: String): String = {
     val iters = 3
     val steps = (1 to iters).map { i =>
       val prev = if (i == 1) "pr0" else s"pr${i - 1}"
@@ -6481,7 +6563,7 @@ object SparkEntry {
     // edges by every ctᵢ — default CTE inlining re-evaluates the whole
     // kNN/Lloyd chain 2^iters times (observed: DuckDB OOM at sf1);
     // materialization pins every stage to one evaluation.
-    knnGraphRankChain + s""",
+    chain + s""",
        edges AS MATERIALIZED (
          SELECT qid AS src, nid AS dst FROM r WHERE rank <= 3),
        outdeg AS MATERIALIZED (

@@ -569,9 +569,15 @@ object Dedup {
     val hashed = hashedShingles(df, idCol, textCol, shingleN)
     val posts = hashed.select(col("doc_id"), size(col("shh")).as("n"),
       explode(col("shh")).as("h"))
-    // global canonical order key: (document frequency asc, hash asc)
-    val withFreq = posts
-      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // global canonical order key: (document frequency asc, hash asc).
+    // Computed as a partial-aggregated count + shuffle-hash join, NOT a
+    // count-over-window: a window partitioned by `h` full-sorts the
+    // entire exploded posting frame inside one exchange (measured at
+    // sf10: ~10⁸ rows through the sorter, the spill that dominated the
+    // leak-repair stage's disk), where the aggregate ships only partial
+    // (h, count) rows and the hash join never sorts the posting side
+    val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val withFreq = posts.join(freq.hint("shuffle_hash"), "h")
     // PPJoin prefix: the first n − ⌈τ·n⌉ + 1 shingles in global order.
     // The ε guard keeps a float product that lands a hair ABOVE the
     // exact τ·n from shortening the prefix below the theorem's length
@@ -582,11 +588,11 @@ object Dedup {
       .filter(col("__rn") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("n"), col("h"))
-    // last-resort straggler cap on the PREFIX posting lists; the count
-    // window shares the pairing join's hash partitioning (no extra
-    // exchange)
+    // last-resort straggler cap on the PREFIX posting lists — the same
+    // aggregate-join shape as `freq` (sort-free, partial-aggregated)
     val capped = prefix
-      .withColumn("__pn", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(prefix.groupBy(col("h")).agg(count(lit(1)).as("__pn"))
+        .hint("shuffle_hash"), "h")
       .filter(col("__pn") <= maxPosting)
       .drop("__pn")
     // Candidates only — prefix lists must NOT feed the intersection

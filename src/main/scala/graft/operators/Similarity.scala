@@ -325,13 +325,28 @@ object Similarity {
     */
   def kmeansCentroidSeq(
       vectors: DataFrame, numCells: Int, iters: Int,
-      viaRelation: Boolean = false): Seq[(Long, Seq[Double])] = {
+      viaRelation: Boolean = false,
+      trainSampleMod: Int = 1): Seq[(Long, Seq[Double])] = {
+    require(trainSampleMod >= 1,
+      s"trainSampleMod must be >= 1, got $trainSampleMod")
     val spark = vectors.sparkSession
     import spark.implicits._
     // cached across the Lloyd iterations — each step re-scans the full
     // vector set, and the decoded double arrays are what every
-    // iteration's dot products consume
-    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    // iteration's dot products consume.
+    // `trainSampleMod = m > 1` trains on the deterministic 1/m sample
+    // `vec_id % m = 0` (the FAISS discipline: Lloyd needs tens of
+    // points per cell, not the corpus — training cost drops m× while
+    // every DOWNSTREAM assignment still covers the full corpus; the
+    // id-mod predicate is exact integer arithmetic, so an oracle
+    // replays the identical sample). Seeds stay `vec_id < numCells`
+    // over the FULL corpus — the same deterministic init at any m. A
+    // cell no sample point lands in drops out of that iteration's
+    // centroid set, exactly as an empty cell already does at m = 1.
+    val vAll = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val v = (if (trainSampleMod == 1) vAll
+             else vAll.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0))
+      .cache()
     // Centroids are materialized to the driver each iteration (the
     // MLlib pattern): the collect is k×d doubles — independent of the
     // vector count — and feeding the next iteration a LITERAL centroid
@@ -342,7 +357,9 @@ object Similarity {
     // relation instead of k×d literal expressions (the L152 form —
     // identical output, spec-enforced; the per-iteration k×d driver
     // transit stays, the plan-size dependence on k goes).
-    var cent: Seq[(Long, Seq[Double])] = v.filter(col("vec_id") < numCells)
+    // seeds come from the FULL corpus (vec_id < numCells — a pushed-down
+    // point-range scan), so the init is identical at any trainSampleMod
+    var cent: Seq[(Long, Seq[Double])] = vAll.filter(col("vec_id") < numCells)
       .select(col("vec_id").cast("long"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
@@ -800,21 +817,61 @@ object Similarity {
     * from both sides (the [[nearDupPairsBlocked]] guard class).
     * Output: (qid, nid, cos, rank) for rank ≤ k — top-k in-probe
     * neighbors per vector, self excluded.
+    *
+    * Geometry IS the scale contract here: per-query candidates are
+    * ≈ probes·N/numCells, so a FIXED cell count makes the candidate
+    * join quadratic in N (measured: 200k vectors at numCells = 8 is
+    * ~10¹⁰ scored pairs — the round-14 sf10 wall). Callers scaling the
+    * corpus must scale the geometry with it — [[autoCells]] encodes
+    * the √N rule as exact integer arithmetic.
+    *
+    * `salt` replicates the member side `salt`× and routes each query
+    * row to `hash(qid) mod salt`, widening the candidate join's key
+    * space from numCells to numCells·salt — output-identical (each
+    * qid probes exactly one replica of every member row), it exists
+    * because a small-nlist join otherwise runs on ≤ numCells cores
+    * (jstack at sf10: 7 of 32 busy). `viaRelation` swaps Lloyd
+    * training and both assignments onto the broadcast centroid
+    * relation ([[assignCellsRelation]]) — the large-nlist form, where
+    * numCells literal expressions would swamp analysis/codegen.
     */
   def ivfKnnGraph(
       vectors: DataFrame, k: Int = 1,
-      numCells: Int = 8, iters: Int = 2, probes: Int = 2): DataFrame = {
+      numCells: Int = 8, iters: Int = 2, probes: Int = 2,
+      viaRelation: Boolean = false, salt: Int = 1,
+      trainSampleMod: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val spark = vectors.sparkSession
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cent = kmeansCentroidSeq(vectors, numCells, iters)
-    val members = assignCells(v, cent, probes = 1)
+    val cent = kmeansCentroidSeq(vectors, numCells, iters, viaRelation,
+      trainSampleMod)
+    val assign: (DataFrame, Int) => DataFrame =
+      if (viaRelation) {
+        val rel = centroidRelation(spark, cent)
+        (df, p) => assignCellsRelation(df, rel, p)
+      } else (df, p) => assignCells(df, cent, p)
+    val members = assign(v, 1)
       .withColumn("nv_nrm", l2norm(col("v")))
       .select(col("vec_id").as("nid"), col("v").as("nv"),
         col("nv_nrm"), col("cell"))
-    val probed = assignCells(v, cent, probes)
+    val probed = assign(v, probes)
       .withColumn("qv_nrm", l2norm(col("v")))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("qv_nrm"), col("cell"))
-    val scored = members.join(probed, Seq("cell"))
+    val scored0 =
+      if (salt == 1) members.join(probed, Seq("cell"))
+      else {
+        // member rows are replicated per salt bucket (broadcast of a
+        // salt-row range — config-sized); each query row lands in ONE
+        // bucket, so the candidate PAIR set is exactly the unsalted
+        // join's — only the task fan-out changes
+        val saltRange = broadcast(
+          spark.range(0, salt).select(col("id").cast("int").as("_salt")))
+        members.crossJoin(saltRange)
+          .join(probed.withColumn("_salt", pmod(hash(col("qid")), lit(salt))),
+            Seq("cell", "_salt"))
+      }
+    val scored = scored0
       .filter(col("qid") =!= col("nid") &&
         col("qv_nrm") > 0 && col("nv_nrm") > 0)
       .select(col("qid"), col("nid"),
@@ -823,6 +880,21 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The √N IVF geometry rule as EXACT integer arithmetic: the
+    * smallest power of two p ≥ 8 with p·p ≥ n, capped at 65536 (the
+    * FAISS nlist guidance — cells ∝ √corpus keeps per-query candidate
+    * work ≈ probes·√N instead of the fixed-nlist quadratic). Integer
+    * comparison only — no sqrt/log2 doubles whose libm rounding could
+    * disagree with the oracle engine's — so a DuckDB mirror
+    * (`min(p) FROM (VALUES ...) WHERE p*p >= n`) picks the identical
+    * geometry on any engine.
+    */
+  def autoCells(n: Long): Int = {
+    var p = 8L
+    while (p * p < n && p < 65536L) p *= 2L
+    p.toInt
   }
 
   /** PageRank centrality over the IVF kNN graph — exemplar selection
@@ -855,7 +927,9 @@ object Similarity {
     * with no cache dependency (the shared-session contract).
     */
   def knnPageRank(vectors: DataFrame, k: Int, numCells: Int, iters: Int,
-      probes: Int, prIters: Int, top: Int): DataFrame = {
+      probes: Int, prIters: Int, top: Int,
+      viaRelation: Boolean = false, salt: Int = 1,
+      trainSampleMod: Int = 1): DataFrame = {
     require(prIters >= 1 && top >= 1, s"bad config ($prIters, $top)")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -866,7 +940,8 @@ object Similarity {
     // error-path rule: nothing may leak into the shared session)
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val out = try {
-      val edges = ivfKnnGraph(vectors, k, numCells, iters, probes)
+      val edges = ivfKnnGraph(vectors, k, numCells, iters, probes,
+        viaRelation, salt, trainSampleMod)
         .select(col("qid").as("src"), col("nid").as("dst"))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val edgesD = edges.join(outdeg, "src").persist(); live += edgesD

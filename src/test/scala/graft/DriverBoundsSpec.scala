@@ -123,7 +123,12 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the driver (the documented kmeansCentroidSeq bound); the SEARCH
     // plan itself adds no collect (index rides broadcast relations)
     ("q187_ivfpq_relation", 4096L, "centroids + sub-codebooks"),
-    ("q188_residual_relation", 4096L, "centroids + residual sub-codebooks"))
+    ("q188_residual_relation", 4096L, "centroids + residual sub-codebooks"),
+    // auto-geometry: cells = autoCells(N) ≤ 65536 but the per-iteration
+    // driver fold is the centroid set only; at the spec's sf0.1 that is
+    // 128 rows/iteration (count() for N is not a collect-class action)
+    ("q191_knn_pagerank_auto", 4096L, "autoCells(N) centroids × Lloyd iterations"),
+    ("q192_knn_pagerank_sampled", 4096L, "autoCells(N) centroids × Lloyd iterations"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;

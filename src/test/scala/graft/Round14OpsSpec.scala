@@ -141,6 +141,85 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaDisk == viaMem, "persisted index diverges from trained index")
   }
 
+  test("autoCells: exact integer √N geometry rule") {
+    // smallest power of two p ≥ 8 with p·p ≥ n, capped at 65536
+    assert(Similarity.autoCells(0) == 8)
+    assert(Similarity.autoCells(50) == 8)    // 8² = 64 ≥ 50
+    assert(Similarity.autoCells(64) == 8)
+    assert(Similarity.autoCells(65) == 16)   // first n needing 16
+    assert(Similarity.autoCells(500) == 32)  // the sf0.01 corpus
+    assert(Similarity.autoCells(200000) == 512) // the sf10 corpus
+    assert(Similarity.autoCells(Long.MaxValue) == 65536) // cap
+  }
+
+  test("ivfKnnGraph: salt and viaRelation are output-identical") {
+    val e = embeddings
+    val base = Similarity.ivfKnnGraph(e, k = 3, numCells = 8,
+      iters = 2, probes = 2).orderBy(col("qid"), col("rank"))
+    for ((vr, s) <- Seq((false, 4), (true, 1), (true, 3))) {
+      val got = Similarity.ivfKnnGraph(e, k = 3, numCells = 8,
+        iters = 2, probes = 2, viaRelation = vr, salt = s)
+        .orderBy(col("qid"), col("rank"))
+      assert(got.columns.toSeq == base.columns.toSeq)
+      assert(rows(got) == rows(base),
+        s"ivfKnnGraph diverges at viaRelation=$vr salt=$s")
+    }
+  }
+
+  test("kmeansCentroidSeq trainSampleMod: m=1 is the default recurrence; sampled training is path-stable") {
+    val e = embeddings
+    val base = Similarity.kmeansCentroidSeq(e, 8, 2)
+    assert(Similarity.kmeansCentroidSeq(e, 8, 2, viaRelation = false,
+      trainSampleMod = 1) == base, "m=1 must be the unsampled recurrence")
+    val s4lit = Similarity.kmeansCentroidSeq(e, 8, 2, viaRelation = false,
+      trainSampleMod = 4)
+    val s4rel = Similarity.kmeansCentroidSeq(e, 8, 2, viaRelation = true,
+      trainSampleMod = 4)
+    assert(s4lit == s4rel, "literal and relation Lloyd diverge under sampling")
+    // the knob must actually change training on this fixture (a sample
+    // that reproduced the full-corpus means would pin nothing)
+    assert(s4lit != base, "fixture sample unexpectedly reproduces full training")
+    // seed stability: iters = 0 means centroids ARE the seeds — the
+    // full-corpus ids < numCells at any m
+    assert(Similarity.kmeansCentroidSeq(e, 8, 0, trainSampleMod = 4) ==
+      Similarity.kmeansCentroidSeq(e, 8, 0),
+      "seeds must come from the full corpus, not the sample")
+  }
+
+  test("knnPageRank: salted relation path matches the literal path") {
+    val e = embeddings
+    val base = Similarity.knnPageRank(e, k = 3, numCells = 8, iters = 2,
+      probes = 2, prIters = 3, top = 20)
+    val got = Similarity.knnPageRank(e, k = 3, numCells = 8, iters = 2,
+      probes = 2, prIters = 3, top = 20, viaRelation = true, salt = 4)
+    assert(got.columns.toSeq == base.columns.toSeq)
+    assert(rows(got) == rows(base),
+      "knnPageRank diverges under viaRelation + salt")
+  }
+
+  test("CurationPipeline stageDir: staged output identical to one-lineage output") {
+    // staging bounds live shuffle to the largest stage (the sf10 disk
+    // fix) — it must change WHERE intermediate bytes live, never the
+    // curated corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val (c0, s0, v0) = CurationPipeline.run(spark, sf,
+      modelGates = true, repairLeaks = true)
+    val (c1, s1, v1) = CurationPipeline.run(spark, sf,
+      modelGates = true, repairLeaks = true, stageDir = Some(dir))
+    def sorted(df: DataFrame) = df.orderBy(df.columns.map(col): _*)
+    for (((a, b), what) <- Seq((c0, c1) -> "curated", (s0, s1) -> "census",
+        (v0, v1) -> "savings")) {
+      assert(a.columns.toSeq == b.columns.toSeq, s"$what schema")
+      assert(rows(sorted(a)) == rows(sorted(b)), s"$what rows diverge")
+    }
+    // the stage boundary actually materialized: every verdict frame on disk
+    val staged = new java.io.File(dir).list().toSet
+    for (n <- Seq("gate", "block", "model", "exact_keep", "near_keep",
+        "split", "leak_ok"))
+      assert(staged.contains(n), s"stage '$n' not materialized in $dir")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("relation search plan carries no index-sized literals") {
     // The point of the swap: the literal plan embeds the index as
     // expressions (k·d doubles in typedLit maps/arrays); the relation
