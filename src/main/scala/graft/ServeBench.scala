@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Similarity}
+
+/** Build-once / serve-many measurement for the persisted ANN index
+  * (BASELINE.md round-14 second wave): every in-repo ANN benchmark
+  * query retrains its index per invocation because the driver's bench
+  * contract is self-contained queries — which makes the BENCH numbers
+  * an index-BUILD benchmark. This main separates the two costs the way
+  * a production deployment does: one timed [[IndexStore.buildIvfPq]]
+  * at the √N geometry, then repeated timed [[IndexStore.serveIvfPq]]
+  * query batches (median), plain and label-filtered.
+  *
+  *   SPARK_GRAFT_SF_DIR  data directory (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS    local[N] = shuffle partitions (default 16)
+  *   SPARK_GRAFT_REPEAT  serve repetitions, median reported (default 5)
+  *
+  * Prints one JSON line: build seconds, serve-batch seconds (10
+  * queries, k=10, probes=2), filtered-serve seconds, geometry.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "5").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val cells = Similarity.autoCells(n)
+    val ck = math.min(cells, 64)
+    val dir = "/tmp/graft_serve_bench/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed {
+      IndexStore.buildIvfPq(e, dir, numCells = cells, cellIters = 2,
+        numSub = 4, codebookK = ck, pqIters = 2)
+    }
+    val q = e.filter(col("vec_id") < 10)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val serveS = median((1 to repeat).map { _ =>
+      timed { IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2).count() }
+    })
+    val allowed = e.filter(col("label") === 3).select(col("vec_id"))
+    val filtS = median((1 to repeat).map { _ =>
+      timed {
+        IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2,
+          allowed = Some(allowed)).count()
+      }
+    })
+    println(s"""{"metric":"serve_bench","n":$n,"cells":$cells,""" +
+      s""""codebook_k":$ck,"build_s":$buildS,"serve_s":$serveS,""" +
+      s""""filtered_serve_s":$filtS,"repeat":$repeat,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

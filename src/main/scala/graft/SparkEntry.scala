@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ControlLaws
-import graft.operators.{Battery, Curation, Dedup, Layout, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
+import graft.operators.{Battery, Curation, Dedup, IndexStore, Layout, Multimodal, Packing, Similarity, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1734,7 +1734,63 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("n_members"))
         .orderBy(col("doc_id"))
     }),
+    // ANN — the index LIFECYCLE closed: train once, PERSIST every
+    // serving artifact as parquet relations (IndexStore), serve the
+    // query batch from the store with no retraining and no corpus-
+    // vector scan. Geometry and arithmetic are q121's verbatim and
+    // parquet round-trips doubles/int64s exactly, so the served result
+    // shares q121's oracle text (hash-match = the round-trip is
+    // bit-exact end to end).
+    "q193_store_serve" -> ((s, dir) => {
+      val store = indexStoreDir(dir)
+      IndexStore.buildIvfPq(Tables.embeddings(s, dir), store,
+        numCells = 8, cellIters = 2, numSub = 4, codebookK = 8,
+        pqIters = 2)
+      IndexStore.serveIvfPq(s, store,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3),
+        k = 5, probes = 2)
+    }),
+    // ANN — FILTERED search at serving time: the (vec_id) allow-list
+    // (label = 3 members only) is semi-joined onto the STORED code
+    // stream BEFORE scoring, so the top-k ranks over exactly the
+    // allowed members (pre-filtering — a post-filtered fixed-k result
+    // would under-fill). Index build is unfiltered (one index serves
+    // every predicate); the oracle is q121's chain with the allow-list
+    // join added at the scoring CTE.
+    "q194_filtered_ann" -> ((s, dir) => {
+      val store = indexStoreDir(dir)
+      IndexStore.buildIvfPq(Tables.embeddings(s, dir), store,
+        numCells = 8, cellIters = 2, numSub = 4, codebookK = 8,
+        pqIters = 2)
+      val allowed = Tables.embeddings(s, dir)
+        .filter(col("label") === 3).select(col("vec_id"))
+      IndexStore.serveIvfPq(s, store,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3),
+        k = 5, probes = 2, allowed = Some(allowed))
+    }),
   )
+
+  /** Per-SF scratch path for the q193/q194 index store — derived from
+    * the data dir so concurrent SFs never collide; rebuilt (overwrite)
+    * on every invocation for determinism.
+    */
+  private def indexStoreDir(dir: String): String =
+    "/tmp/graft_index_store/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q121's oracle text with the filtered-ANN allow-list (label = 3)
+    * joined into the scoring CTE — the SQL mirror of serving with
+    * `allowed` (vec_id is unique, so an inner join ≡ the semi-join).
+    * The require() guards the anchor: a reworded q121 oracle fails
+    * loudly here instead of silently shipping an UNfiltered q194
+    * oracle.
+    */
+  private def withMemberAllowList(sql: String): String = {
+    val anchor = "JOIN members mb ON mb.vec_id = f.vec_id"
+    require(sql.contains(anchor), "q121 oracle scoring anchor not found")
+    sql.replace(anchor,
+      "JOIN embeddings al ON al.vec_id = f.vec_id AND al.label = 3\n" +
+        "                  " + anchor)
+  }
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
     * source (seq = row-number bucket, bytes = summed n_chars) — a
@@ -1760,6 +1816,13 @@ object SparkEntry {
     "q186_ivf_maintain" -> ivfMaintainSql,
     "q187_ivfpq_relation" -> oracleSqlBase("q121_ivfpq_topk"),
     "q188_residual_relation" -> oracleSqlBase("q171_ivfpq_residual"),
+    // the store round-trip serves q121's exact result (parquet stores
+    // doubles/int64 exactly) — the oracle is shared verbatim
+    "q193_store_serve" -> oracleSqlBase("q121_ivfpq_topk"),
+    // q121's chain with the label allow-list joined at the scoring CTE
+    // — the oracle mirror of the pre-scoring semi-join
+    "q194_filtered_ann" -> withMemberAllowList(
+      oracleSqlBase("q121_ivfpq_topk")),
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
          p AS (SELECT i, j,
                  len(list_intersect(si.sh, sj.sh))::DOUBLE

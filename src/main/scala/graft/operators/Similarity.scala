@@ -1642,7 +1642,7 @@ object Similarity {
     * — the shared front of every relation-path encode/table build. The
     * unrolled array is numSub entries (config-sized, not index-sized).
     */
-  private def subSliced(df: DataFrame, numSub: Int, w: Int): DataFrame =
+  private[graft] def subSliced(df: DataFrame, numSub: Int, w: Int): DataFrame =
     df.select(col("vec_id"), explode(array((0 until numSub).map(sub =>
         struct(lit(sub).as("sub"), slice(col("v"), sub * w + 1, w).as("sv"))
       ): _*)).as("e"))
@@ -1654,7 +1654,7 @@ object Similarity {
     * then the [[assignCellsRelation]] argmax per (vec_id, sub). Emits
     * (vec_id, sub, code) — [[pqCodes]]' exact rows.
     */
-  private def encodeViaRelation(vSub: DataFrame, bookRel: DataFrame): DataFrame = {
+  private[graft] def encodeViaRelation(vSub: DataFrame, bookRel: DataFrame): DataFrame = {
     val sim = when(col("cnrm") === 0.0, lit(0.0))
       .otherwise(when(col("_svnrm") > 0,
         dot_product(col("sv"), col("cv")) / (col("_svnrm") * col("cnrm")))
@@ -1695,6 +1695,48 @@ object Similarity {
     val bookRel = codebookRelation(spark, w, books)
     val codes = encodeViaRelation(subSliced(v, numSub, w), bookRel)
       .join(memberCells, "vec_id")
+    ivfPqServe(codes, centRel, bookRel, queries, k, probes, numSub, w,
+      precomputedProbes = Some(probeCells))
+  }
+
+  /** The pure ADC SERVING stage of the relation-path IVF-PQ search —
+    * the query-time half with training and corpus encoding amortized
+    * away. Everything corpus-sized arrives ALREADY ENCODED: `codes` is
+    * the (vec_id, cell, sub, code) int stream, `centRel`/`bookRel` are
+    * [[centroidRelation]]/[[codebookRelation]]-schema frames — in
+    * production all three are simply READ from the index store's
+    * parquet ([[IndexStore]]), so a query batch costs one probe
+    * assignment over the QUERIES, one broadcast of the query-sized
+    * distance tables, and one scan of the probed code stream; the
+    * index is never retrained and the d-dim corpus vectors are never
+    * touched. Arithmetic, fold order, rounding and tie-breaks are
+    * [[ivfPqTopK]]'s verbatim (the store round-trip spec pins
+    * serve-from-parquet ≡ in-memory relation path bit-for-bit).
+    *
+    * `allowed` is the METADATA FILTER of filtered ANN search: an
+    * optional (vec_id)-keyed allow-list semi-joined onto the code
+    * stream BEFORE scoring — pre-filtering, so the top-k ranks over
+    * exactly the allowed members (post-filtering a fixed-k result
+    * would under-fill; at high selectivity a caller widens `probes`,
+    * the standard recall/selectivity trade). The allow-list join is
+    * corpus-shaped and columnar (two ints), and a parquet-backed
+    * allow-list predicate pushes down to the scan.
+    */
+  def ivfPqServe(codes: DataFrame, centRel: DataFrame, bookRel: DataFrame,
+      queries: DataFrame, k: Int, probes: Int, numSub: Int, w: Int,
+      allowed: Option[DataFrame] = None,
+      precomputedProbes: Option[DataFrame] = None): DataFrame = {
+    require(k > 0 && probes > 0, s"bad serve config: k=$k probes=$probes")
+    val probeCells = precomputedProbes.getOrElse {
+      val qv = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      assignCellsRelation(qv, centRel, probes)
+        .select(col("vec_id").as("qid"), col("cell"))
+    }
+    val served = allowed match {
+      case Some(a) =>
+        codes.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => codes
+    }
     val q = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
@@ -1710,7 +1752,7 @@ object Similarity {
         dot_product(col("sv"), col("cv")).as("pd"), col("cn2"))
       .join(q.select(col("qid"), col("qnrm")), "qid")
       .join(probeCells, "qid")
-    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+    val scored = served.join(broadcast(tables), Seq("cell", "sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(min(col("qnrm")).as("qnrm"),

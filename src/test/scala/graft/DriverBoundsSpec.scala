@@ -128,7 +128,12 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // driver fold is the centroid set only; at the spec's sf0.1 that is
     // 128 rows/iteration (count() for N is not a collect-class action)
     ("q191_knn_pagerank_auto", 4096L, "autoCells(N) centroids × Lloyd iterations"),
-    ("q192_knn_pagerank_sampled", 4096L, "autoCells(N) centroids × Lloyd iterations"))
+    ("q192_knn_pagerank_sampled", 4096L, "autoCells(N) centroids × Lloyd iterations"),
+    // store lifecycle: BUILD folds k×d centroids (the documented Lloyd
+    // bound) + one meta row; SERVE's only driver action is the 1-row
+    // meta head — the search plan itself is relations end to end
+    ("q193_store_serve", 4096L, "build-time Lloyd folds + 1-row meta"),
+    ("q194_filtered_ann", 4096L, "build-time Lloyd folds + 1-row meta"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;
