@@ -72,6 +72,7 @@ object CurationPipeline {
       gateFirst: Boolean = true,
       modelGates: Boolean = false,
       repairLeaks: Boolean = false,
+      leakLsh: Boolean = false,
       stageDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
     // stage boundary: materialize an id-keyed verdict frame and cut its
     // lineage (parquet round-trip + a GC nudge so ContextCleaner
@@ -149,7 +150,15 @@ object CurationPipeline {
       if (!repairLeaks)
         docs.select(col("doc_id"), lit(true).as("__kl"))
       else staged("leak_ok",
-        Curation.splitLeakRepair(docs, "doc_id", "text")
+        // `leakLsh` is the 10×-scale configuration (the q62→q78 gated
+        // swap): the exact PPJoin repair is the audit path, and at
+        // sf10-skew its prefix filter measured 1.38 BILLION candidates
+        // — content-quadratic, beyond one box's disk even with the
+        // candidate-set job boundary below. The banded-MinHash repair
+        // is candidate-bounded at any corpus size.
+        (if (leakLsh) Curation.splitLeakRepairLsh(docs, "doc_id", "text")
+         else Curation.splitLeakRepair(docs, "doc_id", "text",
+           candStage = stageDir.map(d => s"$d/leak_cand")))
           .select(col("doc_id"), (col("action") === "keep").as("__kl")))
     val curated = docs
       .select(col("doc_id"), col("source"),
@@ -204,6 +213,7 @@ object CurationPipeline {
     val flags = args.drop(2).toSet
     val modelGates = flags.contains("modelGates")
     val repairLeaks = flags.contains("repairLeaks")
+    val leakLsh = flags.contains("leakLsh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -215,7 +225,7 @@ object CurationPipeline {
     val t0 = System.nanoTime()
     val (curated, census, savings) = run(spark, sfDir,
       modelGates = modelGates, repairLeaks = repairLeaks,
-      stageDir = Some(s"$outDir/_stages"))
+      leakLsh = leakLsh, stageDir = Some(s"$outDir/_stages"))
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")

@@ -1768,6 +1768,15 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") < 3),
         k = 5, probes = 2, allowed = Some(allowed))
     }),
+    // Curation — leak repair at SCALE geometry: pair generation swaps
+    // from the exact PPJoin (q167 — the audit path, measured
+    // content-quadratic at sf10-skew: 1.38e9 candidates) to the
+    // portable banded-MinHash chain (candidate-bounded, the q189/q190
+    // sf1-verifiable twin); repair verdicts shared verbatim. Oracle
+    // replays the WHOLE banded chain + the q167 split/repair CTEs.
+    "q195_leak_repair_lsh" -> ((s, dir) =>
+      Curation.splitLeakRepairLsh(Tables.documents(s, dir), "doc_id",
+        "text").orderBy(col("doc_id"))),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1831,6 +1840,42 @@ object SparkEntry {
                          JOIN s sj ON sj.doc_id = cand.j)
          SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
          ORDER BY i, j"""),
+    // the portable banded chain (verified pairs at jac >= 0.7) feeding
+    // q167's split/repair CTEs verbatim — the scale-path leak repair
+    "q195_leak_repair_lsh" -> ("WITH " + minhash16Chain + """,
+         p AS (SELECT i, j
+               FROM cand JOIN s si ON si.doc_id = cand.i
+                         JOIN s sj ON sj.doc_id = cand.j
+               WHERE len(list_intersect(si.sh, sj.sh))::DOUBLE
+                   / len(list_distinct(list_concat(si.sh, sj.sh))) >= 0.7),
+         hh AS (SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS h
+                FROM documents),
+         sp AS (SELECT doc_id,
+                  CASE WHEN h16 < 52429 THEN 'train'
+                       WHEN h16 < 58982 THEN 'valid' ELSE 'test' END AS split,
+                  CASE WHEN h16 < 52429 THEN 0
+                       WHEN h16 < 58982 THEN 1 ELSE 2 END AS rk
+                FROM (SELECT doc_id,
+                        (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                          * 4096
+                      + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                          * 256
+                      + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)
+                          * 16
+                      + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+                          AS h16
+                      FROM hh)),
+         x AS (SELECT CASE WHEN a.rk < b.rk THEN p.i ELSE p.j END AS did
+               FROM p JOIN sp a ON a.doc_id = p.i
+               JOIN sp b ON b.doc_id = p.j
+               WHERE a.split <> b.split),
+         d AS (SELECT did AS doc_id, count(*)::BIGINT AS n_leak_pairs
+               FROM x GROUP BY 1)
+         SELECT sp.doc_id, sp.split,
+           CASE WHEN d.doc_id IS NULL THEN 'keep' ELSE 'drop_leak' END
+             AS action,
+           coalesce(d.n_leak_pairs, 0)::BIGINT AS n_leak_pairs
+         FROM sp LEFT JOIN d USING (doc_id) ORDER BY sp.doc_id"""),
     "q190_minhash16_clusters" -> ("WITH RECURSIVE " + minhash16Chain + """,
          p AS MATERIALIZED (SELECT i, j
                FROM cand JOIN s si ON si.doc_id = cand.i

@@ -531,11 +531,20 @@ object Curation {
     * can compute in place).
     */
   def splitCol(idCol: String,
+      cut1: Int = 52429, cut2: Int = 58982, seed: Int = 42): Column =
+    splitColOf(col(idCol), cut1, cut2, seed)
+
+  /** [[splitCol]] over an arbitrary id EXPRESSION — for call sites
+    * where the id is not a top-level named column (e.g. each side of a
+    * self-join, where the verdict must be computed on `a.doc_id` /
+    * `b.doc_id` in place).
+    */
+  def splitColOf(id: Column,
       cut1: Int = 52429, cut2: Int = 58982, seed: Int = 42): Column = {
     require(0 < cut1 && cut1 < cut2 && cut2 < 65536,
       s"need 0 < cut1 < cut2 < 65536: $cut1 $cut2")
     val h16 = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
+      md5(concat(id.cast("string"), lit(":" + seed))), 1, 4), 16, 10)
       .cast("int")
     when(h16 < cut1, "train").when(h16 < cut2, "valid").otherwise("test")
   }
@@ -837,9 +846,56 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      candStage: Option[String] = None): DataFrame = {
+    // only CROSS-split pairs can be leaks, and the split verdict is a
+    // pure md5 column of the id — push split(i) ≠ split(j) into the
+    // candidate join so the ~66% same-split pair bulk (80/10/10
+    // splits) is never generated, deduped, or verified. Output is
+    // unchanged: the downstream __sa ≠ __sb filter was dropping
+    // exactly those pairs (spec-pinned predicate≡post-filter equality).
+    // `candStage` forwards the candidate-set job boundary (see
+    // ngramJaccardJoin) — the stage this repair runs in is the
+    // pipeline's disk high-water mark at 10×-scale skew.
     val pairs = Dedup.ngramJaccardJoin(docs, idCol, textCol,
+      threshold = threshold,
+      pairPredicate = Some((i, j) => splitColOf(i) =!= splitColOf(j)),
+      candStage = candStage)
+    leakRepairFromPairs(pairs, docs, idCol)
+  }
+
+  /** [[splitLeakRepair]]'s SCALE path — the q62→q78 gated-swap
+    * discipline applied to leak repair: pair generation swaps from the
+    * exact PPJoin to the portable banded MinHash chain
+    * ([[Dedup.minhashLshPortable]] — candidate-bounded, sf1-oracle-
+    * verifiable), the repair verdict logic is shared verbatim. The
+    * exact path is the AUDIT configuration: at sf10-skew its prefix
+    * filter measured 1.38 BILLION candidates (threshold 0.5 prefixes
+    * are half of every document, and skewed mid-frequency shingles pair
+    * quadratically) — the verify stage alone exceeds a single box's
+    * disk. The banded chain's candidates are near-dup-rate-sized at
+    * any corpus size (hot buckets capped), at banding's documented
+    * recall trade: every VERIFIED pair is a true jac ≥ τ pair (so
+    * every drop is justified — spec-pinned subset of the exact path's
+    * drops), a banding-missed pair is a missed repair, the same recall
+    * argument as q19 vs q53.
+    */
+  def splitLeakRepairLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minhashLshPortable(docs, idCol, textCol,
       threshold = threshold)
+    leakRepairFromPairs(pairs, docs, idCol)
+  }
+
+  /** Shared repair tail: cross-split pairs drop their less-protected
+    * member (train < valid < test), verdict per doc with leak-pair
+    * count. `pairs` must carry (i, j) doc-id columns.
+    */
+  private def leakRepairFromPairs(pairs: DataFrame, docs: DataFrame,
+      idCol: String): DataFrame = {
     val rk = when(col("split") === "train", 0)
       .when(col("split") === "valid", 1).otherwise(2)
     val sp = docs.select(col(idCol).as("doc_id"),

@@ -558,13 +558,40 @@ object Dedup {
     * are near-identical at scale (then every list is hot), where a
     * pair lost to the cap shares nothing but degenerate boilerplate.
     */
+  /** @param pairPredicate optional predicate over the two candidate
+    *   doc ids, pushed INTO the candidate self-join. Exactness is
+    *   preserved for the restricted pair population: the output equals
+    *   the unrestricted join filtered by the same predicate
+    *   (spec-pinned) — but pairs failing the predicate are never
+    *   materialized, so the candidate stream, its distinct() exchange,
+    *   and the verify joins all shrink by the predicate's selectivity.
+    *   The leak-repair caller passes split(i) ≠ split(j): only ~34% of
+    *   an 80/10/10-split corpus's pairs are cross-split, and the
+    *   same-split 66% were ALL being generated, deduped, and verified
+    *   just to be dropped by the downstream filter (the measured sf10
+    *   leak-stage disk death: >76 GB of candidate shuffle).
+    * @param candStage optional parquet path: materialize the CANDIDATE
+    *   id-pair set (two longs per row — megabytes where the shuffles
+    *   behind it are tens of GB) at a job boundary before verification.
+    *   The L159 staging discipline pushed INTO the operator: candidate
+    *   generation (posting explode → freq join → prefix window → pair
+    *   join → distinct) and verification (two array-carrying id joins)
+    *   are the two disk-heavy phases, and in one lineage their shuffle
+    *   files are LIVE SIMULTANEOUSLY — measured 93 GB at sf10-skew,
+    *   over this box's disk even after the predicate pushdown. Staged,
+    *   the candidate-gen shuffle is reclaimed before verify's
+    *   exchanges start; peak = max(phase), not sum. Output identical
+    *   (pure materialization — spec-pinned).
+    */
   def ngramJaccardJoin(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      maxPosting: Int = 100000): DataFrame = {
+      maxPosting: Int = 100000,
+      pairPredicate: Option[(Column, Column) => Column] = None,
+      candStage: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = hashedShingles(df, idCol, textCol, shingleN)
     val posts = hashed.select(col("doc_id"), size(col("shh")).as("n"),
@@ -600,13 +627,27 @@ object Dedup {
     // so every emitted jac is the true Jaccard. The length filter
     // (min ≥ τ·max, ε-relaxed the safe direction) prunes pairs no
     // verify could pass.
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
+    val basePred = col("a.h") === col("b.h") &&
+      col("a.doc_id") < col("b.doc_id") &&
+      least(col("a.n"), col("b.n")).cast("double") >=
+        lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9)
+    val joinPred = pairPredicate.fold(basePred)(p =>
+      basePred && p(col("a.doc_id"), col("b.doc_id")))
+    val candLazy = capped.as("a")
+      .join(capped.as("b"), joinPred)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+    val cand = candStage match {
+      case Some(p) =>
+        candLazy.write.mode("overwrite").parquet(p)
+        // same settle as CurationPipeline.staged: the ContextCleaner
+        // frees shuffle files off a GC-fed weak-ref queue — nudge and
+        // give it a moment before verify starts writing its own
+        System.gc()
+        Thread.sleep(3000)
+        df.sparkSession.read.parquet(p)
+      case None => candLazy
+    }
     cand
       .join(hashed.select(col("doc_id").as("i"), col("shh").as("__shh_i")), "i")
       .join(hashed.select(col("doc_id").as("j"), col("shh").as("__shh_j")), "j")

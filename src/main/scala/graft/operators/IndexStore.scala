@@ -94,4 +94,59 @@ object IndexStore {
       cent: Seq[(Long, Seq[Double])]): Unit =
     Similarity.centroidRelation(spark, cent)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+
+  /** Append an ingest batch to the persisted index WITHOUT retraining
+    * (how a real system absorbs arrivals — new vectors go to their
+    * nearest existing cell, encoded against the existing codebooks):
+    * one broadcast assignment + encode over the BATCH only, appended
+    * to the code stream. Staleness introduced here is exactly what the
+    * q181 drift readout measures and the q186 maintain action repairs.
+    */
+  def appendVectors(vectors: DataFrame, dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val centRel = spark.read.parquet(s"$dir/centroids")
+    val bookRel = spark.read.parquet(s"$dir/codebooks")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val numSub = meta.getAs[Int]("num_sub")
+    val w = meta.getAs[Int]("w")
+    val v = vectors.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cells = Similarity.assignCellsRelation(v, centRel, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    Similarity.encodeViaRelation(Similarity.subSliced(v, numSub, w), bookRel)
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Membership refresh after [[writeCentroids]]: reassign every
+    * vector to the REFRESHED stored centroids and rewrite the code
+    * stream's `cell` column. sub/code stay — a coarse refresh moves
+    * cell boundaries, not the PQ codebooks — so this is the cheap
+    * half of maintenance: one map-side assignment over the vectors
+    * plus a narrow codes rewrite, never a retrain. Staged write +
+    * swap (the compactionRewrite discipline): the new codes land in
+    * `codes_tmp`, are row-count-verified, then swapped in — a reader
+    * never sees a half-written stream.
+    */
+  def reassignCells(vectors: DataFrame, dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val centRel = spark.read.parquet(s"$dir/centroids")
+    val v = vectors.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cells = Similarity.assignCellsRelation(v, centRel, probes = 1)
+      .select(col("vec_id"), col("cell"))
+    val oldCodes = spark.read.parquet(s"$dir/codes")
+    val nOld = oldCodes.count()
+    oldCodes.drop("cell").join(cells, "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/codes_tmp")
+    val nNew = spark.read.parquet(s"$dir/codes_tmp").count()
+    require(nNew == nOld,
+      s"reassignCells row-count drift: $nOld codes -> $nNew; aborting swap")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/codes_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes"))
+  }
 }

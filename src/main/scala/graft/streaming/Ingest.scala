@@ -801,4 +801,53 @@ object Ingest {
         act(batch.collect().toSeq.map(r =>
           (r.getString(0), r.getDouble(1))))
       }
+
+  /** The index-maintenance loop's streaming twin (batch:
+    * Similarity.ivfIndexMaintain + IndexStore.writeCentroids/
+    * reassignCells): each micro-batch of newly-ingested vectors
+    * triggers the q186 decision over base ∪ everything-arrived-so-far,
+    * persists the maintained centroid set into the store, refreshes
+    * every member's cell assignment, and appends one decision row to
+    * `storeDir/maintenance_log` — the full refresh-vs-rebuild ACTION
+    * running continuously instead of as a scheduled batch job.
+    *
+    * foreachBatch (not a row transform) because maintenance is a
+    * side-effecting decision over the WHOLE corpus: Lloyd needs every
+    * vector, and the artifacts it rewrites (centroids, codes) live in
+    * the store, not in the stream. The stream carries only the
+    * ARRIVALS; `base` is the already-indexed corpus (in production: a
+    * parquet read of the vector table the store was built from). The
+    * spec pins stream ≡ batch: one fed micro-batch must leave the
+    * store exactly as the batch API sequence does.
+    *
+    * `deltaMod` keeps ivfIndexMaintain's id-mod batch definition so
+    * the decision readout (and its oracle, q186) is replayed verbatim;
+    * arrivals are expected to be the id-mod batch rows.
+    */
+  def ivfMaintainSink(arrivals: DataFrame, base: DataFrame,
+      storeDir: String, checkpointDir: String, numCells: Int, iters: Int,
+      deltaMod: Int, churnThreshold: Double) =
+    arrivals.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val arrived = batch.select(col("vec_id"), col("embedding"))
+        val merged = base.select(col("vec_id"), col("embedding"))
+          .unionAll(arrived)
+        // 1. absorb: encode arrivals against the EXISTING index
+        graft.operators.IndexStore.appendVectors(arrived, storeDir)
+        // 2. decide: the q186 refresh-vs-rebuild readout over merged
+        val (readout, maintained) = graft.operators.Similarity
+          .ivfIndexMaintain(merged, numCells, iters, deltaMod,
+            churnThreshold)
+        // 3. repair: persist the maintained centroids, refresh every
+        //    member's cell against them (codebooks/codes untouched)
+        graft.operators.IndexStore
+          .writeCentroids(batch.sparkSession, storeDir, maintained)
+        graft.operators.IndexStore.reassignCells(merged, storeDir)
+        readout.withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append")
+          .parquet(s"$storeDir/maintenance_log")
+        ()
+      }
 }

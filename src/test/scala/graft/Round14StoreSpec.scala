@@ -93,6 +93,116 @@ class Round14StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.count() == 0L)
   }
 
+  test("ngramJaccardJoin pairPredicate equals the unrestricted join post-filtered") {
+    import graft.operators.{Curation, Dedup}
+    val docs = Tables.documents(spark, sf)
+    val pred: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column =
+      (i, j) => Curation.splitColOf(i) =!= Curation.splitColOf(j)
+    val pushed = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5, pairPredicate = Some(pred))
+      .orderBy(col("i"), col("j"))
+    val post = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5)
+      .filter(pred(col("i"), col("j")))
+      .orderBy(col("i"), col("j"))
+    assert(rows(pushed) == rows(post),
+      "pushed pair predicate diverges from post-filtering")
+    // candidate-set staging is pure materialization — output identical
+    val staged = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5, pairPredicate = Some(pred),
+      candStage = Some(tmpDir("cand") + "/cand"))
+      .orderBy(col("i"), col("j"))
+    assert(rows(staged) == rows(pushed),
+      "candStage materialization changed the pair set")
+    // and the pushed set is non-trivial on the fixture (the spec must
+    // not pass vacuously on an empty pair set)
+    assert(pushed.count() > 0 ||
+      Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.5)
+        .count() == 0)
+  }
+
+  test("LSH leak repair drops only docs the exact repair also drops (gated-swap subset)") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    // every LSH-verified pair is a true jac >= 0.7 pair, and
+    // jac >= 0.7 cross-split pairs are a subset of the exact path's
+    // jac >= 0.5 pair set — so the LSH drop set must be contained in
+    // the exact drop set (a banding miss loses a repair, never
+    // invents one)
+    val lsh = Curation.splitLeakRepairLsh(docs, "doc_id", "text")
+      .filter(col("action") === "drop_leak")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val exact = Curation.splitLeakRepair(docs, "doc_id", "text")
+      .filter(col("action") === "drop_leak")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH repair dropped docs the exact repair keeps: ${lsh -- exact}")
+    // and both verdicts cover every document exactly once
+    assert(Curation.splitLeakRepairLsh(docs, "doc_id", "text").count()
+      == docs.count())
+  }
+
+  test("streaming maintenance loop leaves the store exactly as the batch API sequence") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    val e = embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 9)
+    val arrivalRows = e.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(arrivalRows.nonEmpty)
+    // store A: maintained by the STREAM sink
+    val dirA = tmpDir("stream-a")
+    IndexStore.buildIvfPq(base, dirA, numCells = 6, cellIters = 2,
+      numSub = 4, codebookK = 6, pqIters = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Ingest.ivfMaintainSink(
+      mem.toDS().toDF("vec_id", "embedding"), base, dirA,
+      tmpDir("stream-ckpt"), numCells = 6, iters = 2, deltaMod = 10,
+      churnThreshold = 0.1).start()
+    try {
+      mem.addData(arrivalRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // store B: the same lifecycle through the BATCH API
+    val dirB = tmpDir("stream-b")
+    IndexStore.buildIvfPq(base, dirB, numCells = 6, cellIters = 2,
+      numSub = 4, codebookK = 6, pqIters = 2)
+    val arrived = e.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+    val merged = base.select(col("vec_id"), col("embedding"))
+      .unionAll(arrived)
+    IndexStore.appendVectors(arrived, dirB)
+    val (readout, maintained) = Similarity.ivfIndexMaintain(merged,
+      numCells = 6, iters = 2, deltaMod = 10, churnThreshold = 0.1)
+    IndexStore.writeCentroids(spark, dirB, maintained)
+    IndexStore.reassignCells(merged, dirB)
+    def sortedRows(path: String, keys: String*): Seq[Seq[Any]] =
+      rows(spark.read.parquet(path).orderBy(keys.map(col): _*))
+    assert(sortedRows(s"$dirA/centroids", "cid")
+      == sortedRows(s"$dirB/centroids", "cid"),
+      "stream-maintained centroids diverge from the batch sequence")
+    assert(sortedRows(s"$dirA/codes", "vec_id", "sub")
+      == sortedRows(s"$dirB/codes", "vec_id", "sub"),
+      "stream-maintained codes diverge from the batch sequence")
+    // the decision log carries the batch readout verbatim (+ batch_id)
+    val logged = spark.read.parquet(s"$dirA/maintenance_log")
+    assert(logged.count() == 1L)
+    val lr = logged.select("n_total", "n_batch", "n_moved", "churn",
+      "decision").head()
+    val br = readout.head()
+    assert(lr.toSeq == br.toSeq,
+      s"logged decision ${lr.toSeq} != batch readout ${br.toSeq}")
+    // serving from either store is identical
+    val qv = e.filter(col("vec_id") < 3)
+    assert(rows(IndexStore.serveIvfPq(spark, dirA, qv, k = 4, probes = 2))
+      == rows(IndexStore.serveIvfPq(spark, dirB, qv, k = 4, probes = 2)))
+  }
+
   test("maintenance refresh persisted via writeCentroids changes serving like the in-memory set") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 3)
