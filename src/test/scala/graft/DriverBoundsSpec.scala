@@ -145,7 +145,11 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val lazyOps: Seq[String] = Seq("q165_binary_recall",
     "q173_zorder_layout", "q174_compaction_plan", "q175_hard_negatives",
     "q176_zorder_pruning", "q177_layout_health", "q178_curve_pruning",
-    "q179_eqdepth_pruning", "q180_bloom_skipping", "q182_maxsim_topk")
+    "q179_eqdepth_pruning", "q180_bloom_skipping", "q182_maxsim_topk",
+    // the LSH leak repair is one declarative chain end to end: banded
+    // candidates → exact-Jaccard verify → split verdicts — no Lloyd,
+    // no CC checkpoint loop, nothing driver-sized
+    "q195_leak_repair_lsh")
 
   test("documented driver folds stay bounded at sf0.1 (no corpus-sized collect)") {
     val corpusRows = 5000L // sf0.1 documents = 5k, embeddings = 2k
