@@ -1777,6 +1777,12 @@ object SparkEntry {
     "q195_leak_repair_lsh" -> ((s, dir) =>
       Curation.splitLeakRepairLsh(Tables.documents(s, dir), "doc_id",
         "text").orderBy(col("doc_id"))),
+    // Curation — weighted sample WITHOUT replacement, P ∝ token count
+    // (Efraimidis–Spirakis pairwise law via integer ticket replication
+    // — md5-only arithmetic, no float RNG, oracle replays every ticket)
+    "q196_weighted_sample" -> ((s, dir) =>
+      Curation.weightedPrioritySample(Tables.documents(s, dir), "doc_id",
+        "text", n = 100)),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1840,6 +1846,21 @@ object SparkEntry {
                          JOIN s sj ON sj.doc_id = cand.j)
          SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.7
          ORDER BY i, j"""),
+    // every ticket replayed bit-for-bit: md5(id#seed#t) minima over the
+    // clamped integer ticket count — no float RNG on either engine
+    "q196_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+                FROM documents),
+         w AS (SELECT doc_id, n_tokens,
+                 greatest(1, least(n_tokens, 256))::BIGINT AS w_tickets
+               FROM t),
+         k AS (SELECT doc_id, n_tokens, w_tickets,
+                 list_min([md5(doc_id::VARCHAR || '#7#' || tt::VARCHAR)
+                           for tt in range(0, w_tickets)]) AS key
+               FROM w)
+         SELECT doc_id, n_tokens, w_tickets, key FROM k
+         ORDER BY key, doc_id LIMIT 100""",
     // the portable banded chain (verified pairs at jac >= 0.7) feeding
     // q167's split/repair CTEs verbatim — the scale-path leak repair
     "q195_leak_repair_lsh" -> ("WITH " + minhash16Chain + """,

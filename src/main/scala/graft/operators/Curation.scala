@@ -917,6 +917,55 @@ object Curation {
         coalesce(col("__n"), lit(0L)).as("n_leak_pairs"))
   }
 
+  /** Weighted-priority sample WITHOUT replacement — "pick n documents
+    * with probability proportional to token count" (the
+    * exposure-weighted subsample a token-budgeted mixture actually
+    * wants, where the q115/q140 samplers are per-source-rate /
+    * per-stratum-count): each document gets `w` integer TICKETS
+    * (w = clamp(n_tokens, 1, maxTickets)), every ticket draws the
+    * md5(id#seed#ticket) hash, and the document's PRIORITY is its
+    * minimum ticket hash. Ranking by that priority is a weighted
+    * random permutation — P(doc i outranks j) = wᵢ/(wᵢ+wⱼ) exactly,
+    * the Efraimidis–Spirakis pairwise law — and the top-n prefix is
+    * the weighted sample without replacement. All arithmetic is
+    * md5-on-integers: no float RNG, no ln/pow whose last-ulp could
+    * diverge between engines — the oracle replays every ticket
+    * bit-for-bit (the same exact-contract discipline as the q189
+    * portable minhash).
+    *
+    * Scale shape: the ticket explode is corpus×min(w, maxTickets)
+    * narrow rows folded by a map-side-partial min per doc — one
+    * aggregation exchange of (doc, 32-char hash) rows; `maxTickets`
+    * caps both the blowup and the weight RESOLUTION (a 10⁶-token doc
+    * counts as maxTickets — the documented trade; raise it when the
+    * weight ceiling matters more than the explode factor). The top-n
+    * is a TakeOrdered, never a global sort.
+    */
+  def weightedPrioritySample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxTickets: Int = 256,
+      seed: Int = 7): DataFrame = {
+    require(n > 0 && maxTickets > 0,
+      s"need n > 0 and maxTickets > 0: $n, $maxTickets")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("w_tickets",
+        greatest(lit(1L), least(col("n_tokens"), lit(maxTickets.toLong))))
+    base
+      .select(col("doc_id"), col("n_tokens"), col("w_tickets"),
+        explode(sequence(lit(0L), col("w_tickets") - 1)).as("t"))
+      .select(col("doc_id"), col("n_tokens"), col("w_tickets"),
+        md5(concat(col("doc_id").cast("string"), lit(s"#$seed#"),
+          col("t").cast("string"))).as("tk"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("w_tickets"))
+      .agg(min(col("tk")).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(n)
+  }
+
   /** Mixture-rate plan — the bridge from the temperature MIXTURE
     * (L119/q153: what shares the training mix SHOULD have) to the
     * seeded SAMPLER (L81/q115: integer num/den keep rates executed at

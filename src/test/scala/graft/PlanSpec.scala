@@ -671,4 +671,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kOnly == kAudit, s"estimate drifted: $kOnly vs $kAudit")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("store serving broadcasts query-sized sides and prunes the code scan (q193/q194)") {
+    import graft.operators.IndexStore
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planspec-store").toString
+    val e = Tables.embeddings(spark, sf)
+    IndexStore.buildIvfPq(e, dir, numCells = 6, cellIters = 2,
+      numSub = 4, codebookK = 6, pqIters = 2)
+    val served = IndexStore.serveIvfPq(spark, dir,
+      e.filter(col("vec_id") < 3), k = 4, probes = 2)
+    served.collect() // finalize AQE
+    val p = served.queryExecution.executedPlan.toString
+    // the distance tables (query-sized) broadcast onto the code stream
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the corpus-sized side (the codes scan) reads ONLY index ints —
+    // a serve must never rehydrate anything embedding-sized; the
+    // QUERY-side scans read embeddings legitimately (query-bounded)
+    val codesScan = p.linesIterator.filter(_.contains("/codes"))
+      .mkString("\n")
+    assert(codesScan.nonEmpty, "no codes scan found: " + p.take(3000))
+    assert(!codesScan.contains("embedding"),
+      "codes scan rehydrates embeddings: " + codesScan.take(2000))
+    // filtered serve: the allow-list rides a broadcast semi join
+    val filt = IndexStore.serveIvfPq(spark, dir,
+      e.filter(col("vec_id") < 3), k = 4, probes = 2,
+      allowed = Some(e.filter(col("label") === 3).select(col("vec_id"))))
+    filt.collect()
+    val pf = filt.queryExecution.executedPlan.toString
+    assert(pf.contains("LeftSemi"), pf.take(3000))
+    assert(pf.contains("BroadcastHashJoin"), pf.take(3000))
+  }
 }

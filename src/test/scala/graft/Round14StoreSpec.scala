@@ -122,6 +122,39 @@ class Round14StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() == 0)
   }
 
+  test("weighted priority sample: deterministic, clamped, min-key monotone in tickets") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count().toInt
+    val a = Curation.weightedPrioritySample(docs, "doc_id", "text",
+      n = total + 10)
+    val b = Curation.weightedPrioritySample(docs, "doc_id", "text",
+      n = total + 10)
+    assert(rows(a) == rows(b), "sample is not deterministic")
+    assert(a.count() == total.toLong, "n >= corpus must return every doc")
+    // clamp law: 1 <= w_tickets <= maxTickets and = min(n_tokens, cap)
+    val bad = a.filter(col("w_tickets") =!=
+      greatest(lit(1L), least(col("n_tokens"), lit(256L)))).count()
+    assert(bad == 0L, s"$bad rows violate the ticket clamp")
+    // monotonicity: a doc's priority is a min over MORE tickets at a
+    // larger cap, so key(cap=256) <= key(cap=1) per doc — exact law
+    val k1 = Curation.weightedPrioritySample(docs, "doc_id", "text",
+      n = total + 10, maxTickets = 1)
+      .select(col("doc_id"), col("key").as("k1"))
+    val joined = a.select(col("doc_id"), col("key")).join(k1, "doc_id")
+    assert(joined.filter(col("key") > col("k1")).count() == 0L,
+      "raising the ticket cap raised a doc's min-ticket key")
+    // the two caps must DISAGREE on order somewhere (weights matter):
+    // identical rankings would mean the weighting is vacuous on the
+    // fixture
+    val o256 = a.orderBy(col("key"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1 = Curation.weightedPrioritySample(docs, "doc_id", "text",
+      n = total + 10, maxTickets = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o256 != o1, "weighted and unweighted orders coincide")
+  }
+
   test("LSH leak repair drops only docs the exact repair also drops (gated-swap subset)") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, sf)
