@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * long per-query dict last) plus a compact `"metric":"summary"` line
   * BOTH before and after it:
   *   {"metric":"summary","total":N,"shared34":S,...}
-  *   {"metric":"total","value":N,"shared34":S,...,"queries":{...}}
+  *   {"metric":"total","value":N,"shared34":S,...,"queries":{...},"status":{...}}
   *   {"metric":"summary","total":N,"shared34":S,...}
   * so the headline numbers survive HEAD- or TAIL-truncated log capture
   * (the r12/r13 artifacts each lost one end; a "metric":"total" parser
@@ -18,17 +18,63 @@ import org.apache.spark.sql.SparkSession
   * per-query median is the only comparable statistic. r1/r2 artifacts
   * were single-shot; the per-round table in BASELINE.md notes this.
   *
+  * WATCHDOG (round-15 item 5): every execution runs under a per-query
+  * wall-clock budget (SPARK_GRAFT_BUDGET_SEC, default 120 s — 10× the
+  * slowest healthy r14 query). On breach the query's Spark job group
+  * is CANCELLED, the query records value -1 with status "timeout",
+  * its remaining repeats are skipped, and the session moves on — one
+  * pathological configuration can no longer poison the queries behind
+  * it (the q183 grind silently taxed three neighbors before this).
+  * Breached/erroring queries are excluded from the headline totals and
+  * surfaced in the "status" dict (non-ok only) + n_failed/n_timeout.
+  *
   * Env knobs:
-  *   SPARK_GRAFT_SF_DIR  data directory (default /root/testdata/sf0.1)
-  *   SPARK_GRAFT_CPUS    local[N] cores = shuffle partitions (default 4)
-  *   SPARK_GRAFT_REPEAT  executions per query, median reported (default 3)
-  *   SPARK_GRAFT_ONLY    comma-separated query-name filter (debugging)
+  *   SPARK_GRAFT_SF_DIR      data directory (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS        local[N] cores = shuffle partitions (default 4)
+  *   SPARK_GRAFT_REPEAT      executions per query, median reported (default 3)
+  *   SPARK_GRAFT_BUDGET_SEC  per-execution wall budget (default 120)
+  *   SPARK_GRAFT_ONLY        comma-separated query-name filter (debugging)
   */
 object Bench {
+
+  /** Execute `action` under a wall-clock budget, isolated in its own
+    * Spark job group: on breach the group is cancelled (running stages
+    * abort; `interruptOnCancel` interrupts task threads) and the
+    * breach is reported WITHOUT throwing into the caller's loop.
+    * Right(seconds) on success, Left(reason) on breach or error.
+    */
+  private[graft] def runWithBudget(spark: SparkSession, tag: String,
+      budgetMs: Long)(action: => Unit): Either[String, Double] = {
+    @volatile var err: Option[Throwable] = None
+    val t0 = System.nanoTime()
+    val th = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
+        action
+      } catch { case e: Throwable => err = Some(e) }
+      finally spark.sparkContext.clearJobGroup()
+    }, s"bench-$tag")
+    th.setDaemon(true)
+    th.start()
+    th.join(budgetMs)
+    if (th.isAlive) {
+      spark.sparkContext.cancelJobGroup(tag)
+      // give the cancellation a moment to unwind task threads so the
+      // next query starts against a quiet scheduler
+      th.join(30000L)
+      Left(s"timeout after ${budgetMs / 1000.0}s")
+    } else err match {
+      case Some(e) => Left(s"error ${e.getClass.getName}: ${e.getMessage}")
+      case None => Right((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val budgetMs =
+      (sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "120").toDouble * 1000).toLong
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,44 +102,57 @@ object Bench {
       System.gc()
       // only successful executions count toward the median; a query
       // that throws must surface as -1, not as a near-zero time that
-      // LOWERS the total (a broken query would read as a speedup)
-      val times = (1 to repeat).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            // diagnosis goes to stderr so the stdout JSON stays parseable
-            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            None
-        }
-      }.sorted
+      // LOWERS the total (a broken query would read as a speedup). A
+      // TIMEOUT additionally stops the remaining repeats — re-running
+      // a breached config would multiply the damage the budget bounds.
+      var timedOut = false
+      val times = (1 to repeat).iterator.takeWhile(_ => !timedOut).flatMap {
+        _ =>
+          runWithBudget(spark, name, budgetMs) {
+            fn(spark, sfDir).count(); ()
+          } match {
+            case Right(t) => Some(t)
+            case Left(reason) =>
+              // diagnosis to stderr so the stdout JSON stays parseable
+              System.err.println(s"[bench] $name failed: $reason")
+              if (reason.startsWith("timeout")) timedOut = true
+              None
+          }
+      }.toSeq.sorted
       // true median (mean of middle two when the repeat count is even)
       val median =
-        if (times.isEmpty) -1.0
+        if (timedOut || times.isEmpty) -1.0
         else if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      name -> median
+      val status =
+        if (timedOut) "timeout" else if (times.isEmpty) "error" else "ok"
+      (name, median, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // non-ok statuses only (the dict stays tiny on a healthy run)
+    val st = results.collect { case (k, _, s) if s != "ok" =>
+      s"\"" + k + "\":\"" + s + "\""
+    }.mkString("{", ",", "}")
     // failed queries (-1 markers) are excluded from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
     // shared-34 subset: the round-1 query surface (q01..q34) — the
     // cross-round comparable statistic BASELINE.md tracks
     val shared34 = results
-      .filter { case (k, v) =>
+      .filter { case (k, v, _) =>
         v >= 0 && k.take(3).drop(1).forall(_.isDigit) &&
           k.slice(1, 3).toInt <= 34 && k(3) == '_'
       }.map(_._2).sum
     val nFailed = results.count(_._2 < 0)
+    val nTimeout = results.count(_._3 == "timeout")
     // totals lead the main line AND repeat on compact summary lines at
     // BOTH ends ("metric":"summary", so a "metric":"total" parser
     // ignores them) — the round-12 artifact's tail capture truncated
     // the 170-key line and lost the headline numbers; the machine-
     // readable totals now survive head- or tail-truncation
-    val summary = s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"unit":"sec","sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"unit":"sec","sf":"$sfDir","queries":$qs,"status":$st}""")
     println(summary)
     spark.stop()
   }

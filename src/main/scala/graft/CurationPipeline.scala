@@ -72,7 +72,18 @@ object CurationPipeline {
       gateFirst: Boolean = true,
       modelGates: Boolean = false,
       repairLeaks: Boolean = false,
+      // `leakLsh` swaps the repair's PAIR SOURCE (exact PPJoin → banded
+      // MinHash) **and** — deliberately — its verify threshold: the
+      // exact path repairs cross-split pairs at jac >= 0.5, while the
+      // LSH chain verifies at `leakLshThreshold` (default 0.7, the
+      // banding geometry's calibrated point). Pairs with jac in
+      // [0.5, 0.7) are therefore NOT repaired in the default 10×-scale
+      // configuration — a semantic narrowing beyond banding misses,
+      // surfaced here and overridable per run via `leakLshThreshold`
+      // (lowering it widens repairs at the cost of more candidates to
+      // verify; the banding still recalls ≥ the calibrated curve).
       leakLsh: Boolean = false,
+      leakLshThreshold: Double = 0.7,
       stageDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
     // stage boundary: materialize an id-keyed verdict frame and cut its
     // lineage (parquet round-trip + a GC nudge so ContextCleaner
@@ -156,7 +167,11 @@ object CurationPipeline {
         // — content-quadratic, beyond one box's disk even with the
         // candidate-set job boundary below. The banded-MinHash repair
         // is candidate-bounded at any corpus size.
-        (if (leakLsh) Curation.splitLeakRepairLsh(docs, "doc_id", "text")
+        // threshold passed EXPLICITLY: the 0.5 → 0.7 tightening vs the
+        // exact path is a pipeline-level decision (see the `leakLsh`
+        // parameter doc), not a buried operator default
+        (if (leakLsh) Curation.splitLeakRepairLsh(docs, "doc_id", "text",
+           threshold = leakLshThreshold)
          else Curation.splitLeakRepair(docs, "doc_id", "text",
            candStage = stageDir.map(d => s"$d/leak_cand")))
           .select(col("doc_id"), (col("action") === "keep").as("__kl")))

@@ -54,11 +54,12 @@ object FilteredRecall {
     // the two-stage answer: once probes cover the right cells, ADC
     // resolution is the remaining error (measured: recall saturates in
     // probes) — serve a WIDE filtered shortlist, exact-cosine refine
-    // (q172's pattern), keep top-10. Refine candidates are still
-    // allow-list members only, so the refined set stays filtered.
-    val short = IndexStore.serveIvfPq(spark, dir, q, k = 50, probes = 4,
-      allowed = Some(allowed)).select(col("qid"), col("nid"))
-    val refined = Similarity.refineTopK(short, e, q, k = 10)
+    // (q172's pattern), keep top-10. Since round 15 this IS the store
+    // path (`refineWith` — the spec pins it ≡ the hand composition);
+    // refine candidates are still allow-list members only, so the
+    // refined set stays filtered.
+    val refined = IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 4,
+      allowed = Some(allowed), refineWith = Some(e), kShort = 50)
       .select(col("qid"), col("nid"))
     val refHit = refined.join(truth, Seq("qid", "nid")).count()
     val refRecall = if (truthN == 0) 0.0 else refHit.toDouble / truthN

@@ -1783,6 +1783,34 @@ object SparkEntry {
     "q196_weighted_sample" -> ((s, dir) =>
       Curation.weightedPrioritySample(Tables.documents(s, dir), "doc_id",
         "text", n = 100)),
+    // ANN — the RESIDUAL index through the persisted-store lifecycle
+    // (round-15 item 1): build-once persists residual codebooks + the
+    // residual-encoded code stream, serve replays q171's ADC
+    // reconstruction algebra (x̂ = c + r̂) from parquet relations with
+    // no retraining and no corpus-vector scan. Geometry and arithmetic
+    // are q171/q188's verbatim and parquet round-trips doubles/int64s
+    // exactly, so the served result shares q171's oracle text
+    // (hash-match = the residual round-trip is bit-exact end to end).
+    "q197_store_serve_residual" -> ((s, dir) => {
+      val store = indexStoreDir(dir) + "_resid"
+      IndexStore.buildIvfPqResidual(Tables.embeddings(s, dir), store,
+        numCells = 8, cellIters = 2, numSub = 4, codebookK = 8,
+        pqIters = 2)
+      IndexStore.serveIvfPq(s, store,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3),
+        k = 5, probes = 2)
+    }),
+    // Dedup — q54's cluster semantics with the pair set from the
+    // EXACT-CONTRACT hyperplane LSH chain (q150's md5 hyperplanes +
+    // integer sign test + rounded-cosine verify): candidate-bounded,
+    // so the oracle replays the whole chain at sf1 where q54's
+    // brute-force O(N²) closure is sf0.01-only — the q189/q190
+    // reduced-geometry discipline applied to the embedding family.
+    "q198_embedding_dedup_lsh" -> ((s, dir) =>
+      Similarity.embeddingDedupClustersLshExact(Tables.embeddings(s, dir),
+        0.4)
+        .select(col("vec_id"), col("cluster"), col("n_members"))
+        .orderBy(col("vec_id"))),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1805,6 +1833,33 @@ object SparkEntry {
     sql.replace(anchor,
       "JOIN embeddings al ON al.vec_id = f.vec_id AND al.label = 3\n" +
         "                  " + anchor)
+  }
+
+  /** q150's exact-contract hyperplane chain with its final pair SELECT
+    * swapped for the q190 recursive connected-components / labeling
+    * tail over embeddings — the q198 oracle. The require() guards both
+    * anchors: a reworded q150 oracle fails loudly instead of silently
+    * shipping a drifted q198 chain.
+    */
+  private def embeddingLshClusterSql: String = {
+    val base = oracleSqlBase("q150_hyperplane_lsh_exact")
+    val anchor = "SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j"
+    require(base.startsWith("WITH e AS") && base.contains(anchor),
+      "q150 oracle anchors not found")
+    "WITH RECURSIVE " + base.stripPrefix("WITH ").replace(anchor,
+      """, pf AS MATERIALIZED (SELECT i, j FROM p WHERE cos >= 0.4),
+         ed AS (SELECT i AS u, j AS v FROM pf UNION ALL SELECT j, i FROM pf),
+         reach(u, v) AS (
+           SELECT u, v FROM ed
+           UNION
+           SELECT r.u, ed.v FROM reach r JOIN ed ON r.v = ed.u),
+         lab AS (SELECT u AS vec_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)
+         SELECT em.vec_id, coalesce(l.cluster, em.vec_id) AS cluster,
+           count(*) OVER (PARTITION BY coalesce(l.cluster, em.vec_id))
+             AS n_members
+         FROM embeddings em LEFT JOIN lab l USING (vec_id)
+         ORDER BY vec_id""")
   }
 
   /** Shared q174/q177 file model: documents as 10-doc "files" per
@@ -1838,6 +1893,14 @@ object SparkEntry {
     // — the oracle mirror of the pre-scoring semi-join
     "q194_filtered_ann" -> withMemberAllowList(
       oracleSqlBase("q121_ivfpq_topk")),
+    // the residual store round-trip serves q171's exact result (same
+    // discipline as q193 sharing q121's) — the oracle is shared
+    // verbatim
+    "q197_store_serve_residual" -> oracleSqlBase("q171_ivfpq_residual"),
+    // q150's exact-contract hyperplane chain + the q190 recursive
+    // CC/labeling tail over embeddings — candidate-bounded, so the
+    // embedding-dedup cluster family replays at sf1
+    "q198_embedding_dedup_lsh" -> embeddingLshClusterSql,
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
          p AS (SELECT i, j,
                  len(list_intersect(si.sh, sj.sh))::DOUBLE

@@ -1070,6 +1070,27 @@ object Similarity {
     Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
   }
 
+  /** [[embeddingDedupClustersLsh]] with the pair set from the
+    * EXACT-CONTRACT hyperplane chain ([[hyperplaneLshDeterministic]] —
+    * md5 hyperplanes, integer sign test, rounded-cosine verify) — the
+    * q189/q190 discipline applied to the q54 family: the LSH-sourced
+    * sibling whose oracle replays the WHOLE chain (banding, candidate
+    * join, verify, transitive closure) candidate-bounded, so the
+    * embedding-dedup family is verifiable at sf1 where q54's
+    * brute-force O(N²) oracle times out. Pair recall vs the exact
+    * variant follows the Charikar banding bound; cluster labels and
+    * tie semantics are the shared [[Dedup.labelClusters]] kernel's.
+    */
+  def embeddingDedupClustersLshExact(
+      vectors: DataFrame, threshold: Double,
+      bands: Int = 8, rowsPerBand: Int = 4, dims: Int = 64,
+      seed: Int = 42, maxEdges: Long = 10000000L): DataFrame = {
+    val pairs = hyperplaneLshDeterministic(vectors, threshold, bands,
+      rowsPerBand, dims, seed).select(col("i"), col("j"))
+    val cc = Dedup.connectedComponents(pairs, maxEdges = maxEdges)
+    Dedup.labelClusters(vectors.select(col("vec_id")), "vec_id", cc)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the deterministic
     * Lloyd index (the q23/q47 recurrence — seeded centroids, fixed
@@ -1953,13 +1974,50 @@ object Similarity {
       subSliced(resid.select(col("vec_id"), col("r").as("v")), numSub, w),
       bookRel)
       .join(memberCells, "vec_id")
+    ivfPqResidualServe(codes, centRel, bookRel, queries, k, probes,
+      numSub, w)
+  }
+
+  /** The pure ADC serving stage of the RESIDUAL relation path — the
+    * residual twin of [[ivfPqServe]], with the same contract: every
+    * corpus-sized input arrives already encoded (`codes` =
+    * (vec_id, sub, code, cell) ints over residuals r = x − c(x)),
+    * `centRel`/`bookRel` are [[centroidRelation]]/[[codebookRelation]]
+    * frames (the codebooks trained on residuals), and in production
+    * all three are READ from the index store's parquet. The cr/rn2/cn2
+    * correction relation is derived distributively per query batch
+    * (centroid relation × codebook relation — index-sized, both
+    * broadcastable), so serving costs one probe assignment over the
+    * QUERIES, one broadcast of the query-sized tables, and one scan of
+    * the probed code stream; the reconstruction algebra
+    * q·x̂ = q·c + Σ q_sub·r̂ and ‖x̂‖² = ‖c‖² + Σ(2c·r̂ + ‖r̂‖²),
+    * fold order, rounding and tie-breaks are
+    * [[ivfPqResidualTopK]]'s verbatim (the store round-trip spec pins
+    * serve-from-parquet ≡ in-memory relation path bit-for-bit).
+    *
+    * `allowed` is the same filtered-ANN pre-scoring allow-list as
+    * [[ivfPqServe]]'s: semi-joined onto the code stream BEFORE the
+    * scoring join so the top-k ranks over exactly the allowed members.
+    */
+  def ivfPqResidualServe(codes: DataFrame, centRel: DataFrame,
+      bookRel: DataFrame, queries: DataFrame, k: Int, probes: Int,
+      numSub: Int, w: Int, allowed: Option[DataFrame] = None,
+      precomputedProbes: Option[DataFrame] = None): DataFrame = {
+    require(k > 0 && probes > 0, s"bad serve config: k=$k probes=$probes")
+    val served = allowed match {
+      case Some(a) =>
+        codes.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => codes
+    }
     val qv0 = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
-    val probeCells = assignCellsRelation(
-      queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      centRel, probes)
-      .select(col("vec_id").as("qid"), col("cell"))
+    val probeCells = precomputedProbes.getOrElse {
+      assignCellsRelation(
+        queries.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        centRel, probes)
+        .select(col("vec_id").as("qid"), col("cell"))
+    }
     // cr(cell, sub, code) = c_sub·r̂ — computed WHERE the data is:
     // centroid relation × codebook relation (index-sized output, both
     // inputs broadcastable), one codegen'd dot per row
@@ -1991,7 +2049,7 @@ object Similarity {
         (lit(2.0) * col("cr") + col("rn2")).as("rc2"),
         dot_product(col("qv"), col("ccv")).as("qc"),
         col("cn2"))
-    val scored = codes.join(broadcast(tables), Seq("cell", "sub", "code"))
+    val scored = served.join(broadcast(tables), Seq("cell", "sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(min(col("qnrm")).as("qnrm"),

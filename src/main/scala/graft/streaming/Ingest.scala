@@ -822,32 +822,68 @@ object Ingest {
     *
     * `deltaMod` keeps ivfIndexMaintain's id-mod batch definition so
     * the decision readout (and its oracle, q186) is replayed verbatim;
-    * arrivals are expected to be the id-mod batch rows.
+    * arrivals are expected to be id-mod batch rows.
+    *
+    * CONTINUOUS-RUN correctness (round-15 fixes, both spec-pinned by
+    * the two-batch + replay cases):
+    *   - arrivals ACCUMULATE: each micro-batch is persisted under
+    *     `storeDir/arrivals` (batch-keyed partition) and the decision/
+    *     repair corpus is base ∪ EVERY arrival so far — batch 2's
+    *     merged frame includes batch 1's rows, so the reassign join
+    *     covers every code row and the row-count guard holds;
+    *   - every write is IDEMPOTENT under foreachBatch's at-least-once
+    *     replay: arrivals, appended codes, and the decision log are
+    *     all batch-keyed dynamic partition overwrites — a replayed
+    *     batch rewrites its own partition instead of duplicating rows.
+    *
+    * Adoption is RECALL-GATED ([[graft.operators.IndexStore
+    * .publishRefreshGated]]): the maintained centroids are published
+    * only when the probed recall@`probeK` does not regress on the
+    * fixed query sample (vec_id < `probeQueries` of the merged
+    * corpus); the decision log carries the recall columns and the
+    * adoption verdict alongside the q186 readout.
     */
   def ivfMaintainSink(arrivals: DataFrame, base: DataFrame,
       storeDir: String, checkpointDir: String, numCells: Int, iters: Int,
-      deltaMod: Int, churnThreshold: Double) =
+      deltaMod: Int, churnThreshold: Double, probeK: Int = 5,
+      probeQueries: Int = 3, probeProbes: Int = 2) =
     arrivals.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val arrived = batch.select(col("vec_id"), col("embedding"))
+        // 0. accumulate: persist this batch's arrivals (batch-keyed
+        //    overwrite — replay-safe), then read back EVERYTHING
+        //    arrived so far; lineage cut at the parquet boundary
+        arrived.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$storeDir/arrivals")
+        val allArrived = spark.read.parquet(s"$storeDir/arrivals")
+          .select(col("vec_id"), col("embedding"))
         val merged = base.select(col("vec_id"), col("embedding"))
-          .unionAll(arrived)
-        // 1. absorb: encode arrivals against the EXISTING index
-        graft.operators.IndexStore.appendVectors(arrived, storeDir)
+          .unionAll(allArrived)
+        // 1. absorb: encode THIS batch against the existing index
+        //    (batch-keyed partition; batch 0 is the build's)
+        graft.operators.IndexStore
+          .appendVectors(arrived, storeDir, batchId + 1)
         // 2. decide: the q186 refresh-vs-rebuild readout over merged
         val (readout, maintained) = graft.operators.Similarity
           .ivfIndexMaintain(merged, numCells, iters, deltaMod,
             churnThreshold)
-        // 3. repair: persist the maintained centroids, refresh every
-        //    member's cell against them (codebooks/codes untouched)
-        graft.operators.IndexStore
-          .writeCentroids(batch.sparkSession, storeDir, maintained)
-        graft.operators.IndexStore.reassignCells(merged, storeDir)
-        readout.withColumn("batch_id", lit(batchId))
-          .coalesce(1).write.mode("append")
-          .parquet(s"$storeDir/maintenance_log")
+        // 3. repair, gated: publish the maintained centroids + repaired
+        //    membership as ONE new store version only if the probed
+        //    recall does not regress (atomic manifest swap — a
+        //    concurrent serve reads the old or the new version, never
+        //    a mix)
+        val gate = graft.operators.IndexStore.publishRefreshGated(
+          merged, storeDir, maintained,
+          merged.filter(col("vec_id") < probeQueries), probeK, probeProbes)
+        readout.crossJoin(gate).withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$storeDir/maintenance_log")
         ()
       }
 }

@@ -209,25 +209,29 @@ class Round14StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("vec_id"), col("embedding"))
     val merged = base.select(col("vec_id"), col("embedding"))
       .unionAll(arrived)
-    IndexStore.appendVectors(arrived, dirB)
+    IndexStore.appendVectors(arrived, dirB, batchId = 1)
     val (readout, maintained) = Similarity.ivfIndexMaintain(merged,
       numCells = 6, iters = 2, deltaMod = 10, churnThreshold = 0.1)
-    IndexStore.writeCentroids(spark, dirB, maintained)
-    IndexStore.reassignCells(merged, dirB)
+    val gate = IndexStore.publishRefreshGated(merged, dirB, maintained,
+      merged.filter(col("vec_id") < 3), k = 5, probes = 2)
+    def artifact(dir: String, name: String): String =
+      IndexStore.artifactPaths(spark, dir)(name)
     def sortedRows(path: String, keys: String*): Seq[Seq[Any]] =
-      rows(spark.read.parquet(path).orderBy(keys.map(col): _*))
-    assert(sortedRows(s"$dirA/centroids", "cid")
-      == sortedRows(s"$dirB/centroids", "cid"),
+      rows(spark.read.parquet(path)
+        .drop("batch").orderBy(keys.map(col): _*))
+    assert(sortedRows(artifact(dirA, "centroids"), "cid")
+      == sortedRows(artifact(dirB, "centroids"), "cid"),
       "stream-maintained centroids diverge from the batch sequence")
-    assert(sortedRows(s"$dirA/codes", "vec_id", "sub")
-      == sortedRows(s"$dirB/codes", "vec_id", "sub"),
+    assert(sortedRows(artifact(dirA, "codes"), "vec_id", "sub")
+      == sortedRows(artifact(dirB, "codes"), "vec_id", "sub"),
       "stream-maintained codes diverge from the batch sequence")
-    // the decision log carries the batch readout verbatim (+ batch_id)
+    // the decision log carries the batch readout verbatim (+ recall
+    // gate columns + batch_id)
     val logged = spark.read.parquet(s"$dirA/maintenance_log")
     assert(logged.count() == 1L)
     val lr = logged.select("n_total", "n_batch", "n_moved", "churn",
-      "decision").head()
-    val br = readout.head()
+      "decision", "recall_before", "recall_after", "adopted").head()
+    val br = readout.crossJoin(gate).head()
     assert(lr.toSeq == br.toSeq,
       s"logged decision ${lr.toSeq} != batch readout ${br.toSeq}")
     // serving from either store is identical
@@ -248,10 +252,12 @@ class Round14StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val served = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)
     // the reference: the same stored codes/codebooks, probe assignment
     // against the maintained centroids held in memory
-    val codes = spark.read.parquet(s"$dir/codes")
-    val bookRel = spark.read.parquet(s"$dir/codebooks")
+    val art = IndexStore.artifactPaths(spark, dir)
+    val codes = spark.read.parquet(art("codes"))
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+    val bookRel = spark.read.parquet(art("codebooks"))
     val centRel = Similarity.centroidRelation(spark, maintained)
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = spark.read.parquet(art("meta")).head()
     val mem = Similarity.ivfPqServe(codes, centRel, bookRel, q, k = 4,
       probes = 2, numSub = meta.getAs[Int]("num_sub"),
       w = meta.getAs[Int]("w"))
