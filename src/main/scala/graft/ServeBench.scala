@@ -55,6 +55,14 @@ object ServeBench {
     val serveS = median((1 to repeat).map { _ =>
       timed { IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2).count() }
     })
+    // the same serve WITHOUT the partition-pruned code scan (full scan
+    // + join): the round-15 layout crossover row
+    val serveFullS = median((1 to repeat).map { _ =>
+      timed {
+        IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2,
+          prune = false).count()
+      }
+    })
     val allowed = e.filter(col("label") === 3).select(col("vec_id"))
     val filtS = median((1 to repeat).map { _ =>
       timed {
@@ -62,9 +70,31 @@ object ServeBench {
           allowed = Some(allowed)).count()
       }
     })
+    // scan accounting: files/rows the code-stream scan actually read,
+    // pruned vs full (AQE off for one pass each so the executed plan
+    // is inspectable — the PlanSpec discipline)
+    def codesScan(prune: Boolean): (Long, Long) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2,
+          prune = prune)
+        df.count()
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("codes-")) => f
+        }.head
+        (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val (prunedFiles, prunedRows) = codesScan(prune = true)
+    val (fullFiles, fullRows) = codesScan(prune = false)
     println(s"""{"metric":"serve_bench","n":$n,"cells":$cells,""" +
       s""""codebook_k":$ck,"build_s":$buildS,"serve_s":$serveS,""" +
-      s""""filtered_serve_s":$filtS,"repeat":$repeat,"sf":"$sfDir"}""")
+      s""""serve_full_scan_s":$serveFullS,"filtered_serve_s":$filtS,""" +
+      s""""codes_files_pruned":$prunedFiles,"codes_files_full":$fullFiles,""" +
+      s""""codes_rows_pruned":$prunedRows,"codes_rows_full":$fullRows,""" +
+      s""""repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Similarity}
+
+/** Serve-under-maintenance soak (BASELINE.md round-15): ServeBench
+  * measures serving ALONE and Round15StoreSpec pins the maintenance
+  * loop's SEMANTICS alone — this main runs them together the way a
+  * production deployment does: build the store once, stream arrival
+  * batches through [[graft.streaming.Ingest.ivfMaintainSink]] (encode →
+  * decide → recall-gated refresh publish), and serve CONTINUOUSLY from
+  * a second thread throughout, recording per-serve latency plus the
+  * index version each serve resolved.
+  *
+  * The readout is the three-phase latency record the versioned-publish
+  * design promises: `before` (quiet store), `during` (maintenance
+  * batches running — serves contend for cores with encode/refresh jobs
+  * but never block on them, and each one reads exactly one manifest's
+  * artifacts), `after` (quiet again, possibly on a refreshed version).
+  * A lock-based design would show `during` serves stalling behind the
+  * publish; the manifest swap design should show only core contention.
+  *
+  *   SPARK_GRAFT_SF_DIR   data dir with embeddings.parquet
+  *                        (default testdata_sf1)
+  *   SPARK_GRAFT_CPUS     local[N] = shuffle partitions (default 16)
+  *   SPARK_GRAFT_BATCHES  arrival micro-batches (default 3)
+  *
+  * Prints one JSON line: geometry, build seconds, per-phase serve
+  * latency (n/p50/p95 seconds), versions observed per phase, and the
+  * maintenance decision log (action + recall gate verdict per batch).
+  */
+object SoakBench {
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) -1.0
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val base = e.filter(col("vec_id") % 10 < 8)
+    val nBase = base.count()
+    val cells = Similarity.autoCells(nBase)
+    val ck = math.min(cells, 64)
+    val dir = "/tmp/graft_soak/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val ckpt = dir + "_ckpt"
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildS = timed {
+      IndexStore.buildIvfPq(base, dir, numCells = cells, cellIters = 2,
+        numSub = 4, codebookK = ck, pqIters = 2)
+    }
+
+    // the arrival stream: the held-out 20%, hashed into nBatches groups
+    val arrivals = (0 until nBatches).map { b =>
+      e.filter(col("vec_id") % 10 >= 8)
+        .filter(pmod(hash(col("vec_id")), lit(nBatches)) === b)
+        .as[(Long, Seq[Float])].collect().toSeq
+    }
+
+    // serving thread: fixed 10-query batch, k=10, probes=2, run until
+    // stopped; every sample records (wall start, duration, version)
+    val q = e.filter(col("vec_id") < 10)
+    val stop = new AtomicBoolean(false)
+    val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
+    val server = new Thread(() => {
+      while (!stop.get()) {
+        val v = IndexStore.currentManifest(spark, dir).version
+        val t0 = System.nanoTime()
+        IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2).count()
+        samples.add((System.currentTimeMillis(),
+          (System.nanoTime() - t0) / 1e9, v))
+      }
+    }, "soak-server")
+    server.setDaemon(true)
+    server.start()
+
+    // phase boundaries in wall-clock millis
+    Thread.sleep(100)
+    while (samples.size < 5) Thread.sleep(200) // quiet 'before' window
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val sink = graft.streaming.Ingest.ivfMaintainSink(
+      mem.toDS().toDF("vec_id", "embedding"), base, dir, ckpt,
+      numCells = cells, iters = 2, deltaMod = 10,
+      churnThreshold = 0.05).start()
+    val maintStart = System.currentTimeMillis()
+    try {
+      arrivals.foreach { batch =>
+        mem.addData(batch: _*)
+        sink.processAllAvailable()
+      }
+    } finally sink.stop()
+    val maintEnd = System.currentTimeMillis()
+    // quiet 'after' window
+    val afterTarget = samples.size + 5
+    while (samples.size < afterTarget) Thread.sleep(200)
+    stop.set(true)
+    server.join(120000)
+
+    val all = {
+      val b = Seq.newBuilder[(Long, Double, Long)]
+      samples.forEach(s => b += s)
+      b.result()
+    }
+    def phase(pred: Long => Boolean): (Seq[Double], Seq[Long]) = {
+      val in = all.filter(s => pred(s._1))
+      (in.map(_._2), in.map(_._3).distinct.sorted)
+    }
+    val (beforeL, beforeV) = phase(_ < maintStart)
+    val (duringL, duringV) =
+      phase(t => t >= maintStart && t <= maintEnd)
+    val (afterL, afterV) = phase(_ > maintEnd)
+    def phJson(l: Seq[Double], v: Seq[Long]): String =
+      s"""{"n":${l.size},"p50":${pct(l, 0.5)},"p95":${pct(l, 0.95)},""" +
+        s""""versions":[${v.mkString(",")}]}"""
+    val log = spark.read.parquet(s"$dir/maintenance_log")
+    val logCols = Seq("batch_id", "action", "recall_before",
+      "recall_after", "adopted").filter(log.columns.contains)
+    val logRows = log.select(logCols.map(col): _*)
+      .orderBy("batch_id").collect().toSeq
+      .map(r => logCols.zip(r.toSeq).map { case (c, x) =>
+        s""""$c":${if (x.isInstanceOf[String]) s""""$x"""" else x}"""
+      }.mkString("{", ",", "}"))
+    println(s"""{"metric":"soak_bench","n_base":$nBase,"cells":$cells,""" +
+      s""""codebook_k":$ck,"batches":$nBatches,"build_s":$buildS,""" +
+      s""""before":${phJson(beforeL, beforeV)},""" +
+      s""""during":${phJson(duringL, duringV)},""" +
+      s""""after":${phJson(afterL, afterV)},""" +
+      s""""maintenance_s":${(maintEnd - maintStart) / 1e3},""" +
+      s""""decisions":[${logRows.mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

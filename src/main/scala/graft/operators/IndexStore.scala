@@ -73,6 +73,14 @@ object IndexStore {
   val KindPq = "pq"
   val KindPqResidual = "pq_residual"
 
+  /** Cap on the probed-cell fold a pruned serve puts on the driver
+    * (matches the DriverBoundsSpec index-family bound): a query batch
+    * probing more distinct cells than this gets the full-scan + join
+    * plan instead — at that width the scan restriction stops paying
+    * anyway (the probed fraction approaches 1).
+    */
+  val MaxPrunedCells = 4096
+
   private val ManifestName = "manifest-(\\d+)".r
   private val ArtifactName = "(centroids|codebooks|codes|meta)-(\\d+)".r
 
@@ -166,18 +174,45 @@ object IndexStore {
       "meta" -> artifactPath(dir, m.meta))
   }
 
+  /** Code-stream layout: parquet partitioned by (batch, CELL). `cell`
+    * as a physical partition column is the serve-side I/O contract —
+    * a probed serve restricts the scan to its probed cells' directories
+    * (see [[serveIvfPq]]), so serve bytes-read scale with the PROBED
+    * FRACTION (≈ probes/numCells ≈ probes/√N under autoCells), not the
+    * corpus. The `repartition(cell)` keeps one file per cell per batch
+    * (a cell's rows hash to one task) — without it every shuffle task
+    * writes a sliver into every cell directory and the layout
+    * degenerates into the small-files antipattern at exactly the scale
+    * partition pruning is meant to win. At very large cell counts
+    * (beyond ~10⁵ directories) a deployment would bucket `cell` by a
+    * modulus instead; autoCells caps at 65536, inside the safe range.
+    */
   private def writeCodes(codes: DataFrame, path: String,
       batch: Long): Unit =
     codes.select(col("vec_id"), col("sub"), col("code"), col("cell"))
       .withColumn("batch", lit(batch))
+      .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(path)
+      .partitionBy("batch", "cell").parquet(path)
 
   private def readCodes(spark: SparkSession, dir: String,
-      m: IndexManifest): DataFrame =
-    spark.read.parquet(artifactPath(dir, m.codes))
-      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+      m: IndexManifest, probedCells: Option[Seq[Long]] = None): DataFrame = {
+    val raw = spark.read.parquet(artifactPath(dir, m.codes))
+    // the isin lands on the RAW partition column with Int literals
+    // (cids are Lloyd indices < 2³¹; partition values type-infer to
+    // int) so it stays a partition filter — a cast on either side
+    // would demote it to a post-scan predicate and the scan would
+    // read every cell directory again
+    val pruned = probedCells match {
+      case Some(cells) => raw.filter(col("cell").isin(cells.map(_.toInt): _*))
+      case None => raw
+    }
+    // partition-column values come back type-inferred (int); the ADC
+    // joins key on the long the relations carry
+    pruned.select(col("vec_id"), col("sub"), col("code"),
+      col("cell").cast("long").as("cell"))
+  }
 
   /** Train the relation-path IVF-PQ index over `vectors` (vec_id,
     * embedding) and publish all four artifacts as a new version under
@@ -253,6 +288,17 @@ object IndexStore {
     * `allowed` applies the filtered-ANN allow-list (see ivfPqServe's
     * scaladoc) before scoring.
     *
+    * With `prune` (the default) the code-stream SCAN itself is
+    * restricted to the probed cells via the (batch, cell) partition
+    * layout: serve I/O is the probed fraction of the corpus
+    * (≈ probes/√N under autoCells — at 10⁹ vectors and probes=2,
+    * ~0.006% of the code stream), where the join-only plan reads every
+    * code row and discards the unprobed ones after the scan. Results
+    * are bit-identical either way (the isin is a superset restriction
+    * of the ADC join's own cell keying; spec-pinned), and the fold is
+    * probes × |queries| distinct cell ids, capped by [[MaxPrunedCells]]
+    * with a full-scan fallback.
+    *
     * `refineWith` composes the exact re-rank stage
     * ([[Similarity.refineTopK]]) over the served shortlist — the
     * store-path default a production two-stage retrieval runs (and the
@@ -266,21 +312,47 @@ object IndexStore {
     */
   def serveIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, probes: Int, allowed: Option[DataFrame] = None,
-      refineWith: Option[DataFrame] = None, kShort: Int = 0): DataFrame = {
+      refineWith: Option[DataFrame] = None, kShort: Int = 0,
+      prune: Boolean = true): DataFrame = {
     val m = currentManifest(spark, dir)
     val centRel = spark.read.parquet(artifactPath(dir, m.centroids))
     val bookRel = spark.read.parquet(artifactPath(dir, m.codebooks))
-    val codes = readCodes(spark, dir, m)
     val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
     val numSub = meta.getAs[Int]("num_sub")
     val w = meta.getAs[Int]("w")
+    // probe assignment computed ONCE here (both for the ADC serve and
+    // the scan restriction): queries × broadcast centroid relation —
+    // query-batch-sized, never corpus-sized
+    val probeCells = Similarity.assignCellsRelation(
+      queries.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v")),
+      centRel, probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // scan restriction (the serve-side point of the (batch, cell)
+    // layout): fold the probed DISTINCT cells to the driver — bounded
+    // by probes × |queries| and capped at MaxPrunedCells, far under
+    // any corpus size — and push them as a partition filter, so the
+    // code-stream scan reads ONLY the probed cells' directories. The
+    // ADC join below is unchanged (the isin is a superset restriction;
+    // results are bit-identical, spec-pinned). Query batches too large
+    // for a useful restriction fall back to the full scan + join.
+    val probed: Option[Seq[Long]] =
+      if (!prune) None
+      else {
+        val cells = probeCells.select(col("cell")).distinct()
+          .limit(MaxPrunedCells + 1).collect().map(_.getLong(0)).toSeq
+        if (cells.size <= MaxPrunedCells) Some(cells) else None
+      }
+    val codes = readCodes(spark, dir, m, probed)
     val kServe = if (refineWith.isEmpty) k
       else if (kShort > 0) kShort else 5 * k
     val short = m.kind match {
       case KindPq => Similarity.ivfPqServe(codes, centRel, bookRel,
-        queries, kServe, probes, numSub, w, allowed)
+        queries, kServe, probes, numSub, w, allowed,
+        precomputedProbes = Some(probeCells))
       case KindPqResidual => Similarity.ivfPqResidualServe(codes, centRel,
-        bookRel, queries, kServe, probes, numSub, w, allowed)
+        bookRel, queries, kServe, probes, numSub, w, allowed,
+        precomputedProbes = Some(probeCells))
       case other =>
         throw new IllegalStateException(s"unknown index kind: $other")
     }

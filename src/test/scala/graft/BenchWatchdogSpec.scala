@@ -25,11 +25,16 @@ class BenchWatchdogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("budget breach cancels the job group, reports timeout, and isolates neighbors") {
     // deliberately slow: 4 tasks that each sleep 60 s, under a 2 s
-    // budget — must come back as a timeout in ~2 s, not in a minute
-    val slow = udf(() => { Thread.sleep(60000L); 1 })
+    // budget — must come back as a timeout in ~2 s, not in a minute.
+    // The sleep must survive the optimizer: count() over an unused
+    // deterministic projection gets column-pruned to nothing, so the
+    // UDF output feeds the aggregate itself
+    val slow = udf((i: Long) => { Thread.sleep(60000L); i })
     val t0 = System.nanoTime()
     val r = Bench.runWithBudget(spark, "wd-slow", 2000L) {
-      spark.range(4).repartition(4).select(slow().as("x")).count(); ()
+      import org.apache.spark.sql.functions.{col, sum}
+      spark.range(4).repartition(4).select(slow(col("id")).as("x"))
+        .agg(sum("x")).collect(); ()
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(r.fold(_.startsWith("timeout"), _ => false), s"got $r")

@@ -341,4 +341,51 @@ class Round15StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(IndexStore.serveIvfPq(spark, dirA, qv, k = 4, probes = 2))
       == rows(IndexStore.serveIvfPq(spark, dirB, qv, k = 4, probes = 2)))
   }
+
+  test("pruned serve scans ONLY the probed cells' partitions, bit-identically to the full scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 3)
+    for (resid <- Seq(false, true)) {
+      val dir = tmpDir(s"prune-$resid")
+      if (resid) IndexStore.buildIvfPqResidual(e, dir, numCells = 8,
+        cellIters = 2, numSub = 4, codebookK = 6, pqIters = 2)
+      else IndexStore.buildIvfPq(e, dir, numCells = 8, cellIters = 2,
+        numSub = 4, codebookK = 6, pqIters = 2)
+      // semantics first: the scan restriction must be invisible in the
+      // results (the isin is a superset of the ADC join's cell keying)
+      val served = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)
+      val full = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2,
+        prune = false)
+      assert(rows(served) == rows(full),
+        s"pruned serve diverges from the full-scan plan (resid=$resid)")
+      // plan shape: the code-stream scan carries a `cell` PARTITION
+      // filter (not a post-scan predicate) and reads strictly fewer
+      // files than the artifact holds (AQE off so the executed plan is
+      // final at inspection time — the repo's PlanSpec discipline)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val again = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)
+        again.collect()
+        val codesPath = IndexStore.artifactPaths(spark, dir)("codes")
+        val scans = again.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("codes-")) => f
+        }
+        assert(scans.nonEmpty, "no code-stream scan in the served plan")
+        val scan = scans.head
+        assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+          s"no cell partition filter: ${scan.partitionFilters.mkString(", ")}")
+        val totalFiles = spark.read.parquet(codesPath).inputFiles.length.toLong
+        val scanned = scan.metrics("numFiles").value
+        assert(scanned > 0 && scanned < totalFiles,
+          s"scan read $scanned of $totalFiles code files — pruning is " +
+            s"not restricting the scan (resid=$resid)")
+        // the restriction is exactly the probed width: ≤ probes×|q|
+        // distinct cells, one file per (batch, cell) by layout
+        assert(scanned <= 2L * 3L,
+          s"scan read $scanned files > probes × |queries| (resid=$resid)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
