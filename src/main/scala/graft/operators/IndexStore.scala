@@ -14,6 +14,78 @@ import org.apache.spark.sql.functions._
 final case class IndexManifest(version: Long, kind: String,
     centroids: String, codebooks: String, codes: String, meta: String)
 
+/** A pinned serving handle (see [[IndexStore.openReader]]): the
+  * manifest version, artifact relations, and their resolved file
+  * indexes, held across serves so the per-call driver cost is zero.
+  * `rawCodes` keeps the partition columns untouched so both the static
+  * isin and Catalyst's dynamic partition pruning land on the partition
+  * column directly.
+  */
+final class IndexReader private[operators] (spark: SparkSession,
+    dir: String, val manifest: IndexManifest, centRel: DataFrame,
+    bookRel: DataFrame, rawCodes: DataFrame, numSub: Int, w: Int) {
+
+  def version: Long = manifest.version
+
+  /** [[IndexStore.serveIvfPq]]'s contract over the pinned version —
+    * same arguments, same bit-identical results, no per-call manifest
+    * resolution or partition discovery.
+    */
+  def serve(queries: DataFrame, k: Int, probes: Int,
+      allowed: Option[DataFrame] = None,
+      refineWith: Option[DataFrame] = None, kShort: Int = 0,
+      prune: Boolean = false): DataFrame = {
+    // probe assignment computed ONCE here (both for the ADC serve and
+    // the optional static scan restriction): queries × broadcast
+    // centroid relation — query-batch-sized, never corpus-sized
+    val probeCells = Similarity.assignCellsRelation(
+      queries.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v")),
+      centRel, probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // OPT-IN static scan restriction (the default path already
+    // partition-prunes via Catalyst's DPP on the broadcast ADC join):
+    // fold the probed DISTINCT cells to the driver — bounded by
+    // probes × |queries| and capped at MaxPrunedCells, far under any
+    // corpus size — and push them as a STATIC partition filter with
+    // Int literals on the raw partition column (a cast on either side
+    // would demote it to a post-scan predicate). The ADC join below is
+    // unchanged (the isin is a superset restriction; results are
+    // bit-identical, spec-pinned). Query batches too large for a
+    // useful restriction fall back to the plain scan.
+    val restricted =
+      if (!prune) rawCodes
+      else {
+        val cells = probeCells.select(col("cell")).distinct()
+          .limit(IndexStore.MaxPrunedCells + 1).collect()
+          .map(_.getLong(0)).toSeq
+        if (cells.size <= IndexStore.MaxPrunedCells)
+          rawCodes.filter(col("cell").isin(cells.map(_.toInt): _*))
+        else rawCodes
+      }
+    // partition-column values come back type-inferred (int); the ADC
+    // joins key on the long the relations carry
+    val codes = restricted.select(col("vec_id"), col("sub"), col("code"),
+      col("cell").cast("long").as("cell"))
+    val kServe = if (refineWith.isEmpty) k
+      else if (kShort > 0) kShort else 5 * k
+    val short = manifest.kind match {
+      case IndexStore.KindPq => Similarity.ivfPqServe(codes, centRel,
+        bookRel, queries, kServe, probes, numSub, w, allowed,
+        precomputedProbes = Some(probeCells))
+      case IndexStore.KindPqResidual => Similarity.ivfPqResidualServe(
+        codes, centRel, bookRel, queries, kServe, probes, numSub, w,
+        allowed, precomputedProbes = Some(probeCells))
+      case other =>
+        throw new IllegalStateException(s"unknown index kind: $other")
+    }
+    refineWith match {
+      case Some(vec) => Similarity.refineTopK(short, vec, queries, k)
+      case None => short
+    }
+  }
+}
+
 /** Persisted ANN index: train ONCE, serve MANY — the lifecycle piece
   * that divorces query latency from index construction. Every serving
   * artifact of the relation-path IVF-PQ search is a plain parquet
@@ -73,11 +145,14 @@ object IndexStore {
   val KindPq = "pq"
   val KindPqResidual = "pq_residual"
 
-  /** Cap on the probed-cell fold a pruned serve puts on the driver
-    * (matches the DriverBoundsSpec index-family bound): a query batch
-    * probing more distinct cells than this gets the full-scan + join
-    * plan instead — at that width the scan restriction stops paying
-    * anyway (the probed fraction approaches 1).
+  /** Cap on the probed-cell fold the OPT-IN static pruning path
+    * (`serveIvfPq(prune = true)`) puts on the driver (matches the
+    * DriverBoundsSpec index-family bound): a query batch probing more
+    * distinct cells than this gets the plain scan instead — at that
+    * width the scan restriction stops paying anyway (the probed
+    * fraction approaches 1). The DEFAULT serve path never folds:
+    * Catalyst's dynamic partition pruning restricts the scan inside
+    * one execution.
     */
   val MaxPrunedCells = 4096
 
@@ -197,22 +272,12 @@ object IndexStore {
       .partitionBy("batch", "cell").parquet(path)
 
   private def readCodes(spark: SparkSession, dir: String,
-      m: IndexManifest, probedCells: Option[Seq[Long]] = None): DataFrame = {
-    val raw = spark.read.parquet(artifactPath(dir, m.codes))
-    // the isin lands on the RAW partition column with Int literals
-    // (cids are Lloyd indices < 2³¹; partition values type-infer to
-    // int) so it stays a partition filter — a cast on either side
-    // would demote it to a post-scan predicate and the scan would
-    // read every cell directory again
-    val pruned = probedCells match {
-      case Some(cells) => raw.filter(col("cell").isin(cells.map(_.toInt): _*))
-      case None => raw
-    }
-    // partition-column values come back type-inferred (int); the ADC
-    // joins key on the long the relations carry
-    pruned.select(col("vec_id"), col("sub"), col("code"),
-      col("cell").cast("long").as("cell"))
-  }
+      m: IndexManifest): DataFrame =
+    spark.read.parquet(artifactPath(dir, m.codes))
+      // partition-column values come back type-inferred (int); the ADC
+      // joins key on the long the relations carry
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cell").cast("long").as("cell"))
 
   /** Train the relation-path IVF-PQ index over `vectors` (vec_id,
     * embedding) and publish all four artifacts as a new version under
@@ -288,16 +353,25 @@ object IndexStore {
     * `allowed` applies the filtered-ANN allow-list (see ivfPqServe's
     * scaladoc) before scoring.
     *
-    * With `prune` (the default) the code-stream SCAN itself is
-    * restricted to the probed cells via the (batch, cell) partition
-    * layout: serve I/O is the probed fraction of the corpus
-    * (≈ probes/√N under autoCells — at 10⁹ vectors and probes=2,
-    * ~0.006% of the code stream), where the join-only plan reads every
-    * code row and discards the unprobed ones after the scan. Results
-    * are bit-identical either way (the isin is a superset restriction
-    * of the ADC join's own cell keying; spec-pinned), and the fold is
-    * probes × |queries| distinct cell ids, capped by [[MaxPrunedCells]]
-    * with a full-scan fallback.
+    * SCAN PRUNING (the point of the (batch, cell) code layout): serve
+    * I/O is the probed fraction of the corpus (≈ probes/√N under
+    * autoCells — at 10⁹ vectors and probes=2, ~0.006% of the code
+    * stream), not the corpus. By DEFAULT this needs no code here at
+    * all: the ADC serve joins the code stream to a BROADCAST
+    * query-sized table keyed on the partition column, so Catalyst
+    * inserts a dynamic partition-pruning filter and the scan reads
+    * only the probed cells' directories inside one execution — zero
+    * extra driver jobs, serve stays fully lazy (spec-pinned:
+    * `dynamicpruning` in the scan's partitionFilters, files read ≤
+    * probes × |queries|). `prune = true` instead folds the probed
+    * DISTINCT cells to the driver (≤ probes × |queries| ids, capped by
+    * [[MaxPrunedCells]] with a full-scan fallback) and pushes them as
+    * a STATIC isin partition filter — deterministic insurance for plan
+    * shapes where DPP's heuristics decline (it costs ~0.5 s of extra
+    * driver jobs at any scale for I/O identical to the DPP path —
+    * ServeBench's crossover row). Results are bit-identical either
+    * way: both restrictions are supersets of the ADC join's own cell
+    * keying (spec-pinned, both kinds).
     *
     * `refineWith` composes the exact re-rank stage
     * ([[Similarity.refineTopK]]) over the served shortlist — the
@@ -313,53 +387,33 @@ object IndexStore {
   def serveIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, probes: Int, allowed: Option[DataFrame] = None,
       refineWith: Option[DataFrame] = None, kShort: Int = 0,
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = false): DataFrame =
+    openReader(spark, dir).serve(queries, k, probes, allowed, refineWith,
+      kShort, prune)
+
+  /** Open a PINNED reader on the store's current version: the manifest
+    * is resolved, the artifact relations created (this is where
+    * partition discovery and parquet footer reads happen — the
+    * driver-side cost DiagServe measured at ~1.5 s/serve at sf1's 256
+    * cell directories, growing with √N), and the meta row fetched —
+    * ONCE. Every `serve` on the handle reuses the resolved file index,
+    * so warm serve latency is the ADC plan alone (ServeBench's
+    * serve_warm_s row). This is how a serving deployment runs: open at
+    * startup, serve many, poll [[currentManifest]].version (a tiny
+    * directory listing) and re-open only when maintenance publishes a
+    * new version. The handle pins its version by construction — the
+    * reader-isolation guarantee as an API rather than an accident of
+    * plan timing. GC keeps the previous version's artifacts, so a
+    * reader at most one version behind always serves.
+    */
+  def openReader(spark: SparkSession, dir: String): IndexReader = {
     val m = currentManifest(spark, dir)
     val centRel = spark.read.parquet(artifactPath(dir, m.centroids))
     val bookRel = spark.read.parquet(artifactPath(dir, m.codebooks))
     val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
-    val numSub = meta.getAs[Int]("num_sub")
-    val w = meta.getAs[Int]("w")
-    // probe assignment computed ONCE here (both for the ADC serve and
-    // the scan restriction): queries × broadcast centroid relation —
-    // query-batch-sized, never corpus-sized
-    val probeCells = Similarity.assignCellsRelation(
-      queries.select(col("vec_id"),
-        Similarity.asDouble(col("embedding")).as("v")),
-      centRel, probes)
-      .select(col("vec_id").as("qid"), col("cell"))
-    // scan restriction (the serve-side point of the (batch, cell)
-    // layout): fold the probed DISTINCT cells to the driver — bounded
-    // by probes × |queries| and capped at MaxPrunedCells, far under
-    // any corpus size — and push them as a partition filter, so the
-    // code-stream scan reads ONLY the probed cells' directories. The
-    // ADC join below is unchanged (the isin is a superset restriction;
-    // results are bit-identical, spec-pinned). Query batches too large
-    // for a useful restriction fall back to the full scan + join.
-    val probed: Option[Seq[Long]] =
-      if (!prune) None
-      else {
-        val cells = probeCells.select(col("cell")).distinct()
-          .limit(MaxPrunedCells + 1).collect().map(_.getLong(0)).toSeq
-        if (cells.size <= MaxPrunedCells) Some(cells) else None
-      }
-    val codes = readCodes(spark, dir, m, probed)
-    val kServe = if (refineWith.isEmpty) k
-      else if (kShort > 0) kShort else 5 * k
-    val short = m.kind match {
-      case KindPq => Similarity.ivfPqServe(codes, centRel, bookRel,
-        queries, kServe, probes, numSub, w, allowed,
-        precomputedProbes = Some(probeCells))
-      case KindPqResidual => Similarity.ivfPqResidualServe(codes, centRel,
-        bookRel, queries, kServe, probes, numSub, w, allowed,
-        precomputedProbes = Some(probeCells))
-      case other =>
-        throw new IllegalStateException(s"unknown index kind: $other")
-    }
-    refineWith match {
-      case Some(vec) => Similarity.refineTopK(short, vec, queries, k)
-      case None => short
-    }
+    new IndexReader(spark, dir, m, centRel, bookRel,
+      spark.read.parquet(artifactPath(dir, m.codes)),
+      meta.getAs[Int]("num_sub"), meta.getAs[Int]("w"))
   }
 
   /** Append an ingest batch to the persisted index WITHOUT retraining

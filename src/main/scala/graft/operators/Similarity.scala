@@ -609,10 +609,19 @@ object Similarity {
         Seq[(Long, Seq[Double])]) = {
     require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
     val isBatch = col("vec_id") % deltaMod === (deltaMod - 1)
-    val cent0 = kmeansCentroidSeq(vectors.filter(!isBatch), numCells, iters)
+    // RELATION form throughout (round-15): the literal form inlines
+    // k×d doubles into one generated expression per assignment — at
+    // the sf10 soak's 512-cell geometry that plan wedged the
+    // maintenance sink in codegen before a single task ran. The
+    // relation twins are spec-identical (the q187/q191 gating), so the
+    // maintenance family inherits the literal oracles unchanged.
+    val cent0 = kmeansCentroidSeq(vectors.filter(!isBatch), numCells,
+      iters, viaRelation = true)
+    val spark0 = vectors.sparkSession
     val all = vectors.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val a0 = assignCells(all, cent0, probes = 1)
+    val a0 = assignCellsRelation(all, centroidRelation(spark0, cent0),
+      probes = 1)
       .select(col("vec_id"), col("v"), col("cell").as("cell0"))
     // one Lloyd refresh over the merged corpus: means of the stale
     // assignment, rounded to 6 decimals (the kmeansCentroidSeq
@@ -628,7 +637,8 @@ object Similarity {
         s => s.getField("m")).as("cv"))
       .select(col("cell").cast("long"), col("cv"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val a1 = assignCells(all, cent1, probes = 1)
+    val a1 = assignCellsRelation(all, centroidRelation(spark0, cent1),
+      probes = 1)
       .select(col("vec_id"), col("cell").as("cell1"))
     (a0.select(col("vec_id"), col("cell0")).join(a1, "vec_id"),
       cent0, cent1)
@@ -671,7 +681,8 @@ object Similarity {
           .otherwise(lit("refresh")))
     val decision = readout.select(col("decision")).head().getString(0)
     val maintained =
-      if (decision == "rebuild") kmeansCentroidSeq(vectors, numCells, iters)
+      if (decision == "rebuild")
+        kmeansCentroidSeq(vectors, numCells, iters, viaRelation = true)
       else cent1
     (readout, maintained)
   }

@@ -130,16 +130,15 @@ class DriverBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q191_knn_pagerank_auto", 4096L, "autoCells(N) centroids × Lloyd iterations"),
     ("q192_knn_pagerank_sampled", 4096L, "autoCells(N) centroids × Lloyd iterations"),
     // store lifecycle: BUILD folds k×d centroids (the documented Lloyd
-    // bound) + one meta row; SERVE folds the 1-row meta head plus the
-    // probed-cell set for the partition-pruned code scan (≤ probes ×
-    // |queries| distinct ids, capped at IndexStore.MaxPrunedCells = the
-    // same 4096) — the search plan itself is relations end to end
-    ("q193_store_serve", 4096L,
-      "build-time Lloyd folds + 1-row meta + probed-cell fold"),
-    ("q194_filtered_ann", 4096L,
-      "build-time Lloyd folds + 1-row meta + probed-cell fold"),
+    // bound) + one meta row; the DEFAULT serve's only driver action is
+    // the 1-row meta head — the code-stream scan is restricted by
+    // Catalyst's dynamic partition pruning INSIDE the execution (the
+    // opt-in prune=true path folds ≤ probes × |queries| cell ids,
+    // capped at IndexStore.MaxPrunedCells = the same 4096)
+    ("q193_store_serve", 4096L, "build-time Lloyd folds + 1-row meta"),
+    ("q194_filtered_ann", 4096L, "build-time Lloyd folds + 1-row meta"),
     ("q197_store_serve_residual", 4096L,
-      "build-time Lloyd folds + 1-row meta + probed-cell fold"))
+      "build-time Lloyd folds + 1-row meta"))
 
   // Ops whose scaladoc claims a FULLY LAZY plan — zero driver collects.
   // q165 binaryHammingRecall is a broadcast-limit join + two windows;

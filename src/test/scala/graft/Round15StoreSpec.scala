@@ -342,6 +342,36 @@ class Round15StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       == rows(IndexStore.serveIvfPq(spark, dirB, qv, k = 4, probes = 2)))
   }
 
+  test("pinned reader: warm serve ≡ cold serve bit-for-bit; the handle pins its version across a publish") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 3)
+    for (resid <- Seq(false, true)) {
+      val dir = tmpDir(s"reader-$resid")
+      if (resid) IndexStore.buildIvfPqResidual(e, dir, numCells = 6,
+        cellIters = 2, numSub = 4, codebookK = 6, pqIters = 2)
+      else IndexStore.buildIvfPq(e, dir, numCells = 6, cellIters = 2,
+        numSub = 4, codebookK = 6, pqIters = 2)
+      val reader = IndexStore.openReader(spark, dir)
+      val cold = rows(IndexStore.serveIvfPq(spark, dir, q, k = 4,
+        probes = 2))
+      assert(rows(reader.serve(q, k = 4, probes = 2)) == cold,
+        s"warm serve diverges from cold (resid=$resid)")
+      // maintenance publishes v2; the open handle stays on v1 — the
+      // reader-isolation guarantee as an API — and a re-open serves v2
+      val (_, maintained) = Similarity.ivfIndexMaintain(e, numCells = 6,
+        iters = 2, deltaMod = 10, churnThreshold = 0.1)
+      IndexStore.publishRefresh(e, dir, maintained)
+      assert(reader.version == 1L)
+      assert(rows(reader.serve(q, k = 4, probes = 2)) == cold,
+        s"pinned reader saw the new version (resid=$resid)")
+      val reopened = IndexStore.openReader(spark, dir)
+      assert(reopened.version == 2L)
+      assert(rows(reopened.serve(q, k = 4, probes = 2))
+        == rows(IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)),
+        s"re-opened reader diverges from cold serve on v2 (resid=$resid)")
+    }
+  }
+
   test("pruned serve scans ONLY the probed cells' partitions, bit-identically to the full scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val e = embeddings
@@ -354,7 +384,8 @@ class Round15StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         numSub = 4, codebookK = 6, pqIters = 2)
       // semantics first: the scan restriction must be invisible in the
       // results (the isin is a superset of the ADC join's cell keying)
-      val served = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)
+      val served = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2,
+        prune = true)
       val full = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2,
         prune = false)
       assert(rows(served) == rows(full),
@@ -365,7 +396,8 @@ class Round15StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       // final at inspection time — the repo's PlanSpec discipline)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val again = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2)
+        val again = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2,
+          prune = true)
         again.collect()
         val codesPath = IndexStore.artifactPaths(spark, dir)("codes")
         val scans = again.queryExecution.executedPlan.collect {
@@ -385,6 +417,25 @@ class Round15StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         // distinct cells, one file per (batch, cell) by layout
         assert(scanned <= 2L * 3L,
           s"scan read $scanned files > probes × |queries| (resid=$resid)")
+        // the DEFAULT path needs no driver fold at all: the broadcast
+        // ADC join keys on the partition column, so Catalyst inserts a
+        // DYNAMIC partition-pruning filter — same files read, one
+        // execution, zero extra jobs (ServeBench measured the static
+        // isin ~0.5 s slower for identical I/O)
+        val dflt = IndexStore.serveIvfPq(spark, dir, q, k = 4, probes = 2,
+          prune = false)
+        dflt.collect()
+        val dscan = dflt.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("codes-")) => f
+        }.head
+        assert(dscan.partitionFilters
+          .exists(_.toString.contains("dynamicpruning")),
+          s"no dynamic partition filter on the default serve: " +
+            s"${dscan.partitionFilters.mkString(", ")} (resid=$resid)")
+        val dScanned = dscan.metrics("numFiles").value
+        assert(dScanned > 0 && dScanned <= 2L * 3L,
+          s"DPP read $dScanned of $totalFiles code files (resid=$resid)")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
