@@ -1811,6 +1811,19 @@ object SparkEntry {
         0.4)
         .select(col("vec_id"), col("cluster"), col("n_members"))
         .orderBy(col("vec_id"))),
+    // q198 at the REDUCED candidate geometry (4 bands × 8-bit buckets,
+    // same 32 md5 hyperplanes): 8-bit buckets cut the expected
+    // candidate count ~30× (256 buckets/band vs 16), which is what
+    // makes the ORACLE replay feasible at sf1 — q198's 4-bit geometry
+    // generates ~10⁸ candidate pairs there and DuckDB blows a 5000 s
+    // budget on the verify join. The q189/q190 reduced-geometry
+    // discipline: same chain, same verify, same CC tail, a banding
+    // recall trade the Charikar bound prices.
+    "q199_embedding_dedup_lsh8" -> ((s, dir) =>
+      Similarity.embeddingDedupClustersLshExact(Tables.embeddings(s, dir),
+        0.4, bands = 4, rowsPerBand = 8)
+        .select(col("vec_id"), col("cluster"), col("n_members"))
+        .orderBy(col("vec_id"))),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1841,8 +1854,23 @@ object SparkEntry {
     * anchors: a reworded q150 oracle fails loudly instead of silently
     * shipping a drifted q198 chain.
     */
-  private def embeddingLshClusterSql: String = {
-    val base = oracleSqlBase("q150_hyperplane_lsh_exact")
+  private def embeddingLshClusterSql: String =
+    embeddingLshClusterSqlGeom(8, 4)
+
+  /** q150's chain at an arbitrary (bands, rowsPerBand) geometry — the
+    * md5 hyperplane scheme is keyed by (b, r, d) so swapping the two
+    * range() bounds IS the engine's `hyperplaneInts(bands, rows, …)`
+    * swap; the verify and CC tail are unchanged. q199 uses (4, 8):
+    * same 32 hyperplanes, 8-bit buckets, ~30× fewer candidates — the
+    * geometry whose oracle replays at sf1.
+    */
+  private def embeddingLshClusterSqlGeom(bands: Int, rows: Int): String = {
+    val geom0 = "range(8) rb(b), range(4) rr(r)"
+    val base = {
+      val b0 = oracleSqlBase("q150_hyperplane_lsh_exact")
+      require(b0.contains(geom0), "q150 oracle geometry anchor not found")
+      b0.replace(geom0, s"range($bands) rb(b), range($rows) rr(r)")
+    }
     val anchor = "SELECT i, j, cos FROM p WHERE cos >= 0.4 ORDER BY i, j"
     require(base.startsWith("WITH e AS") && base.contains(anchor),
       "q150 oracle anchors not found")
@@ -1901,6 +1929,9 @@ object SparkEntry {
     // CC/labeling tail over embeddings — candidate-bounded, so the
     // embedding-dedup cluster family replays at sf1
     "q198_embedding_dedup_lsh" -> embeddingLshClusterSql,
+    // the sf1-replayable geometry of the same chain (4 bands × 8-bit
+    // buckets — see the q199 query comment)
+    "q199_embedding_dedup_lsh8" -> embeddingLshClusterSqlGeom(4, 8),
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
          p AS (SELECT i, j,
                  len(list_intersect(si.sh, sj.sh))::DOUBLE
