@@ -82,10 +82,10 @@ object ServeBench {
     // scan accounting: files/rows the code-stream scan actually read,
     // pruned vs full (AQE off for one pass each so the executed plan
     // is inspectable — the PlanSpec discipline)
-    def codesScan(prune: Boolean): (Long, Long) = {
+    def codesScanAt(d: String, prune: Boolean): (Long, Long) = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val df = IndexStore.serveIvfPq(spark, dir, q, k = 10, probes = 2,
+        val df = IndexStore.serveIvfPq(spark, d, q, k = 10, probes = 2,
           prune = prune)
         // collect() executes df's OWN QueryExecution (count() would
         // build a fresh one and leave these metrics unpopulated)
@@ -98,11 +98,64 @@ object ServeBench {
         (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
-    val (staticFiles, staticRows) = codesScan(prune = true)
-    val (dppFiles, dppRows) = codesScan(prune = false)
+    val (staticFiles, staticRows) = codesScanAt(dir, prune = true)
+    val (dppFiles, dppRows) = codesScanAt(dir, prune = false)
     val totalFiles = spark.read
       .parquet(IndexStore.artifactPaths(spark, dir)("codes"))
       .inputFiles.length
+
+    // INCREMENTAL REOPEN cost (round-16): after a centroid-only
+    // publish — the common maintenance outcome — a reader re-open
+    // should pay only the changed artifact (a tiny centroid relation),
+    // not the √N-growing code-stream rediscovery a cold open pays.
+    // Republish the store's own centroids each repetition so every
+    // reopen crosses a real version bump.
+    import spark.implicits._
+    var pinned = IndexStore.openReader(spark, dir)
+    val centSelf = spark.read
+      .parquet(IndexStore.artifactPaths(spark, dir)("centroids"))
+      .select(col("cid"), col("cv")).as[(Long, Seq[Double])].collect().toSeq
+    val (reopenTs, coldTs) = (1 to repeat).map { _ =>
+      IndexStore.writeCentroids(spark, dir, centSelf)
+      val r = timed { pinned = pinned.reopen() }
+      val c = timed { IndexStore.openReader(spark, dir) }
+      (r, c)
+    }.unzip
+    val reopenS = median(reopenTs)
+    val openColdS = median(coldTs)
+
+    // MAINTENANCE AGE vs COMPACTION (round-16): append batches pile up
+    // while the recall gate rejects refreshes — every probed cell then
+    // reads one file PER BATCH and warm serve degrades with age;
+    // compactCodes folds the stream back to one file per cell under a
+    // new version. Separate store: build on 10/16 of the corpus, age
+    // with 6 append batches, measure, compact, measure again.
+    val nAge = 6
+    val dirA = dir + "_aging"
+    new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dirA), true)
+    val baseA = e.filter(pmod(col("vec_id"), lit(16)) < 10)
+    IndexStore.buildIvfPq(baseA, dirA, numCells = cells, cellIters = 2,
+      numSub = 4, codebookK = ck, pqIters = 2)
+    for (b <- 1 to nAge)
+      IndexStore.appendVectors(
+        e.filter(pmod(col("vec_id"), lit(16)) === 9 + b), dirA,
+        batchId = b.toLong)
+    val readerAged = IndexStore.openReader(spark, dirA)
+    readerAged.serve(q, k = 10, probes = 2).count() // codegen warmup
+    val serveAgedS = median((1 to repeat).map { _ =>
+      timed { readerAged.serve(q, k = 10, probes = 2).count() }
+    })
+    val (agedFiles, _) = codesScanAt(dirA, prune = false)
+    val compactS = timed { IndexStore.compactCodes(spark, dirA).collect() }
+    val readerCompacted = readerAged.reopen()
+    readerCompacted.serve(q, k = 10, probes = 2).count()
+    val serveCompactedS = median((1 to repeat).map { _ =>
+      timed { readerCompacted.serve(q, k = 10, probes = 2).count() }
+    })
+    val (compFiles, _) = codesScanAt(dirA, prune = false)
+
     println(s"""{"metric":"serve_bench","n":$n,"cells":$cells,""" +
       s""""codebook_k":$ck,"build_s":$buildS,"serve_s":$serveS,""" +
       s""""serve_warm_s":$serveWarmS,""" +
@@ -110,6 +163,11 @@ object ServeBench {
       s""""codes_files_total":$totalFiles,""" +
       s""""codes_files_dpp":$dppFiles,"codes_files_static":$staticFiles,""" +
       s""""codes_rows_dpp":$dppRows,"codes_rows_static":$staticRows,""" +
+      s""""reopen_incremental_s":$reopenS,"reopen_cold_s":$openColdS,""" +
+      s""""aging_batches":$nAge,"serve_warm_aged_s":$serveAgedS,""" +
+      s""""codes_files_dpp_aged":$agedFiles,"compact_s":$compactS,""" +
+      s""""serve_warm_compacted_s":$serveCompactedS,""" +
+      s""""codes_files_dpp_compacted":$compFiles,""" +
       s""""repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,11 +23,28 @@ import graft.operators.{IndexStore, Similarity}
   * artifacts), `after` (quiet again, possibly on a refreshed version).
   * A lock-based design would show `during` serves stalling behind the
   * publish; the manifest swap design should show only core contention.
+  * Phase attribution keys on each serve's START wall-clock, so a serve
+  * straddling a boundary lands in the phase it began under, and
+  * `maintStart` is stamped before the sink starts so sink startup cost
+  * counts as maintenance, not quiet time.
+  *
+  * SCHEDULER-POOL ISOLATION (round-16): the round-15 sf10 soak showed
+  * during-maintenance p95 at ~7× quiet p95 — pure core contention
+  * (FIFO scheduling queues the serve job's tasks behind whole
+  * encode/refresh stages). Production fix, measured here: FAIR
+  * scheduling with a `serve` pool (minShare = a few cores, weight > 1)
+  * so serve tasks are offered cores ahead of the maintenance backlog —
+  * latency isolation without reserving a separate cluster. The serve
+  * thread sets `spark.scheduler.pool=serve` as a thread-local property;
+  * maintenance jobs stay in the default pool.
+  * `SPARK_GRAFT_POOL=fifo` reproduces the round-15 shared-FIFO
+  * behavior for the A/B.
   *
   *   SPARK_GRAFT_SF_DIR   data dir with embeddings.parquet
   *                        (default testdata_sf1)
   *   SPARK_GRAFT_CPUS     local[N] = shuffle partitions (default 16)
   *   SPARK_GRAFT_BATCHES  arrival micro-batches (default 3)
+  *   SPARK_GRAFT_POOL     fair (default) | fifo
   *
   * Prints one JSON line: geometry, build seconds, per-phase serve
   * latency (n/p50/p95 seconds), versions observed per phase, and the
@@ -46,12 +63,31 @@ object SoakBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "3").toInt
-    val spark = SparkSession.builder()
+    val pool = sys.env.getOrElse("SPARK_GRAFT_POOL", "fair")
+    // FAIR needs an allocation file naming the serve pool; write it
+    // beside the store scratch (pool properties: minShare guarantees
+    // the serve job task slots as soon as they free, weight breaks
+    // ties above the guarantee)
+    val allocFile = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.write(allocFile,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="serve">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>4</weight>
+        |    <minShare>4</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin.getBytes("UTF-8"))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (pool == "fair")
+      builder.config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", allocFile.toString)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -86,41 +122,71 @@ object SoakBench {
     }
 
     // serving thread: fixed 10-query batch, k=10, probes=2, run until
-    // stopped; every sample records (wall start, duration, version)
+    // stopped; every sample records (wall START, duration, version)
     val q = e.filter(col("vec_id") < 10)
     // one unrecorded warmup serve: whole-stage codegen compilation and
     // the parquet reader warm-up would otherwise land in the first
     // 'before' sample and skew a 5-sample phase median
     IndexStore.openReader(spark, dir).serve(q, k = 10, probes = 2).count()
     val stop = new AtomicBoolean(false)
+    val serveError = new AtomicReference[Throwable](null)
     val samples =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
     val server = new Thread(() => {
       // the production serving shape: a PINNED reader, re-opened only
       // when the manifest version moves (the poll is a tiny directory
-      // listing; the re-open pays partition discovery once per publish)
-      var reader = IndexStore.openReader(spark, dir)
-      while (!stop.get()) {
-        val v = IndexStore.currentManifest(spark, dir).version
-        if (v != reader.version) reader = IndexStore.openReader(spark, dir)
-        val t0 = System.nanoTime()
-        reader.serve(q, k = 10, probes = 2).count()
-        samples.add((System.currentTimeMillis(),
-          (System.nanoTime() - t0) / 1e9, reader.version))
+      // listing; the re-open pays partition discovery once per publish).
+      // A serve failure (transient I/O, artifacts GC'd under a stalled
+      // reader) is recorded and terminates the loop — the main thread's
+      // sample waits abort on it instead of hanging forever.
+      try {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (pool == "fair") "serve" else null)
+        var reader = IndexStore.openReader(spark, dir)
+        while (!stop.get()) {
+          // reopen() is the incremental path: same version ⇒ `this`
+          // (the poll costs one directory listing); a new version
+          // re-reads only the artifacts whose manifest names changed
+          reader = reader.reopen()
+          val t0Wall = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          reader.serve(q, k = 10, probes = 2).count()
+          samples.add((t0Wall, (System.nanoTime() - t0) / 1e9,
+            reader.version))
+        }
+      } catch {
+        case t: Throwable => serveError.set(t)
       }
     }, "soak-server")
     server.setDaemon(true)
     server.start()
 
-    // phase boundaries in wall-clock millis
+    // sample waits carry a deadline and surface a dead server's error
+    // instead of looping forever on a queue that stopped growing
+    def awaitSamples(target: Int, deadlineMs: Long = 1200000L): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (samples.size < target) {
+        val err = serveError.get()
+        if (err != null)
+          throw new IllegalStateException("soak serve thread died", err)
+        if (System.currentTimeMillis() - t0 > deadlineMs)
+          throw new IllegalStateException(
+            s"soak wait for $target samples exceeded ${deadlineMs / 1000}s " +
+              s"(have ${samples.size})")
+        Thread.sleep(200)
+      }
+    }
+
+    // phase boundaries in wall-clock millis; maintStart is stamped
+    // BEFORE the sink starts so its startup cost is maintenance time
     Thread.sleep(100)
-    while (samples.size < 5) Thread.sleep(200) // quiet 'before' window
+    awaitSamples(5) // quiet 'before' window
     val mem = MemoryStream[(Long, Seq[Float])]
+    val maintStart = System.currentTimeMillis()
     val sink = graft.streaming.Ingest.ivfMaintainSink(
       mem.toDS().toDF("vec_id", "embedding"), base, dir, ckpt,
       numCells = cells, iters = 2, deltaMod = 10,
       churnThreshold = 0.05).start()
-    val maintStart = System.currentTimeMillis()
     try {
       arrivals.foreach { batch =>
         mem.addData(batch: _*)
@@ -129,8 +195,7 @@ object SoakBench {
     } finally sink.stop()
     val maintEnd = System.currentTimeMillis()
     // quiet 'after' window
-    val afterTarget = samples.size + 5
-    while (samples.size < afterTarget) Thread.sleep(200)
+    awaitSamples(samples.size + 5)
     stop.set(true)
     server.join(120000)
 
@@ -160,7 +225,7 @@ object SoakBench {
       }.mkString("{", ",", "}"))
     println(s"""{"metric":"soak_bench","n_base":$nBase,"cells":$cells,""" +
       s""""codebook_k":$ck,"batches":$nBatches,"build_s":$buildS,""" +
-      s""""before":${phJson(beforeL, beforeV)},""" +
+      s""""pool":"$pool","before":${phJson(beforeL, beforeV)},""" +
       s""""during":${phJson(duringL, duringV)},""" +
       s""""after":${phJson(afterL, afterV)},""" +
       s""""maintenance_s":${(maintEnd - maintStart) / 1e3},""" +

@@ -1811,8 +1811,10 @@ object SparkEntry {
         0.4)
         .select(col("vec_id"), col("cluster"), col("n_members"))
         .orderBy(col("vec_id"))),
-    // q198 at the REDUCED candidate geometry (4 bands × 8-bit buckets,
-    // same 32 md5 hyperplanes): 8-bit buckets cut the expected
+    // q198 at the REDUCED candidate geometry (4 bands × 8-bit buckets;
+    // hyperplanes are keyed hp:seed:b:r:d, so this is the same
+    // (b,r,d)-keyed md5 scheme at the (4,8) geometry — NOT the same 32
+    // hyperplane vectors as q198's (8,4)): 8-bit buckets cut the expected
     // candidate count ~30× (256 buckets/band vs 16), which is what
     // makes the ORACLE replay feasible at sf1 — q198's 4-bit geometry
     // generates ~10⁸ candidate pairs there and DuckDB blows a 5000 s
@@ -1824,6 +1826,29 @@ object SparkEntry {
         0.4, bands = 4, rowsPerBand = 8)
         .select(col("vec_id"), col("cluster"), col("n_members"))
         .orderBy(col("vec_id"))),
+    // q53's EXACT PPJoin re-gated by an INDEPENDENT oracle formulation
+    // whose DuckDB cost is posting-list-bounded instead of O(N²): any
+    // pair at jac ≥ τ > 0 shares at least one 3-shingle, so candidates
+    // from the shared-shingle inverted-index self-join cover the
+    // brute-force pair set EXACTLY (jac from integer counts: inter /
+    // (na + nb − inter) — the same integers brute force intersects, so
+    // the same rounded double; equality vs q53's brute-force oracle
+    // verified at sf0.01 and sf0.1). The engine path is q53's
+    // verbatim — the point is the ORACLE: Σ df² ≈ 2.5×10⁸ at sf1
+    // (max shingle df = 145) where brute force is 1.25×10⁹ list
+    // intersections, giving the exact-audit PPJoin family a routine
+    // sf1 gate the q53 formulation can never afford.
+    "q200_jaccard_posting" -> ((s, dir) =>
+      Dedup.ngramJaccardJoin(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("i"), col("j"))),
+    // q97's asymmetric containment under the same posting-list oracle
+    // reformulation (containment > 0 also implies a shared shingle;
+    // both directions, integer threshold compare) — 244 s at sf1 vs an
+    // infeasible brute-force double-sided N².
+    "q201_containment_posting" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("i"), col("j"))),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1860,9 +1885,11 @@ object SparkEntry {
   /** q150's chain at an arbitrary (bands, rowsPerBand) geometry — the
     * md5 hyperplane scheme is keyed by (b, r, d) so swapping the two
     * range() bounds IS the engine's `hyperplaneInts(bands, rows, …)`
-    * swap; the verify and CC tail are unchanged. q199 uses (4, 8):
-    * same 32 hyperplanes, 8-bit buckets, ~30× fewer candidates — the
-    * geometry whose oracle replays at sf1.
+    * swap; the verify and CC tail are unchanged. q199 uses (4, 8): the
+    * same (b,r,d)-keyed md5 hyperplane scheme at the (4,8) geometry
+    * (hyperplanes derive from their band/row indices, so only the
+    * b<4 ∧ r<4 keys coincide with q198's), 8-bit buckets, ~30× fewer
+    * candidates — the geometry whose oracle replays at sf1.
     */
   private def embeddingLshClusterSqlGeom(bands: Int, rows: Int): String = {
     val geom0 = "range(8) rb(b), range(4) rr(r)"
@@ -1932,6 +1959,39 @@ object SparkEntry {
     // the sf1-replayable geometry of the same chain (4 bands × 8-bit
     // buckets — see the q199 query comment)
     "q199_embedding_dedup_lsh8" -> embeddingLshClusterSqlGeom(4, 8),
+    // posting-list (inverted-index) reformulations of the q53/q97
+    // brute-force oracles — identical result sets (any pair above a
+    // positive overlap threshold shares a shingle; counts are the same
+    // integers), posting-bounded cost, so the exact-audit family
+    // replays at sf1 (see the q200/q201 query comments)
+    "q200_jaccard_posting" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+         cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+                    any_value(a.n) AS na, any_value(b.n) AS nb
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+         p AS (SELECT i, j, inter::DOUBLE / (na + nb - inter) AS jac
+               FROM cand)
+         SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5
+         ORDER BY i, j""",
+    "q201_containment_posting" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+         cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+                    any_value(a.n) AS na
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+         SELECT i, j, round(inter::DOUBLE / na, 6) AS containment
+         FROM cand WHERE inter * 5 >= na * 3 ORDER BY i, j""",
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
          p AS (SELECT i, j,
                  len(list_intersect(si.sh, sj.sh))::DOUBLE

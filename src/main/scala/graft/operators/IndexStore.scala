@@ -22,10 +22,68 @@ final case class IndexManifest(version: Long, kind: String,
   * column directly.
   */
 final class IndexReader private[operators] (spark: SparkSession,
-    dir: String, val manifest: IndexManifest, centRel: DataFrame,
-    bookRel: DataFrame, rawCodes: DataFrame, numSub: Int, w: Int) {
+    dir: String, val manifest: IndexManifest,
+    private[graft] val centRel: DataFrame,
+    private[graft] val bookRel: DataFrame,
+    private[graft] val rawCodes: DataFrame,
+    private[operators] val numSub: Int,
+    private[operators] val w: Int) {
 
   def version: Long = manifest.version
+
+  // the codes artifact's batch=* partition set as resolved at open —
+  // the one artifact [[IndexStore.appendVectors]] legitimately GROWS in
+  // place (new batch partitions, no version bump), so name equality
+  // alone is not proof the resolved file index is still complete
+  private val codeBatchSet: Set[String] =
+    IndexStore.listBatchDirs(spark, s"$dir/${manifest.codes}")
+
+  /** INCREMENTAL re-open (round-16): resolve the store's current
+    * manifest and return a reader pinned to it, CARRYING OVER every
+    * artifact relation whose content is provably unchanged. Centroids/
+    * codebooks/meta are immutable once published (a refresh writes new
+    * names, never edits one in place, and GC never touches a name the
+    * current manifest references), so a NAME match transfers their
+    * resolved file index — partition discovery + parquet footers, the
+    * ~1.5 s/√N cost [[IndexStore.openReader]] pays — for free. The
+    * CODE STREAM is the one artifact that can grow in place
+    * ([[IndexStore.appendVectors]] adds `batch=*` partitions without a
+    * publish), so a name match is confirmed by ONE top-level directory
+    * listing comparing the batch partition set against the set
+    * resolved at open — still O(batches), never the O(cells × batches)
+    * recursive discovery + footer pass. A centroid-only refresh (the
+    * common maintenance publish) thus reuses codebooks, meta, and the
+    * corpus-sized code stream and re-reads only the tiny centroid
+    * relation: re-open cost tracks the changed-artifact fraction, not
+    * the store size. Same version ⇒ returns `this` (the poll costs one
+    * manifest listing; appends without a publish stay invisible to a
+    * pinned reader by design — the version pin IS the consistency
+    * boundary, and an adopted refresh/compact/delete publish makes
+    * them visible). Serving semantics are identical to a cold open at
+    * the same version (spec-pinned, relations referentially reused).
+    */
+  def reopen(): IndexReader = {
+    val m2 = IndexStore.currentManifest(spark, dir)
+    if (m2.version == manifest.version) this
+    else {
+      def rel(name: IndexManifest => String, cur: DataFrame): DataFrame =
+        if (name(m2) == name(manifest)) cur
+        else spark.read.parquet(s"$dir/${name(m2)}")
+      val (ns, ww) =
+        if (m2.meta == manifest.meta) (numSub, w)
+        else {
+          val meta = spark.read.parquet(s"$dir/${m2.meta}").head()
+          (meta.getAs[Int]("num_sub"), meta.getAs[Int]("w"))
+        }
+      val codes =
+        if (m2.codes == manifest.codes &&
+          IndexStore.listBatchDirs(spark, s"$dir/${m2.codes}")
+            == codeBatchSet) rawCodes
+        else spark.read.parquet(s"$dir/${m2.codes}")
+      new IndexReader(spark, dir, m2, rel(_.centroids, centRel),
+        rel(_.codebooks, bookRel), codes, ns, ww)
+    }
+  }
 
   /** [[IndexStore.serveIvfPq]]'s contract over the pinned version —
     * same arguments, same bit-identical results, no per-call manifest
@@ -109,6 +167,8 @@ final class IndexReader private[operators] (spark: SparkSession,
   *                          the only corpus-sized artifact
   *   dir/meta-<i>         — one row (num_sub, w, num_cells, codebook_k)
   *   dir/maintenance_log  — append-only decision log (batch-keyed)
+  *   dir/ops_log          — append-only store-level decision log
+  *                          ([[compactCodes]]/[[deleteVectors]] rows)
   *   dir/arrivals         — batch-partitioned vector arrivals the
   *                          streaming maintenance loop accumulates
   *
@@ -162,6 +222,15 @@ object IndexStore {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Top-level `batch=*` directory names of a code-stream artifact —
+    * one flat listing, the cheap completeness check [[IndexReader
+    * .reopen]] runs before reusing a resolved code-stream file index.
+    */
+  private[operators] def listBatchDirs(spark: SparkSession,
+      path: String): Set[String] =
+    fsOf(spark, path).listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+
   /** Resolve the CURRENT manifest: list `manifest-*`, take the max
     * version (the filename is the pointer — no content race), parse
     * its properties. One listing + one tiny read per serve.
@@ -198,23 +267,53 @@ object IndexStore {
       kv("codes"), kv("meta"))
   }
 
+  /** Per-store-dir publish locks backing the SINGLE-WRITER guard (see
+    * [[publishManifest]]): check-then-rename must be atomic within the
+    * JVM for the racing-publish spec's deterministic loser.
+    */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write the manifest fully to a hidden tmp name, then ONE rename to
     * `manifest-<v>` — the atomic pointer swap. Afterwards GC: keep this
     * and the previous version's manifests + every artifact either
     * references; delete the rest (older readers must re-resolve).
+    *
+    * SINGLE-WRITER CONTRACT, enforced fail-stop: the store admits ONE
+    * build/refresh/append/compact/delete job at a time (the streaming
+    * sink's foreachBatch serializes naturally; a deployment with
+    * several maintenance jobs must serialize them externally). Two
+    * concurrent publishers would each read the same current version
+    * and race to publish `version+1`; the guard makes exactly one win
+    * — a per-dir lock covers the exists-check-then-rename within the
+    * JVM, and the loser throws [[IllegalStateException]] WITHOUT
+    * touching the winner's manifest, so the store always serves a
+    * consistent version (racing-publish spec). Cross-process, the
+    * exists check plus HDFS's rename-refuses-existing-destination
+    * semantics give the same fail-stop on a real cluster; a local
+    * filesystem's overwriting rename is covered by the in-JVM lock,
+    * which is where a local race can occur.
     */
-  private def publishManifest(spark: SparkSession, dir: String,
+  private[graft] def publishManifest(spark: SparkSession, dir: String,
       m: IndexManifest): Unit = {
     val fs = fsOf(spark, dir)
     val body = s"version=${m.version}\nkind=${m.kind}\n" +
       s"centroids=${m.centroids}\ncodebooks=${m.codebooks}\n" +
       s"codes=${m.codes}\nmeta=${m.meta}\n"
-    val tmp = new Path(dir, s".manifest-${m.version}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(UTF_8)) finally out.close()
-    val dest = new Path(dir, s"manifest-${m.version}")
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"manifest publish rename failed: $dest")
+    val lock = publishLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val dest = new Path(dir, s"manifest-${m.version}")
+      if (fs.exists(dest))
+        throw new IllegalStateException(
+          s"concurrent publish lost the race: $dest already exists " +
+            "(the store is single-writer — serialize publish jobs)")
+      val tmp = new Path(dir, s".manifest-${m.version}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      if (!fs.rename(tmp, dest))
+        throw new IllegalStateException(
+          s"manifest publish rename failed: $dest")
+    }
     gcOldVersions(fs, dir)
   }
 
@@ -457,6 +556,161 @@ object IndexStore {
       .encodeViaRelation(Similarity.subSliced(toEncode, numSub, w), bookRel)
       .join(asn.select(col("vec_id"), col("cell")), "vec_id")
     writeCodes(batchCodes, artifactPath(dir, m.codes), batch = batchId)
+  }
+
+  /** Append one decision row to `dir/ops_log` — the store-level
+    * publish decisions ([[compactCodes]], [[deleteVectors]]) get their
+    * own append-only log with a schema IndexStore owns
+    * (`dir/maintenance_log` belongs to the streaming maintenance sink,
+    * whose rows carry the q186 readout + recall-gate columns; mixing
+    * schemas in one parquet directory would force mergeSchema on every
+    * reader). One tiny file per decision — decision cadence, not data
+    * cadence.
+    */
+  private def logOp(spark: SparkSession, dir: String, op: String,
+      versionBefore: Long, versionAfter: Long, published: Boolean,
+      detail: Long): Unit = {
+    import spark.implicits._
+    Seq((op, versionBefore, versionAfter, published, detail))
+      .toDF("op", "version_before", "version_after", "published", "detail")
+      .coalesce(1).write.mode("append").parquet(s"$dir/ops_log")
+  }
+
+  /** The store-level decision log ([[compactCodes]] / [[deleteVectors]]
+    * rows) — empty-schema-safe for stores that never ran either.
+    */
+  def opsLog(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(dir, "ops_log")))
+      spark.read.parquet(s"$dir/ops_log")
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long, Boolean, Long)]
+        .toDF("op", "version_before", "version_after", "published", "detail")
+    }
+  }
+
+  /** The code stream's batch partition ids under the CURRENT manifest
+    * (batch 0 = build/compacted; b > 0 = ingest appends) — the aging
+    * readout [[compactCodes]] acts on.
+    */
+  def codeBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    val m = currentManifest(spark, dir)
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(artifactPath(dir, m.codes))).toSeq
+      .map(_.getPath.getName).collect {
+        case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
+      }.sorted
+  }
+
+  /** COMPACTION-ONLY publish (round-16 item 1): rewrite the accumulated
+    * `batch=*` partitions of the code stream into a single compacted
+    * batch 0 under a NEW version — codes bit-identical (the same
+    * (vec_id, sub, code, cell) row set, row-count guarded), centroids/
+    * codebooks/meta REUSED by name, no reassignment, no re-encode.
+    *
+    * Why it exists: every [[appendVectors]] adds a `batch=<id>`
+    * partition with one file per cell, and the recall gate REJECTING
+    * refreshes (exactly what it is for) means nothing ever folds them
+    * back — so a serve reads B files per probed cell after B-1 appends
+    * and the flat-warm-serve result erodes with maintenance age
+    * (ServeBench's aging rows measure exactly this). Compaction is the
+    * [[graft.operators.Layout.compactionPlan]]/`compactionRewrite`
+    * discipline applied THROUGH the versioned publish: rewrite into
+    * fresh artifacts, swap the manifest pointer, let GC retire the old
+    * stream — readers in flight keep their version, and a crash
+    * mid-compact leaves an unreferenced directory and the old manifest
+    * serving.
+    *
+    * IDEMPOTENT: a stream already at a single batch 0 is left
+    * untouched — no new version, `published = false` in the report (a
+    * second compact is a no-op, spec-pinned). One corpus pass of the
+    * narrow code stream (4 int-ish columns), shuffled once by `cell` to
+    * restore one-file-per-cell; runs for ANY kind (codes move verbatim
+    * — cell membership and encodings are unchanged by relocation).
+    *
+    * Returns the one-row report (version_before, version_after,
+    * published, n_batches_in) and appends it to the [[opsLog]].
+    */
+  def compactCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest(spark, dir)
+    val batches = codeBatches(spark, dir)
+    val report =
+      if (batches == Seq(0L)) (m.version, m.version, false, batches.size.toLong)
+      else {
+        val v1 = m.version + 1
+        val codesName = s"codes-$v1"
+        val nOld = readCodes(spark, dir, m).count()
+        writeCodes(readCodes(spark, dir, m), artifactPath(dir, codesName),
+          batch = 0L)
+        val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
+        require(nNew == nOld,
+          s"compact row-count drift: $nOld -> $nNew; aborting publish")
+        publishManifest(spark, dir, m.copy(version = v1, codes = codesName))
+        (m.version, v1, true, batches.size.toLong)
+      }
+    logOp(spark, dir, "compact", report._1, report._2, report._3, report._4)
+    Seq(report).toDF("version_before", "version_after", "published",
+      "n_batches_in")
+  }
+
+  /** VECTOR DELETION publish (round-16 item 2): remove `ids` (vec_id)
+    * from the index WITHOUT a rebuild — the code stream is rewritten
+    * minus the dropped vectors' rows (an anti-join on vec_id) and
+    * published as a new version; centroids/codebooks/meta are REUSED by
+    * name (deletion changes neither cell geometry nor any surviving
+    * vector's encoding, for BOTH kinds — residual codes depend only on
+    * their own centroid, which is untouched). This is how the repo's
+    * own curation drop-lists land on the serving index: q110's
+    * canonical-keeper losers, q167's split-leak evictions, q163's PII
+    * gate — and a takedown request — all produce exactly a vec_id
+    * list.
+    *
+    * Serving equivalence (spec-pinned, both kinds): serve after delete
+    * ≡ serve before delete with `allowed` = everything-but-ids — the
+    * allow-list semi-join and the deletion anti-join leave the ADC the
+    * same code set. The difference is the contract: `allowed` is
+    * per-query scoping; deletion is store truth (the rows are GONE —
+    * no caller can forget the filter), which is what a takedown needs.
+    *
+    * IDEMPOTENT: ids with no code rows are ignored; a delete that
+    * would remove nothing publishes NOTHING (no version churn on
+    * replay — `published = false` in the report). The rewrite also
+    * compacts to batch 0 as a side effect (it is the same one-pass
+    * cell-shuffled rewrite as [[compactCodes]]). One narrow corpus
+    * pass per drop-list — a deployment batches drop-lists the way it
+    * batches appends. Scale shape: the drop-list broadcast-joins when
+    * small (Catalyst's call), the stream never carries text or
+    * vectors, and the publish is the same atomic pointer swap.
+    *
+    * Returns the one-row report (version_before, version_after,
+    * published, n_rows_removed) and appends it to the [[opsLog]].
+    */
+  def deleteVectors(ids: DataFrame, dir: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val m = currentManifest(spark, dir)
+    val drop = ids.select(col("vec_id"))
+    val cur = readCodes(spark, dir, m)
+    val nHit = cur.join(drop, Seq("vec_id"), "left_semi").count()
+    val report =
+      if (nHit == 0L) (m.version, m.version, false, 0L)
+      else {
+        val v1 = m.version + 1
+        val codesName = s"codes-$v1"
+        val nOld = cur.count()
+        writeCodes(cur.join(drop, Seq("vec_id"), "left_anti"),
+          artifactPath(dir, codesName), batch = 0L)
+        val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
+        require(nNew == nOld - nHit,
+          s"delete row-count drift: $nOld - $nHit != $nNew; aborting publish")
+        publishManifest(spark, dir, m.copy(version = v1, codes = codesName))
+        (m.version, v1, true, nHit)
+      }
+    logOp(spark, dir, "delete", report._1, report._2, report._3, report._4)
+    Seq(report).toDF("version_before", "version_after", "published",
+      "n_rows_removed")
   }
 
   /** Persist a maintained centroid set (the output of
