@@ -93,8 +93,18 @@ object SoakBench {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+    // Repartition the corpus to ~4 tasks/core before caching: FAIR
+    // scheduling is non-preemptive — a serve job gets slots only as
+    // running tasks FINISH — so latency isolation needs maintenance
+    // task durations bounded, not just pool weights. The sf10 corpus
+    // parquet packs into a handful of scan partitions (51 MB / 32
+    // files), which made each Lloyd/encode map task seconds long and
+    // held the during-maintenance serve p95 at the single-task
+    // duration (~6.5 s) even under the serve pool's minShare. The
+    // repartition is one 51 MB shuffle paid once at startup.
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).cache()
+      .select(col("vec_id"), col("embedding"))
+      .repartition(4 * cpus.toInt).cache()
     val base = e.filter(col("vec_id") % 10 < 8)
     val nBase = base.count()
     val cells = Similarity.autoCells(nBase)
