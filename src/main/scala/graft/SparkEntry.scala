@@ -1849,6 +1849,14 @@ object SparkEntry {
     "q201_containment_posting" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("i"), col("j"))),
+    // q101's τ-tuning sweep under the same posting-list oracle
+    // reformulation (its pair set is q53's at the sweep's minimum
+    // τ = 0.5, so candidate coverage is the same argument) —
+    // completing the exact-audit family's sf1 gates: q200 (pairs),
+    // q201 (containment), q202 (sweep).
+    "q202_threshold_sweep_posting" -> ((s, dir) =>
+      Dedup.jaccardThresholdSweep(Tables.documents(s, dir), "doc_id",
+        "text")),
   )
 
   /** Per-SF scratch path for the q193/q194 index store — derived from
@@ -1992,6 +2000,28 @@ object SparkEntry {
                   GROUP BY a.doc_id, b.doc_id)
          SELECT i, j, round(inter::DOUBLE / na, 6) AS containment
          FROM cand WHERE inter * 5 >= na * 3 ORDER BY i, j""",
+    "q202_threshold_sweep_posting" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                                for i in range(1, len(w)-1)]) AS sh
+               FROM t WHERE len(w) >= 3),
+         ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+         cand AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+                    any_value(a.n) AS na, any_value(b.n) AS nb
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+         p AS (SELECT i, j, inter::DOUBLE / (na + nb - inter) AS jac
+               FROM cand),
+         th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold),
+         q AS (SELECT threshold, i, j FROM th JOIN p ON p.jac >= th.threshold),
+         np AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM q GROUP BY 1),
+         nd AS (SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+                FROM (SELECT threshold, unnest([i, j]) AS doc FROM q) GROUP BY 1)
+         SELECT th.threshold, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(n_docs, 0)::BIGINT AS n_docs
+         FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         ORDER BY threshold""",
     "q189_minhash16_pairs" -> ("WITH " + minhash16Chain + """,
          p AS (SELECT i, j,
                  len(list_intersect(si.sh, sj.sh))::DOUBLE
