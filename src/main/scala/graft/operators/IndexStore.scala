@@ -655,6 +655,26 @@ object IndexStore {
       "n_batches_in")
   }
 
+  /** Age-gated compaction policy — the form a MAINTENANCE LOOP calls
+    * after every decision: compact only once the code stream has
+    * accumulated more than `maxBatches` batch partitions (each one
+    * multiplies files-per-probed-cell on every serve), otherwise do
+    * nothing at all — no publish, no ops_log row, one directory
+    * listing of cost (a loop polling after every micro-batch must not
+    * spam versions or log files). The threshold trades write
+    * amplification (each compact rewrites the narrow code stream) for
+    * serve I/O; ServeBench's aging rows price both sides. Returns
+    * [[compactCodes]]'s report when it fires, None when under
+    * threshold.
+    */
+  def compactIfAged(spark: SparkSession, dir: String,
+      maxBatches: Int = 8): Option[DataFrame] = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    if (codeBatches(spark, dir).size > maxBatches)
+      Some(compactCodes(spark, dir))
+    else None
+  }
+
   /** VECTOR DELETION publish (round-16 item 2): remove `ids` (vec_id)
     * from the index WITHOUT a rebuild — the code stream is rewritten
     * minus the dropped vectors' rows (an anti-join on vec_id) and

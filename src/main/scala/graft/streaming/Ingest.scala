@@ -842,11 +842,24 @@ object Ingest {
     * fixed query sample (vec_id < `probeQueries` of the merged
     * corpus); the decision log carries the recall columns and the
     * adoption verdict alongside the q186 readout.
+    *
+    * MAINTENANCE AGE (round-16): an ADOPTED refresh compacts the code
+    * stream as a side effect (publishRefresh rewrites to batch 0), but
+    * the gate REJECTING refreshes — its job — leaves every append's
+    * `batch=` partition in place and serve reads one file per probed
+    * cell PER BATCH. After each decision the loop therefore runs the
+    * age-gated compaction policy ([[graft.operators.IndexStore
+    * .compactIfAged]], threshold `compactAfterBatches`): a
+    * codes-bit-identical fold back to one file per cell, published as
+    * its own version, no-op (one listing) while under threshold.
+    * Replay-safe like every step here — a replayed batch re-runs the
+    * policy against the already-compacted stream and no-ops.
     */
   def ivfMaintainSink(arrivals: DataFrame, base: DataFrame,
       storeDir: String, checkpointDir: String, numCells: Int, iters: Int,
       deltaMod: Int, churnThreshold: Double, probeK: Int = 5,
-      probeQueries: Int = 3, probeProbes: Int = 2) =
+      probeQueries: Int = 3, probeProbes: Int = 2,
+      compactAfterBatches: Int = 8) =
     arrivals.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -884,6 +897,39 @@ object Ingest {
           .coalesce(1).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$storeDir/maintenance_log")
+        // 4. heal maintenance age: fold accumulated append batches back
+        //    to one file per cell once past the threshold (rejected
+        //    refreshes never compact; adopted ones already did)
+        graft.operators.IndexStore.compactIfAged(spark, storeDir,
+          compactAfterBatches)
+        ()
+      }
+
+  /** Streaming DELETION sink: drop-lists arrive continuously (takedown
+    * requests, the curation loop's canonical-keeper losers and PII
+    * evictions — q110/q163/q167 all emit exactly a vec_id stream) and
+    * each micro-batch lands on the serving index as one
+    * [[graft.operators.IndexStore.deleteVectors]] publish — an
+    * anti-join rewrite under a new version, centroids/codebooks
+    * untouched, readers isolated by the manifest swap.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replay BY
+    * CONSTRUCTION of deleteVectors: a replayed drop-list finds no
+    * surviving code rows, removes nothing, and publishes nothing — no
+    * version churn, unlike the append path this needs no batch keying.
+    * Single-writer contract: this sink and [[ivfMaintainSink]] both
+    * publish; run them serialized (one store, one writer at a time) —
+    * the fail-stop guard turns a violation into a loud error, never a
+    * torn store.
+    */
+  def indexDeleteSink(dropIds: DataFrame, storeDir: String,
+      checkpointDir: String) =
+    dropIds.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IndexStore.deleteVectors(
+          batch.select(col("vec_id")), storeDir)
         ()
       }
 }

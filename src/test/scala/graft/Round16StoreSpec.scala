@@ -250,6 +250,80 @@ class Round16StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "incremental reopen diverges from cold open")
   }
 
+  test("compactIfAged: no-op under threshold (no publish, no log row), compacts past it") {
+    val e = embeddings
+    val dir = tmpDir("aged")
+    val base = e.filter(col("vec_id") % 10 < 7)
+    build(dir, resid = false, base)
+    for (b <- 1 to 2)
+      IndexStore.appendVectors(
+        e.filter(col("vec_id") % 10 === 6 + b), dir, batchId = b.toLong)
+    val v = IndexStore.currentManifest(spark, dir).version
+    // 3 batch partitions (build + 2 appends) ≤ maxBatches ⇒ nothing
+    assert(IndexStore.compactIfAged(spark, dir, maxBatches = 3).isEmpty)
+    assert(IndexStore.currentManifest(spark, dir).version == v)
+    assert(IndexStore.opsLog(spark, dir).count() == 0L,
+      "under-threshold poll wrote an ops_log row")
+    // one more append crosses the threshold ⇒ compaction publish
+    IndexStore.appendVectors(
+      e.filter(col("vec_id") % 10 === 9), dir, batchId = 3L)
+    val report = IndexStore.compactIfAged(spark, dir, maxBatches = 3)
+    assert(report.isDefined
+      && report.get.head().getAs[Boolean]("published"))
+    assert(IndexStore.codeBatches(spark, dir) == Seq(0L))
+    assert(IndexStore.currentManifest(spark, dir).version == v + 1)
+    // healed ⇒ the next poll is a no-op again
+    assert(IndexStore.compactIfAged(spark, dir, maxBatches = 3).isEmpty)
+  }
+
+  test("streaming delete sink: micro-batched drop-lists equal sequential deleteVectors; replay publishes nothing") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 3)
+    // store A: two drop batches through the stream sink
+    val dirA = tmpDir("delsink-a")
+    build(dirA, resid = false, e)
+    val victims = IndexStore.serveIvfPq(spark, dirA, q, k = 5, probes = 2)
+      .select(col("nid")).distinct().orderBy(col("nid")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 4)
+    val (d1, d2) = (victims.take(2), victims.drop(2))
+    val mem = MemoryStream[Long]
+    val sink = graft.streaming.Ingest.indexDeleteSink(
+      mem.toDS().toDF("vec_id"), dirA, tmpDir("delsink-ckpt")).start()
+    try {
+      mem.addData(d1: _*)
+      sink.processAllAvailable()
+      mem.addData(d2: _*)
+      sink.processAllAvailable()
+      // the replay shape: the same drop-list arrives again — nothing
+      // left to remove, nothing published
+      val vAfter = IndexStore.currentManifest(spark, dirA).version
+      mem.addData(d1: _*)
+      sink.processAllAvailable()
+      assert(IndexStore.currentManifest(spark, dirA).version == vAfter,
+        "replayed drop-list churned a version")
+    } finally sink.stop()
+    // store B: the same two drop-lists through the batch API
+    val dirB = tmpDir("delsink-b")
+    build(dirB, resid = false, e)
+    IndexStore.deleteVectors(d1.toDF("vec_id"), dirB)
+    IndexStore.deleteVectors(d2.toDF("vec_id"), dirB)
+    assert(rows(IndexStore.serveIvfPq(spark, dirA, q, k = 5, probes = 2))
+      == rows(IndexStore.serveIvfPq(spark, dirB, q, k = 5, probes = 2)),
+      "stream-deleted store diverges from the batch replay")
+    assert(!IndexStore.serveIvfPq(spark, dirA, q, k = 5, probes = 2)
+      .select(col("nid")).collect().map(_.getLong(0))
+      .exists(victims.contains), "a streamed-deleted vector survived")
+    // two real deletes + one no-op replay logged on the stream store
+    val ops = IndexStore.opsLog(spark, dirA).filter(col("op") === "delete")
+    assert(ops.count() == 3L
+      && ops.filter(col("published")).count() == 2L)
+  }
+
   test("reopen re-reads the code stream when an in-place append grew it under an unchanged name") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 3)
