@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
   * Breached/erroring queries are excluded from the headline totals and
   * surfaced in the "status" dict (non-ok only) + n_failed/n_timeout.
   *
+  * RETRY-ONCE (round-17 item 1): a breach on this shared host is more
+  * often a NOISY WINDOW than a bad plan (elevated readings co-move
+  * across unrelated plans within a wall-clock window and revert on an
+  * identical rerun — the r16 q81 artifact read timeout while seven
+  * controlled same-day measurements read 1.8–3.3 s). So a timed-out
+  * query is REQUEUED ONCE at the end of the full pass, in a fresh job
+  * group against a freshly-quiesced session, with the full repeat
+  * count: a first-pass breach records a number whenever the retry
+  * window is healthy, and only a DOUBLE breach — two budget overruns
+  * in two separate windows, which no amount of host noise explains —
+  * records status "timeout". Retried-and-recovered queries report
+  * their retry-pass median, count toward the totals, and are surfaced
+  * in the "status" dict as "retried" (+ n_retried) so the artifact
+  * says which numbers came from a second window. Errors are NOT
+  * retried: a thrown plan is deterministic, not weather.
+  *
   * Env knobs:
   *   SPARK_GRAFT_SF_DIR      data directory (default /root/testdata/sf0.1)
   *   SPARK_GRAFT_CPUS        local[N] cores = shuffle partitions (default 4)
@@ -69,6 +85,29 @@ object Bench {
     }
   }
 
+  /** The retry-once law over a finished first pass: every "timeout"
+    * row gets exactly one `remeasure` at the END of the run (a fresh
+    * window, fresh job group); an "ok" remeasure replaces the -1 with
+    * the retry median under status "retried" (so the artifact says
+    * which numbers came from a second window), any other remeasure
+    * outcome stands as recorded. "ok"/"error" first-pass rows pass
+    * through untouched — errors are deterministic plans, not weather,
+    * and retrying them would just double a broken query's damage.
+    */
+  private[graft] def retryPass(
+      firstPass: Seq[(String, Double, String)],
+      remeasure: String => (Double, String)): Seq[(String, Double, String)] =
+    firstPass.map {
+      case (name, _, "timeout") =>
+        System.err.println(s"[bench] retrying $name after first-pass timeout")
+        val (median, status) = remeasure(name)
+        status match {
+          case "ok" => (name, median, "retried")
+          case other => (name, median, other)
+        }
+      case ok => ok
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,7 +129,13 @@ object Bench {
     // comparable across rounds
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = names.map { case (name, fn) =>
+    // One full measurement of one query: hygiene, then repeat-many
+    // budgeted executions, median of the successes. `tag` names the
+    // Spark job group (the retry pass uses a distinct tag so the two
+    // windows are distinguishable in any event-log postmortem).
+    def measure(name: String, tag: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, String) = {
       // Session hygiene between queries: a 104-query x 3-repeat session
       // accumulates old-gen debris (cached relations, broadcast blocks,
       // codegen classes) that the round-9 artifact showed taxing tail
@@ -108,7 +153,7 @@ object Bench {
       var timedOut = false
       val times = (1 to repeat).iterator.takeWhile(_ => !timedOut).flatMap {
         _ =>
-          runWithBudget(spark, name, budgetMs) {
+          runWithBudget(spark, tag, budgetMs) {
             fn(spark, sfDir).count(); ()
           } match {
             case Right(t) => Some(t)
@@ -126,8 +171,14 @@ object Bench {
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
       val status =
         if (timedOut) "timeout" else if (times.isEmpty) "error" else "ok"
+      (median, status)
+    }
+    val firstPass = names.map { case (name, fn) =>
+      val (median, status) = measure(name, name, fn)
       (name, median, status)
     }
+    val results = retryPass(firstPass, name =>
+      measure(name, s"$name-retry", SparkEntry.queries(name)))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // non-ok statuses only (the dict stays tiny on a healthy run)
@@ -145,14 +196,15 @@ object Bench {
       }.map(_._2).sum
     val nFailed = results.count(_._2 < 0)
     val nTimeout = results.count(_._3 == "timeout")
+    val nRetried = results.count(_._3 == "retried")
     // totals lead the main line AND repeat on compact summary lines at
     // BOTH ends ("metric":"summary", so a "metric":"total" parser
     // ignores them) — the round-12 artifact's tail capture truncated
     // the 170-key line and lost the headline numbers; the machine-
     // readable totals now survive head- or tail-truncation
-    val summary = s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"unit":"sec","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"summary","total":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"n_retried":$nRetried,"unit":"sec","sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"unit":"sec","sf":"$sfDir","queries":$qs,"status":$st}""")
+    println(s"""{"metric":"total","value":$total,"shared34":$shared34,"n_queries":${results.size},"n_failed":$nFailed,"n_timeout":$nTimeout,"n_retried":$nRetried,"unit":"sec","sf":"$sfDir","queries":$qs,"status":$st}""")
     println(summary)
     spark.stop()
   }

@@ -53,4 +53,28 @@ class BenchWatchdogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.fold(r => r.startsWith("error") && r.contains("boom"),
       _ => false), s"got $r3")
   }
+
+  test("retry-once: a first-pass timeout gets exactly one requeue; recovery is 'retried', double-breach stands, errors and oks pass through") {
+    val firstPass = Seq(
+      ("q_ok", 1.5, "ok"),
+      ("q_noisy", -1.0, "timeout"), // recovers on retry
+      ("q_stuck", -1.0, "timeout"), // breaches again
+      ("q_broken", -1.0, "error"))  // deterministic — must NOT retry
+    val retriedNames = scala.collection.mutable.ListBuffer[String]()
+    val out = Bench.retryPass(firstPass, name => {
+      retriedNames += name
+      name match {
+        case "q_noisy" => (2.25, "ok")
+        case "q_stuck" => (-1.0, "timeout")
+        case other => fail(s"unexpected retry of $other")
+      }
+    })
+    // only the two timeouts were requeued, each exactly once
+    assert(retriedNames.toSeq == Seq("q_noisy", "q_stuck"))
+    assert(out == Seq(
+      ("q_ok", 1.5, "ok"),
+      ("q_noisy", 2.25, "retried"), // numeric row, marked second-window
+      ("q_stuck", -1.0, "timeout"), // double breach = real
+      ("q_broken", -1.0, "error")))
+  }
 }
