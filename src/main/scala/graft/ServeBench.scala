@@ -156,6 +156,50 @@ object ServeBench {
     })
     val (compFiles, _) = codesScanAt(dirA, prune = false)
 
+    // PARTITION-SCOPED DELETION (round-17): a takedown-sized drop-list
+    // must cost the TOUCHED CELLS, not the corpus — deleteVectors'
+    // patch path rewrites only the touched cells' partitions into an
+    // overlay segment, where the round-16 behavior (still available as
+    // the fallback, forced here with maxPatches = 0 for the A/B)
+    // rewrote the whole code stream. The bytes ratio is the write
+    // amplification a takedown pays at this SF; at 100 TB it is the
+    // difference between a minutes job and an hours job.
+    def bytesUnder(name: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dirA)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dirA, name), true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-")) total += st.getLen
+      }
+      total
+    }
+    val nids = readerCompacted.serve(q, k = 10, probes = 2)
+      .select(col("nid")).distinct().orderBy(col("nid")).limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    val (drop1, drop2) = (nids.take(10), nids.drop(10))
+    val delPatchS = timed {
+      IndexStore.deleteVectors(drop1.toDF("vec_id"), dirA).collect()
+    }
+    val mPatch = IndexStore.currentManifest(spark, dirA)
+    val patch = mPatch.patches.last
+    val patchBytes = bytesUnder(patch.dir)
+    val primaryBytes = bytesUnder(mPatch.codes)
+    // serve correctness stays on the reopen path (also prices the
+    // post-delete serve against the compacted number above)
+    val readerDel = readerCompacted.reopen()
+    readerDel.serve(q, k = 10, probes = 2).count()
+    val serveDeletedS = median((1 to repeat).map { _ =>
+      timed { readerDel.serve(q, k = 10, probes = 2).count() }
+    })
+    val delFullS = timed {
+      IndexStore.deleteVectors(drop2.toDF("vec_id"), dirA,
+        maxPatches = 0).collect()
+    }
+    val fullBytes =
+      bytesUnder(IndexStore.currentManifest(spark, dirA).codes)
+
     println(s"""{"metric":"serve_bench","n":$n,"cells":$cells,""" +
       s""""codebook_k":$ck,"build_s":$buildS,"serve_s":$serveS,""" +
       s""""serve_warm_s":$serveWarmS,""" +
@@ -168,6 +212,12 @@ object ServeBench {
       s""""codes_files_dpp_aged":$agedFiles,"compact_s":$compactS,""" +
       s""""serve_warm_compacted_s":$serveCompactedS,""" +
       s""""codes_files_dpp_compacted":$compFiles,""" +
+      s""""delete_patch_s":$delPatchS,"delete_full_s":$delFullS,""" +
+      s""""delete_patch_bytes":$patchBytes,""" +
+      s""""delete_full_bytes":$fullBytes,""" +
+      s""""delete_cells_touched":${patch.cells.size},""" +
+      s""""codes_primary_bytes":$primaryBytes,""" +
+      s""""serve_warm_deleted_s":$serveDeletedS,""" +
       s""""repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -225,7 +225,9 @@ object SoakBench {
     def phJson(l: Seq[Double], v: Seq[Long]): String =
       s"""{"n":${l.size},"p50":${pct(l, 0.5)},"p95":${pct(l, 0.95)},""" +
         s""""versions":[${v.mkString(",")}]}"""
-    val log = spark.read.parquet(s"$dir/maintenance_log")
+    // the accessor resolves live partitions ∪ the compacted archive
+    // (the sink folds old batch partitions past its replay window)
+    val log = graft.streaming.Ingest.maintenanceLog(spark, dir)
     val logCols = Seq("batch_id", "action", "recall_before",
       "recall_after", "adopted").filter(log.columns.contains)
     val logRows = log.select(logCols.map(col): _*)

@@ -6,13 +6,33 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One DELETION PATCH layer of the code stream (round-17): `dir` holds
+  * the REWRITTEN (surviving) code rows of the delete's touched cells,
+  * partitioned (batch, cell) with their ORIGINAL batch values; `cells`
+  * × `batches` names exactly the partition slice the patch supersedes
+  * in every EARLIER code segment (the primary stream and older
+  * patches). The qualifier on `batches` — the batch ids present when
+  * the delete ran — is what keeps a LATER append visible in a touched
+  * cell: its new batch id is outside the superseded slice. `nRows` = 0
+  * marks a patch that emptied its cells entirely (its directory is
+  * never read, only its exclusion applies).
+  */
+final case class CodePatch(dir: String, cells: Seq[Long],
+    batches: Seq[Long], nRows: Long)
+
 /** One published index version: the artifact directory NAMES (relative
   * to the store root) a reader needs. Immutable once published — a
   * refresh publishes a NEW manifest referencing a mix of new and
-  * reused artifacts, never edits one in place.
+  * reused artifacts, never edits one in place. The LOGICAL code stream
+  * is `codes` (the primary segment — the one [[IndexStore
+  * .appendVectors]] grows in place) overlaid by `patches` in order:
+  * each patch supersedes its (cells × batches) slice of every earlier
+  * segment (see [[CodePatch]]) — how a deletion publishes by writing
+  * only the touched cells instead of rewriting the corpus.
   */
 final case class IndexManifest(version: Long, kind: String,
-    centroids: String, codebooks: String, codes: String, meta: String)
+    centroids: String, codebooks: String, codes: String, meta: String,
+    patches: Seq[CodePatch] = Nil)
 
 /** A pinned serving handle (see [[IndexStore.openReader]]): the
   * manifest version, artifact relations, and their resolved file
@@ -26,17 +46,22 @@ final class IndexReader private[operators] (spark: SparkSession,
     private[graft] val centRel: DataFrame,
     private[graft] val bookRel: DataFrame,
     private[graft] val rawCodes: DataFrame,
+    // the primary code segment's batch=* partition state (name →
+    // mtime) as listed BEFORE the code relation resolved — the one
+    // artifact [[IndexStore.appendVectors]] legitimately GROWS in
+    // place (new batch partitions, no version bump) or REWRITES in
+    // place (an at-least-once replay overwriting its own batch
+    // partition), so name equality alone is not proof the resolved
+    // file index is still complete or still points at live files.
+    // Captured before resolution (not in this constructor) so an
+    // append landing DURING resolution makes the next reopen's
+    // comparison fail conservatively (a re-read) instead of recording
+    // a state the carried-over file index does not actually cover.
+    private[operators] val codeBatchState: Map[String, Long],
     private[operators] val numSub: Int,
     private[operators] val w: Int) {
 
   def version: Long = manifest.version
-
-  // the codes artifact's batch=* partition set as resolved at open —
-  // the one artifact [[IndexStore.appendVectors]] legitimately GROWS in
-  // place (new batch partitions, no version bump), so name equality
-  // alone is not proof the resolved file index is still complete
-  private val codeBatchSet: Set[String] =
-    IndexStore.listBatchDirs(spark, s"$dir/${manifest.codes}")
 
   /** INCREMENTAL re-open (round-16): resolve the store's current
     * manifest and return a reader pinned to it, CARRYING OVER every
@@ -48,19 +73,28 @@ final class IndexReader private[operators] (spark: SparkSession,
     * ~1.5 s/√N cost [[IndexStore.openReader]] pays — for free. The
     * CODE STREAM is the one artifact that can grow in place
     * ([[IndexStore.appendVectors]] adds `batch=*` partitions without a
-    * publish), so a name match is confirmed by ONE top-level directory
-    * listing comparing the batch partition set against the set
-    * resolved at open — still O(batches), never the O(cells × batches)
-    * recursive discovery + footer pass. A centroid-only refresh (the
-    * common maintenance publish) thus reuses codebooks, meta, and the
-    * corpus-sized code stream and re-reads only the tiny centroid
-    * relation: re-open cost tracks the changed-artifact fraction, not
-    * the store size. Same version ⇒ returns `this` (the poll costs one
-    * manifest listing; appends without a publish stay invisible to a
-    * pinned reader by design — the version pin IS the consistency
-    * boundary, and an adopted refresh/compact/delete publish makes
-    * them visible). Serving semantics are identical to a cold open at
-    * the same version (spec-pinned, relations referentially reused).
+    * publish, and an at-least-once replay can REWRITE its own batch
+    * partition in place), so a name match is confirmed by ONE
+    * top-level directory listing comparing the batch partition STATE
+    * (name → mtime) against the state captured before the held file
+    * index resolved — still O(batches), never the O(cells × batches)
+    * recursive discovery + footer pass. The mtime comparison is what
+    * catches the same-names-different-files replay overwrite: the
+    * rewritten batch directory's children changed, its mtime moved,
+    * and the reader re-resolves instead of serving a file index
+    * pointing at deleted part- files. A deletion patch in either
+    * manifest (the `patches` overlay) likewise forces a re-read — the
+    * logical stream's shape changed even though the primary segment
+    * did not. A centroid-only refresh (the common maintenance publish)
+    * thus reuses codebooks, meta, and the corpus-sized code stream and
+    * re-reads only the tiny centroid relation: re-open cost tracks the
+    * changed-artifact fraction, not the store size. Same version ⇒
+    * returns `this` (the poll costs one manifest listing; appends
+    * without a publish stay invisible to a pinned reader by design —
+    * the version pin IS the consistency boundary, and an adopted
+    * refresh/compact/delete publish makes them visible). Serving
+    * semantics are identical to a cold open at the same version
+    * (spec-pinned, relations referentially reused).
     */
   def reopen(): IndexReader = {
     val m2 = IndexStore.currentManifest(spark, dir)
@@ -75,13 +109,14 @@ final class IndexReader private[operators] (spark: SparkSession,
           val meta = spark.read.parquet(s"$dir/${m2.meta}").head()
           (meta.getAs[Int]("num_sub"), meta.getAs[Int]("w"))
         }
-      val codes =
-        if (m2.codes == manifest.codes &&
-          IndexStore.listBatchDirs(spark, s"$dir/${m2.codes}")
-            == codeBatchSet) rawCodes
-        else spark.read.parquet(s"$dir/${m2.codes}")
+      // list BEFORE resolving (same conservative order as a cold open)
+      val st2 = IndexStore.listBatchState(spark, s"$dir/${m2.codes}")
+      val (codes, state) =
+        if (m2.codes == manifest.codes && m2.patches == manifest.patches
+          && st2 == codeBatchState) (rawCodes, codeBatchState)
+        else (IndexStore.rawLogicalCodes(spark, dir, m2), st2)
       new IndexReader(spark, dir, m2, rel(_.centroids, centRel),
-        rel(_.codebooks, bookRel), codes, ns, ww)
+        rel(_.codebooks, bookRel), codes, state, ns, ww)
     }
   }
 
@@ -222,14 +257,19 @@ object IndexStore {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Top-level `batch=*` directory names of a code-stream artifact —
-    * one flat listing, the cheap completeness check [[IndexReader
-    * .reopen]] runs before reusing a resolved code-stream file index.
+  /** Top-level `batch=*` directory state (name → modification time) of
+    * a code-stream segment — one flat listing, the cheap completeness
+    * check [[IndexReader.reopen]] runs before reusing a resolved
+    * code-stream file index. The mtime is what distinguishes a
+    * REWRITTEN batch partition (an at-least-once replay's dynamic
+    * overwrite deletes and recreates its cell children, moving the
+    * batch directory's mtime) from an untouched one with the same name.
     */
-  private[operators] def listBatchDirs(spark: SparkSession,
-      path: String): Set[String] =
+  private[operators] def listBatchState(spark: SparkSession,
+      path: String): Map[String, Long] =
     fsOf(spark, path).listStatus(new Path(path)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
 
   /** Resolve the CURRENT manifest: list `manifest-*`, take the max
     * version (the filename is the pointer — no content race), parse
@@ -263,8 +303,16 @@ object IndexStore {
       .filter(_.contains("=")).map { l =>
         val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
       }.toMap
+    def longs(s: String): Seq[Long] =
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq.map(_.toLong)
+    val patches = kv.keys.filter(_.startsWith("patch."))
+      .toSeq.sortBy(_.stripPrefix("patch.").toInt).map { k =>
+        val parts = kv(k).split("\\|", -1)
+        CodePatch(parts(0), longs(parts(1)), longs(parts(2)),
+          parts(3).toLong)
+      }
     IndexManifest(v, kv("kind"), kv("centroids"), kv("codebooks"),
-      kv("codes"), kv("meta"))
+      kv("codes"), kv("meta"), patches)
   }
 
   /** Per-store-dir publish locks backing the SINGLE-WRITER guard (see
@@ -288,18 +336,28 @@ object IndexStore {
     * — a per-dir lock covers the exists-check-then-rename within the
     * JVM, and the loser throws [[IllegalStateException]] WITHOUT
     * touching the winner's manifest, so the store always serves a
-    * consistent version (racing-publish spec). Cross-process, the
-    * exists check plus HDFS's rename-refuses-existing-destination
-    * semantics give the same fail-stop on a real cluster; a local
-    * filesystem's overwriting rename is covered by the in-JVM lock,
-    * which is where a local race can occur.
+    * consistent version (racing-publish spec). CROSS-PROCESS the mutex
+    * is the CREATE-EXCLUSIVE of the tmp file (`fs.create(tmp,
+    * overwrite = false)` — O_EXCL on a local filesystem, the
+    * no-overwrite create on HDFS): two publishers in separate JVMs
+    * race the same `.manifest-<v>.tmp` name and exactly one create
+    * succeeds — a local filesystem's silently-overwriting rename never
+    * gets two contenders. Recovery note: a publisher crashing between
+    * the tmp create and the rename orphans the tmp and fail-stops
+    * every later attempt at that version — deliberately loud (the
+    * crash may have left partial artifacts); delete the `.tmp` to
+    * re-admit the version.
     */
   private[graft] def publishManifest(spark: SparkSession, dir: String,
       m: IndexManifest): Unit = {
     val fs = fsOf(spark, dir)
+    val patchLines = m.patches.zipWithIndex.map { case (p, i) =>
+      s"patch.$i=${p.dir}|${p.cells.mkString(",")}|" +
+        s"${p.batches.mkString(",")}|${p.nRows}\n"
+    }.mkString
     val body = s"version=${m.version}\nkind=${m.kind}\n" +
       s"centroids=${m.centroids}\ncodebooks=${m.codebooks}\n" +
-      s"codes=${m.codes}\nmeta=${m.meta}\n"
+      s"codes=${m.codes}\nmeta=${m.meta}\n" + patchLines
     val lock = publishLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val dest = new Path(dir, s"manifest-${m.version}")
@@ -308,7 +366,15 @@ object IndexStore {
           s"concurrent publish lost the race: $dest already exists " +
             "(the store is single-writer — serialize publish jobs)")
       val tmp = new Path(dir, s".manifest-${m.version}.tmp")
-      val out = fs.create(tmp, true)
+      val out =
+        try fs.create(tmp, false)
+        catch { case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"concurrent publish lost the race: $tmp already exists " +
+              "(the store is single-writer — serialize publish jobs; " +
+              "if the other publisher crashed, delete the .tmp to " +
+              "re-admit this version)", e)
+        }
       try out.write(body.getBytes(UTF_8)) finally out.close()
       if (!fs.rename(tmp, dest))
         throw new IllegalStateException(
@@ -317,12 +383,50 @@ object IndexStore {
     gcOldVersions(fs, dir)
   }
 
+  /** How many trailing versions [[gcOldVersions]] retains for `dir` —
+    * the default 2 (current + previous) covers a reader at most one
+    * publish behind; a deployment with LONG-PINNED readers under
+    * RAPID publishes (the soak shape: a serve loop that re-opens
+    * lazily while maintenance publishes every micro-batch) raises it
+    * with [[setKeepVersions]] so a reader N-1 publishes behind still
+    * has live artifacts. Persisted as a tiny `gc-keep` file in the
+    * store (policy travels with the data, not the JVM).
+    */
+  private def keepVersionsOf(fs: FileSystem, dir: String): Int = {
+    val p = new Path(dir, "gc-keep")
+    if (!fs.exists(p)) 2
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        math.max(2, new String(buf, 0, math.max(0, n), UTF_8).trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Persist the GC retention policy for `dir`: keep the last `n` ≥ 2
+    * published versions' artifacts (see [[keepVersionsOf]]). A pinned
+    * [[IndexReader]] survives up to n−1 publishes between reopens;
+    * one more and its artifacts are collected mid-serve — the serve
+    * fails loudly (missing-file read error), never silently returns
+    * partial results (parquet scans fail-stop on a vanished file).
+    */
+  def setKeepVersions(spark: SparkSession, dir: String, n: Int): Unit = {
+    require(n >= 2, s"keep-N must be >= 2 (current + previous), got $n")
+    val fs = fsOf(spark, dir)
+    val out = fs.create(new Path(dir, "gc-keep"), true)
+    try out.write(n.toString.getBytes(UTF_8)) finally out.close()
+  }
+
   private def gcOldVersions(fs: FileSystem, dir: String): Unit = {
     val versions = listVersions(fs, dir).sorted
+    val keepN = keepVersionsOf(fs, dir)
     if (versions.size <= 1) return
-    val keep = versions.takeRight(2)
+    val keep = versions.takeRight(keepN)
     val referenced = keep.map(readManifest(fs, dir, _))
-      .flatMap(m => Seq(m.centroids, m.codebooks, m.codes, m.meta)).toSet
+      .flatMap(m => Seq(m.centroids, m.codebooks, m.codes, m.meta)
+        ++ m.patches.map(_.dir)).toSet
     fs.listStatus(new Path(dir)).foreach { st =>
       st.getPath.getName match {
         case ManifestName(v) if v.toLong < keep.head =>
@@ -370,9 +474,41 @@ object IndexStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell").parquet(path)
 
+  /** The LOGICAL code stream of a manifest with its raw partition
+    * columns (batch, cell) intact: the primary segment overlaid by the
+    * deletion patches in order. Patch k supersedes its (cells ×
+    * batches) slice in every EARLIER segment — the primary and patches
+    * before it — so each segment scan carries the conjunction of every
+    * LATER patch's exclusion as a partition-column-only predicate
+    * (pruned at listing time, never a row filter after the scan), and
+    * the union of the filtered scans is exactly the stream a full
+    * rewrite would have produced (spec-pinned bit-identity). A patch
+    * that emptied its cells (`nRows == 0`) contributes only its
+    * exclusion, its directory is never read. Static isin pruning and
+    * per-branch partition filters push through the union; the chain is
+    * bounded by the delete path's `maxPatches` fallback and folded to
+    * one segment by [[compactCodes]].
+    */
+  private[operators] def rawLogicalCodes(spark: SparkSession, dir: String,
+      m: IndexManifest): DataFrame = {
+    val segs = (m.codes, -1) +: m.patches.zipWithIndex
+      .filter(_._1.nRows > 0L).map { case (p, k) => (p.dir, k) }
+    val reads = segs.map { case (seg, selfK) =>
+      val base = spark.read.parquet(artifactPath(dir, seg))
+        .select(col("vec_id"), col("sub"), col("code"), col("batch"),
+          col("cell"))
+      m.patches.zipWithIndex.filter { case (_, k) => k > selfK }
+        .foldLeft(base) { case (df, (p, _)) =>
+          df.filter(not(col("cell").isin(p.cells.map(_.toInt): _*)
+            && col("batch").isin(p.batches.map(_.toInt): _*)))
+        }
+    }
+    reads.reduce(_.unionAll(_))
+  }
+
   private def readCodes(spark: SparkSession, dir: String,
       m: IndexManifest): DataFrame =
-    spark.read.parquet(artifactPath(dir, m.codes))
+    rawLogicalCodes(spark, dir, m)
       // partition-column values come back type-inferred (int); the ADC
       // joins key on the long the relations carry
       .select(col("vec_id"), col("sub"), col("code"),
@@ -507,11 +643,16 @@ object IndexStore {
     */
   def openReader(spark: SparkSession, dir: String): IndexReader = {
     val m = currentManifest(spark, dir)
+    // batch state listed BEFORE the code relation resolves: an append
+    // landing during resolution then fails the next reopen's equality
+    // check (a conservative re-read) instead of being recorded as
+    // covered by a file index that never saw it
+    val state = listBatchState(spark, artifactPath(dir, m.codes))
     val centRel = spark.read.parquet(artifactPath(dir, m.centroids))
     val bookRel = spark.read.parquet(artifactPath(dir, m.codebooks))
     val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
     new IndexReader(spark, dir, m, centRel, bookRel,
-      spark.read.parquet(artifactPath(dir, m.codes)),
+      rawLogicalCodes(spark, dir, m), state,
       meta.getAs[Int]("num_sub"), meta.getAs[Int]("w"))
   }
 
@@ -558,6 +699,36 @@ object IndexStore {
     writeCodes(batchCodes, artifactPath(dir, m.codes), batch = batchId)
   }
 
+  /** A decision log's file count stays bounded by ITS OWN compaction
+    * (round-17): each append lands one tiny parquet file — decision
+    * cadence — and at real cadence (a decision per micro-batch,
+    * forever) that is exactly the small-file accumulation the engine's
+    * L140/L145 machinery exists to detect, so the log eats the
+    * dogfood: once the directory holds more than [[LogCompactFiles]]
+    * part- files, [[Layout.compactionRewrite]] packs them
+    * (row-preserving, refuses the swap on any count mismatch,
+    * idempotent — packed outputs are never re-selected). After N
+    * decisions the directory holds O(1) files and round-trips
+    * identically (spec-pinned).
+    */
+  val LogCompactFiles = 32
+
+  private[graft] def compactLogIfGrown(spark: SparkSession,
+      logDir: String): Unit = {
+    val fs = fsOf(spark, logDir)
+    val p = new Path(logDir)
+    if (fs.exists(p)) {
+      val nFiles = fs.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+      if (nFiles > LogCompactFiles) {
+        // target far above the row size so every small file packs into
+        // one group per LogCompactFiles window
+        Layout.compactionRewrite(spark, logDir, targetBytes = 8L << 20)
+        ()
+      }
+    }
+  }
+
   /** Append one decision row to `dir/ops_log` — the store-level
     * publish decisions ([[compactCodes]], [[deleteVectors]]) get their
     * own append-only log with a schema IndexStore owns
@@ -565,7 +736,7 @@ object IndexStore {
     * whose rows carry the q186 readout + recall-gate columns; mixing
     * schemas in one parquet directory would force mergeSchema on every
     * reader). One tiny file per decision — decision cadence, not data
-    * cadence.
+    * cadence — kept at O(1) files by [[compactLogIfGrown]].
     */
   private def logOp(spark: SparkSession, dir: String, op: String,
       versionBefore: Long, versionAfter: Long, published: Boolean,
@@ -574,6 +745,7 @@ object IndexStore {
     Seq((op, versionBefore, versionAfter, published, detail))
       .toDF("op", "version_before", "version_after", "published", "detail")
       .coalesce(1).write.mode("append").parquet(s"$dir/ops_log")
+    compactLogIfGrown(spark, s"$dir/ops_log")
   }
 
   /** The store-level decision log ([[compactCodes]] / [[deleteVectors]]
@@ -636,8 +808,14 @@ object IndexStore {
     import spark.implicits._
     val m = currentManifest(spark, dir)
     val batches = codeBatches(spark, dir)
+    // layers = what a probed serve pays per cell: one file set per
+    // batch partition of the primary segment plus one per deletion
+    // patch overlaying it — compaction folds BOTH back to a single
+    // batch-0 segment
+    val layers = batches.size.toLong + m.patches.size
     val report =
-      if (batches == Seq(0L)) (m.version, m.version, false, batches.size.toLong)
+      if (batches == Seq(0L) && m.patches.isEmpty)
+        (m.version, m.version, false, layers)
       else {
         val v1 = m.version + 1
         val codesName = s"codes-$v1"
@@ -647,8 +825,9 @@ object IndexStore {
         val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
         require(nNew == nOld,
           s"compact row-count drift: $nOld -> $nNew; aborting publish")
-        publishManifest(spark, dir, m.copy(version = v1, codes = codesName))
-        (m.version, v1, true, batches.size.toLong)
+        publishManifest(spark, dir,
+          m.copy(version = v1, codes = codesName, patches = Nil))
+        (m.version, v1, true, layers)
       }
     logOp(spark, dir, "compact", report._1, report._2, report._3, report._4)
     Seq(report).toDF("version_before", "version_after", "published",
@@ -670,67 +849,154 @@ object IndexStore {
   def compactIfAged(spark: SparkSession, dir: String,
       maxBatches: Int = 8): Option[DataFrame] = {
     require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
-    if (codeBatches(spark, dir).size > maxBatches)
-      Some(compactCodes(spark, dir))
+    // deletion patches age the serve path the same way append batches
+    // do (one more file layer per probed touched cell), so they count
+    // toward the threshold
+    val layers = codeBatches(spark, dir).size +
+      currentManifest(spark, dir).patches.size
+    if (layers > maxBatches) Some(compactCodes(spark, dir))
     else None
   }
 
-  /** VECTOR DELETION publish (round-16 item 2): remove `ids` (vec_id)
-    * from the index WITHOUT a rebuild — the code stream is rewritten
-    * minus the dropped vectors' rows (an anti-join on vec_id) and
-    * published as a new version; centroids/codebooks/meta are REUSED by
-    * name (deletion changes neither cell geometry nor any surviving
-    * vector's encoding, for BOTH kinds — residual codes depend only on
-    * their own centroid, which is untouched). This is how the repo's
-    * own curation drop-lists land on the serving index: q110's
-    * canonical-keeper losers, q167's split-leak evictions, q163's PII
-    * gate — and a takedown request — all produce exactly a vec_id
-    * list.
+  /** Cap on a single delete's patch width: a drop-list touching more
+    * distinct cells than this falls back to the full-stream rewrite
+    * (at that width the patch stops paying — the touched fraction
+    * approaches the corpus and the manifest's exclusion list stops
+    * being metadata-sized). Matches the DriverBoundsSpec index-family
+    * bound like [[MaxPrunedCells]].
+    */
+  val MaxPatchCells = 4096
+
+  /** Cap on the deletion patch CHAIN length: each patch adds one file
+    * layer to the touched cells' serves and one exclusion conjunct to
+    * every earlier segment's scan, so past this depth a delete folds
+    * the whole stream instead of patching (the same full rewrite,
+    * which also resets the chain — and [[compactIfAged]] usually folds
+    * it sooner).
+    */
+  val MaxPatches = 4
+
+  /** VECTOR DELETION publish (round-16 item 2; PARTITION-SCOPED since
+    * round 17): remove `ids` (vec_id) from the index WITHOUT a rebuild
+    * and — the scale point — WITHOUT rewriting the corpus. The code
+    * stream is partitioned by (batch, cell), so a drop-list touching k
+    * cells rewrites ONLY those k cells' partitions: the surviving rows
+    * of the touched cells land in a new immutable PATCH segment
+    * (original batch values preserved) and the manifest overlay
+    * ([[CodePatch]]) supersedes exactly that (cells × current batches)
+    * slice of the earlier segments. Bytes written ∝ the touched-cell
+    * fraction of the corpus (ServeBench's delete row measures it), not
+    * the corpus — at 100 TB that is the difference between a takedown
+    * being a minutes job and an hours job. Centroids/codebooks/meta
+    * are REUSED by name (deletion changes neither cell geometry nor
+    * any surviving vector's encoding, for BOTH kinds — residual codes
+    * depend only on their own centroid, which is untouched). This is
+    * how the repo's own curation drop-lists land on the serving index:
+    * q110's canonical-keeper losers, q167's split-leak evictions,
+    * q163's PII gate — and a takedown request — all produce exactly a
+    * vec_id list.
     *
-    * Serving equivalence (spec-pinned, both kinds): serve after delete
-    * ≡ serve before delete with `allowed` = everything-but-ids — the
-    * allow-list semi-join and the deletion anti-join leave the ADC the
-    * same code set. The difference is the contract: `allowed` is
-    * per-query scoping; deletion is store truth (the rows are GONE —
-    * no caller can forget the filter), which is what a takedown needs.
+    * FALLBACK to the round-16 full-stream rewrite (which also folds
+    * patches and batches to one segment) when the patch would stop
+    * paying: touched cells > `maxPatchCells`, or the patch chain is
+    * already `maxPatches` deep.
+    *
+    * Serving equivalence (spec-pinned, both kinds, both paths): serve
+    * after delete ≡ serve before delete with `allowed` =
+    * everything-but-ids — the overlay algebra leaves the ADC the same
+    * code set the anti-join rewrite would. The difference is the
+    * contract: `allowed` is per-query scoping; deletion is store truth
+    * (the rows are GONE — no caller can forget the filter), which is
+    * what a takedown needs. A LATER append into a touched cell stays
+    * visible (the patch's batch qualifier excludes only the batches
+    * that existed at delete time) — and a replayed append that
+    * resurrects dropped rows by rewriting its own batch partition is
+    * HEALED by the same qualifier: the resurrected rows sit in a
+    * superseded slice and never serve.
     *
     * IDEMPOTENT: ids with no code rows are ignored; a delete that
     * would remove nothing publishes NOTHING (no version churn on
-    * replay — `published = false` in the report). The rewrite also
-    * compacts to batch 0 as a side effect (it is the same one-pass
-    * cell-shuffled rewrite as [[compactCodes]]). One narrow corpus
-    * pass per drop-list — a deployment batches drop-lists the way it
-    * batches appends. Scale shape: the drop-list broadcast-joins when
-    * small (Catalyst's call), the stream never carries text or
-    * vectors, and the publish is the same atomic pointer swap.
+    * replay — `published = false` in the report). One narrow pass of
+    * the TOUCHED cells per drop-list — a deployment batches drop-lists
+    * the way it batches appends. Scale shape: the drop-list
+    * broadcast-joins when small (Catalyst's call), the stream never
+    * carries text or vectors, and the publish is the same atomic
+    * pointer swap.
     *
     * Returns the one-row report (version_before, version_after,
-    * published, n_rows_removed) and appends it to the [[opsLog]].
+    * published, n_rows_removed, mode = none|patch|full,
+    * n_cells_touched) and appends it to the [[opsLog]].
     */
-  def deleteVectors(ids: DataFrame, dir: String): DataFrame = {
+  def deleteVectors(ids: DataFrame, dir: String,
+      maxPatchCells: Int = MaxPatchCells,
+      maxPatches: Int = MaxPatches): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     val m = currentManifest(spark, dir)
     val drop = ids.select(col("vec_id"))
-    val cur = readCodes(spark, dir, m)
-    val nHit = cur.join(drop, Seq("vec_id"), "left_semi").count()
+    val raw = rawLogicalCodes(spark, dir, m)
+    val hit = raw.join(drop, Seq("vec_id"), "left_semi")
+    val nHit = hit.count()
     val report =
-      if (nHit == 0L) (m.version, m.version, false, 0L)
+      if (nHit == 0L) (m.version, m.version, false, 0L, "none", 0L)
       else {
         val v1 = m.version + 1
         val codesName = s"codes-$v1"
-        val nOld = cur.count()
-        writeCodes(cur.join(drop, Seq("vec_id"), "left_anti"),
-          artifactPath(dir, codesName), batch = 0L)
-        val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
-        require(nNew == nOld - nHit,
-          s"delete row-count drift: $nOld - $nHit != $nNew; aborting publish")
-        publishManifest(spark, dir, m.copy(version = v1, codes = codesName))
-        (m.version, v1, true, nHit)
+        // every dropped row lives in a touched cell by definition;
+        // the fold is ≤ numCells ids (≤ 65536 under autoCells), capped
+        // by maxPatchCells before it reaches the driver
+        val touched = hit.select(col("cell").cast("long")).distinct()
+          .limit(maxPatchCells + 1).collect().map(_.getLong(0)).sorted.toSeq
+        if (touched.size > maxPatchCells || m.patches.size >= maxPatches) {
+          // full-stream rewrite: folds patches and batches to batch 0
+          val nOld = raw.count()
+          writeCodes(raw.select(col("vec_id"), col("sub"), col("code"),
+            col("cell").cast("long").as("cell"))
+            .join(drop, Seq("vec_id"), "left_anti"),
+            artifactPath(dir, codesName), batch = 0L)
+          val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
+          require(nNew == nOld - nHit,
+            s"delete row-count drift: $nOld - $nHit != $nNew; " +
+              "aborting publish")
+          publishManifest(spark, dir,
+            m.copy(version = v1, codes = codesName, patches = Nil))
+          (m.version, v1, true, nHit, "full", touched.size.toLong)
+        } else {
+          // patch path: rewrite ONLY the touched cells' rows, original
+          // batch values preserved so the overlay's batch qualifier
+          // lines up; the superseded slice is (touched cells × the
+          // batch ids present RIGHT NOW)
+          val batchesNow = listBatchState(spark, artifactPath(dir, m.codes))
+            .keys.map(_.stripPrefix("batch=").toLong).toSeq.sorted
+          val touchedRows =
+            raw.filter(col("cell").isin(touched.map(_.toInt): _*))
+          val nTouched = touchedRows.count()
+          val surviving = touchedRows.join(drop, Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("sub"), col("code"),
+              col("batch").cast("long").as("batch"),
+              col("cell").cast("long").as("cell"))
+          surviving.repartition(col("cell"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(artifactPath(dir, codesName))
+          val nNew = nTouched - nHit
+          if (nNew > 0L) {
+            val check = spark.read.parquet(artifactPath(dir, codesName))
+              .count()
+            require(check == nNew,
+              s"delete patch row-count drift: $nTouched - $nHit != " +
+                s"$check; aborting publish")
+          }
+          publishManifest(spark, dir, m.copy(version = v1,
+            patches = m.patches
+              :+ CodePatch(codesName, touched, batchesNow, nNew)))
+          (m.version, v1, true, nHit, "patch", touched.size.toLong)
+        }
       }
     logOp(spark, dir, "delete", report._1, report._2, report._3, report._4)
     Seq(report).toDF("version_before", "version_after", "published",
-      "n_rows_removed")
+      "n_rows_removed", "mode", "n_cells_touched")
   }
 
   /** Persist a maintained centroid set (the output of
@@ -838,8 +1104,10 @@ object IndexStore {
     val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
     require(nNew == nOld,
       s"codes row-count drift: $nOld -> $nNew; aborting publish")
-    publishManifest(spark, dir,
-      m.copy(version = v1, centroids = centroidsName, codes = codesName))
+    // the rewrite read the LOGICAL stream and wrote it whole, so the
+    // new version carries no deletion-patch overlay
+    publishManifest(spark, dir, m.copy(version = v1,
+      centroids = centroidsName, codes = codesName, patches = Nil))
   }
 
   /** RECALL-GATED maintenance adoption (round-15 item 3): the sf0.01

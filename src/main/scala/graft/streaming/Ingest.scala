@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -859,7 +860,7 @@ object Ingest {
       storeDir: String, checkpointDir: String, numCells: Int, iters: Int,
       deltaMod: Int, churnThreshold: Double, probeK: Int = 5,
       probeQueries: Int = 3, probeProbes: Int = 2,
-      compactAfterBatches: Int = 8) =
+      compactAfterBatches: Int = 8, logKeepBatches: Int = 8) =
     arrivals.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -902,16 +903,117 @@ object Ingest {
         //    refreshes never compact; adopted ones already did)
         graft.operators.IndexStore.compactIfAged(spark, storeDir,
           compactAfterBatches)
+        // 5. keep the decision log itself at O(1) files: fold batch
+        //    partitions older than the replay window into the flat
+        //    compacted archive (one listing when under threshold)
+        foldMaintenanceLog(spark, storeDir, keepBatches = logKeepBatches)
         ()
       }
+
+  /** Fold OLD maintenance-log batch partitions into a compacted flat
+    * archive (round-17): the decision log is batch-keyed
+    * (`partitionBy(batch_id)`) because a replayed micro-batch must
+    * dynamic-overwrite ITS OWN partition — but that layout grows one
+    * directory + one tiny file per decision FOREVER, exactly the
+    * small-file accumulation the engine's own L140/L145 machinery
+    * flags. The fold keeps replay-addressability where replay can
+    * actually happen (the most recent `keepBatches` partitions —
+    * foreachBatch re-delivers only the in-flight batch, never ancient
+    * ones) and moves everything older into
+    * `storeDir/maintenance_log_arch`, a FLAT parquet log with
+    * `batch_id` as a data column, kept at O(1) files by
+    * [[graft.operators.IndexStore.compactLogIfGrown]].
+    *
+    * IDEMPOTENT against its own crash window: batches already present
+    * in the archive are never re-appended (the guard reads the
+    * archive's batch_id set — archive-scale, compacted), and
+    * [[maintenanceLog]] resolves a batch present in BOTH (a fold that
+    * crashed between append and delete, or a replayed fold) with
+    * archive-wins, so the union never duplicates a row. A later fold
+    * deletes the leftover live partition without re-appending.
+    *
+    * One flat listing when under threshold — safe to run after every
+    * decision, which is where [[ivfMaintainSink]] calls it.
+    */
+  def foldMaintenanceLog(spark: SparkSession, storeDir: String,
+      keepBatches: Int = 8): Unit = {
+    require(keepBatches >= 1, s"keepBatches must be >= 1, got $keepBatches")
+    val live = s"$storeDir/maintenance_log"
+    val arch = s"$storeDir/maintenance_log_arch"
+    val fs = new Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(live))) return
+    val liveBatches = fs.listStatus(new Path(live)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+    if (liveBatches.isEmpty) return
+    val cutoff = liveBatches.max - keepBatches
+    val foldSet = liveBatches.filter(_ <= cutoff).sorted
+    if (foldSet.isEmpty) return
+    val archBatches =
+      if (!fs.exists(new Path(arch))) Set.empty[Long]
+      else spark.read.parquet(arch).select(col("batch_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val toAppend = foldSet.filterNot(archBatches.contains)
+    if (toAppend.nonEmpty) {
+      // partition-pruned read of exactly the folding batches; batch_id
+      // becomes a DATA column in the flat archive (cast long — the
+      // partition value comes back int-inferred)
+      val rows = spark.read.parquet(live)
+        .filter(col("batch_id").isin(toAppend.map(_.toInt): _*))
+      val cols = rows.columns.filter(_ != "batch_id").map(col) :+
+        col("batch_id").cast("long").as("batch_id")
+      rows.select(cols.toIndexedSeq: _*)
+        .coalesce(1).write.mode("append").parquet(arch)
+    }
+    foldSet.foreach { b =>
+      fs.delete(new Path(live, s"batch_id=$b"), true); ()
+    }
+    graft.operators.IndexStore.compactLogIfGrown(spark, arch)
+  }
+
+  /** The COMPLETE maintenance decision log: live batch-keyed
+    * partitions ∪ the flat archive, archive-wins on any batch present
+    * in both (the fold's crash window / a replayed fold), `batch_id`
+    * as a long column either way. Empty-schema-free: at least one of
+    * the two must exist (the sink writes before anything folds).
+    */
+  def maintenanceLog(spark: SparkSession, storeDir: String): DataFrame = {
+    val live = s"$storeDir/maintenance_log"
+    val arch = s"$storeDir/maintenance_log_arch"
+    val fs = new Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLive = fs.exists(new Path(live))
+    val hasArch = fs.exists(new Path(arch))
+    def liveDf = {
+      val df = spark.read.parquet(live)
+      val cols = df.columns.filter(_ != "batch_id").map(col) :+
+        col("batch_id").cast("long").as("batch_id")
+      df.select(cols.toIndexedSeq: _*)
+    }
+    if (hasLive && hasArch) {
+      val a = spark.read.parquet(arch)
+      // the anti-join moves the key column first; restore the archive's
+      // column order so the accessor's schema is fold-invariant
+      liveDf.join(a.select(col("batch_id")).distinct(),
+        Seq("batch_id"), "left_anti")
+        .unionByName(a)
+        .select(a.columns.map(col).toIndexedSeq: _*)
+    } else if (hasArch) spark.read.parquet(arch)
+    else liveDf
+  }
 
   /** Streaming DELETION sink: drop-lists arrive continuously (takedown
     * requests, the curation loop's canonical-keeper losers and PII
     * evictions — q110/q163/q167 all emit exactly a vec_id stream) and
     * each micro-batch lands on the serving index as one
-    * [[graft.operators.IndexStore.deleteVectors]] publish — an
-    * anti-join rewrite under a new version, centroids/codebooks
-    * untouched, readers isolated by the manifest swap.
+    * [[graft.operators.IndexStore.deleteVectors]] publish —
+    * PARTITION-SCOPED since round 17: only the touched cells'
+    * surviving rows are rewritten (an immutable patch segment under a
+    * new version), centroids/codebooks untouched, readers isolated by
+    * the manifest swap; a streamed takedown's write cost is the
+    * touched-cell fraction, not the corpus, every micro-batch.
     *
     * IDEMPOTENT under foreachBatch's at-least-once replay BY
     * CONSTRUCTION of deleteVectors: a replayed drop-list finds no
