@@ -466,13 +466,24 @@ object IndexStore {
     * modulus instead; autoCells caps at 65536, inside the safe range.
     */
   private def writeCodes(codes: DataFrame, path: String,
-      batch: Long): Unit =
+      batch: Long): Unit = {
+    // one-file-per-cell needs only each cell's rows hashing to ONE
+    // task; the explicit partition count (4 tasks/core, above the
+    // shuffle default) bounds WRITE TASK DURATIONS — a corpus rewrite
+    // at the default 1-task-per-shuffle-partition ships multi-second
+    // write tasks, which are exactly the non-preemptible units a FAIR
+    // serve pool waits behind during an adopted refresh (soak r17)
+    val spark = codes.sparkSession
+    val parts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      4 * spark.sparkContext.defaultParallelism)
     codes.select(col("vec_id"), col("sub"), col("code"), col("cell"))
       .withColumn("batch", lit(batch))
-      .repartition(col("cell"))
+      .repartition(parts, col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell").parquet(path)
+  }
 
   /** The LOGICAL code stream of a manifest with its raw partition
     * columns (batch, cell) intact: the primary segment overlaid by the
@@ -975,7 +986,9 @@ object IndexStore {
             .select(col("vec_id"), col("sub"), col("code"),
               col("batch").cast("long").as("batch"),
               col("cell").cast("long").as("cell"))
-          surviving.repartition(col("cell"))
+          surviving.repartition(math.max(
+            spark.sessionState.conf.numShufflePartitions,
+            4 * spark.sparkContext.defaultParallelism), col("cell"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch", "cell")

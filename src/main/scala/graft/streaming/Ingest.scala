@@ -874,14 +874,27 @@ object Ingest {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch").parquet(s"$storeDir/arrivals")
+        // arrivals are tiny files, so the scan packs them into one
+        // partition and every downstream map (Lloyd, the recall-gate
+        // brute force) would carry one arrivals-sized task; the
+        // repartition bounds those durations like the append's below
         val allArrived = spark.read.parquet(s"$storeDir/arrivals")
           .select(col("vec_id"), col("embedding"))
+          .repartition(spark.sparkContext.defaultParallelism)
         val merged = base.select(col("vec_id"), col("embedding"))
           .unionAll(allArrived)
         // 1. absorb: encode THIS batch against the existing index
-        //    (batch-keyed partition; batch 0 is the build's)
-        graft.operators.IndexStore
-          .appendVectors(arrived, storeDir, batchId + 1)
+        //    (batch-keyed partition; batch 0 is the build's). The
+        //    repartition bounds MAINTENANCE TASK DURATIONS — a
+        //    MemoryStream/single-file arrival block otherwise ships as
+        //    ONE task and the whole assign+encode map runs serially on
+        //    it, which is exactly the non-preemptible task the FAIR
+        //    serve pool cannot preempt (the r16 soak's residual
+        //    during-p95 tail). One tiny batch-sized shuffle; batch
+        //    boundaries stay the feeder's.
+        graft.operators.IndexStore.appendVectors(
+          arrived.repartition(spark.sparkContext.defaultParallelism),
+          storeDir, batchId + 1)
         // 2. decide: the q186 refresh-vs-rebuild readout over merged
         val (readout, maintained) = graft.operators.Similarity
           .ivfIndexMaintain(merged, numCells, iters, deltaMod,
