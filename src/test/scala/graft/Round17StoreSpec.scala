@@ -375,6 +375,49 @@ class Round17StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("batch_id")).collect().toSeq.map(_.toSeq) == before)
   }
 
+  test("serve on a PATCHED store still restricts every code-stream scan to the probed cells") {
+    import spark.implicits._
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 3)
+    val dir = tmpDir("patchscan")
+    build(dir, resid = false, e)
+    val victims = IndexStore.serveIvfPq(spark, dir, q, k = 5, probes = 2)
+      .select(col("nid")).distinct().orderBy(col("nid")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(IndexStore.deleteVectors(victims.toDF("vec_id"), dir).head()
+      .getAs[String]("mode") == "patch")
+    // the logical stream is now a UNION (primary + patch); the serve
+    // contract — scan I/O ∝ probed cells, not the corpus — must hold
+    // for EVERY branch, or a deleted store silently reads the corpus
+    // until compaction folds the patch
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = IndexStore.serveIvfPq(spark, dir, q, k = 5, probes = 2)
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("codes-")) => f
+      }
+      assert(scans.size == 2, s"expected primary+patch scans, got ${scans.size}")
+      scans.foreach { s =>
+        // every branch must carry the dynamic partition-pruning filter;
+        // a strict files-read reduction is asserted on the CORPUS-sized
+        // primary segment only (the patch holds just the touched cells,
+        // which the probes may legitimately cover in full)
+        val total = s.relation.location.inputFiles.length
+        val read = s.metrics("numFiles").value
+        val isPrimary = total > 2
+        val pruned = s.partitionFilters.exists(
+          _.toString.contains("dynamicpruning"))
+        assert(pruned && (!isPrimary || read < total),
+          s"codes scan over ${s.relation.location.rootPaths.head} read " +
+            s"$read of $total files without dynamic pruning " +
+            s"(partitionFilters=${s.partitionFilters})")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("compactIfAged counts deletion patches as layers") {
     val e = embeddings
     import spark.implicits._
