@@ -33,6 +33,81 @@ import graft.operators.{Curation, Dedup, TextOps}
   */
 object CurationPipeline {
 
+  /** One leak-repair route decision (round-18): which pair source the
+    * pipeline will run, and the corpus statistics that chose it. A
+    * one-row frame of this is written into the pipeline artifact
+    * (`route_decision`) so every run records WHY it took the path it
+    * took — the q62→q78 gated-swap discipline, automated.
+    */
+  final case class LeakRouteDecision(route: String, nDocs: Long,
+      estCandPairs: Long, sampledDocs: Long)
+
+  /** AUTO-SELECT the leak-repair pair source by corpus statistics —
+    * pre-r18 the measured content-quadratic exact path was the default
+    * at ANY size (`leakLsh` defaulted false and nothing flipped it; the
+    * sf10-skew run only survived because a human passed the flag).
+    *
+    * Decision rule, cheapest test first:
+    *   1. `nDocs ≤ smallCorpusDocs` → "exact" (one count — tiny corpora
+    *      never generate a harmful candidate set, and exact is the
+    *      audit-grade semantics: repairs at jac ≥ 0.5);
+    *   2. otherwise estimate the PPJoin candidate mass from ONE cheap
+    *      aggregation over a deterministic 1/`sampleMod` doc sample
+    *      (`doc_id % sampleMod == 0`): Σ_h f·(f−1)/2 over the sample's
+    *      shingle document frequencies, scaled by sampleMod² (a pair
+    *      survives sampling when BOTH endpoints do, p = 1/m²). This
+    *      deliberately bounds the exact path's prefix-filter candidates
+    *      from ABOVE (full-shingle df ≥ prefix df) — overestimating
+    *      pushes toward the scale route, the safe direction (the LSH
+    *      chain is candidate-bounded at any size; its cost is the
+    *      documented 0.5→0.7 semantic narrowing, not a blown disk);
+    *   3. est > `maxExactCandidates` → "lsh", else "exact".
+    *
+    * The estimator is linear in the SAMPLE's shingles (one explode +
+    * one partial-aggregated count — no join, no window, no pair
+    * generation), so the decision costs a scan of 1/m of the corpus —
+    * nothing at any scale next to the stage it gates. Thresholds:
+    * sf10-skew measured 1.38e9 exact candidates (fatal, >70 GB of
+    * verify shuffle); 5e7 keeps the verify stage's pair frame under a
+    * few GB on one box and is ~30× under the measured wall.
+    */
+  def chooseLeakRoute(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      smallCorpusDocs: Long = 50000, maxExactCandidates: Long = 50000000L,
+      sampleMod: Int = 16): LeakRouteDecision = {
+    val nDocs = docs.count()
+    if (nDocs <= smallCorpusDocs)
+      LeakRouteDecision("exact", nDocs, -1L, 0L)
+    else {
+      val sample = docs.filter(col(idCol) % sampleMod === 0)
+      val est = graft.operators.Dedup
+        .hashedShingles(sample, idCol, textCol, shingleN)
+        .select(explode(col("shh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("f"))
+        .agg(coalesce(sum(col("f") * (col("f") - 1) / 2), lit(0.0))
+          .as("pairs"))
+        .head().getAs[Double]("pairs")
+      val scaled = est * sampleMod.toDouble * sampleMod
+      val estL = if (scaled > Long.MaxValue.toDouble) Long.MaxValue
+        else scaled.toLong
+      LeakRouteDecision(
+        if (estL > maxExactCandidates) "lsh" else "exact",
+        nDocs, estL, nDocs / sampleMod)
+    }
+  }
+
+  /** Resolve a caller's `leakRoute` argument: "exact"/"lsh" are forced
+    * (recorded with no statistics paid), "auto" measures.
+    */
+  def resolveLeakRoute(docs: DataFrame, leakRoute: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): LeakRouteDecision = leakRoute match {
+    case "exact" | "lsh" => LeakRouteDecision(leakRoute, -1L, -1L, 0L)
+    case "auto" => chooseLeakRoute(docs, idCol, textCol)
+    case other => throw new IllegalArgumentException(
+      s"leakRoute must be auto|exact|lsh, got $other")
+  }
+
   /** The composed frames, lazily planned — callers pick what to
     * materialize. Returns (curated survivors with split, per-(source,
     * split) census, one-row savings summary).
@@ -72,18 +147,20 @@ object CurationPipeline {
       gateFirst: Boolean = true,
       modelGates: Boolean = false,
       repairLeaks: Boolean = false,
-      // `leakLsh` swaps the repair's PAIR SOURCE (exact PPJoin → banded
-      // MinHash) **and** — deliberately — its verify threshold: the
-      // exact path repairs cross-split pairs at jac >= 0.5, while the
-      // LSH chain verifies at `leakLshThreshold` (default 0.7, the
-      // banding geometry's calibrated point). Pairs with jac in
-      // [0.5, 0.7) are therefore NOT repaired in the default 10×-scale
-      // configuration — a semantic narrowing beyond banding misses,
-      // surfaced here and overridable per run via `leakLshThreshold`
-      // (lowering it widens repairs at the cost of more candidates to
-      // verify; the banding still recalls ≥ the calibrated curve).
-      leakLsh: Boolean = false,
+      // `leakRoute` picks the repair's PAIR SOURCE: "exact" (PPJoin,
+      // repairs at jac >= 0.5 — the audit semantics), "lsh" (banded
+      // MinHash, candidate-bounded at any corpus size, verifies at
+      // `leakLshThreshold` — default 0.7, the banding geometry's
+      // calibrated point: pairs with jac in [0.5, 0.7) are NOT
+      // repaired, a semantic narrowing beyond banding misses, surfaced
+      // here and overridable per run), or "auto" (round-18 DEFAULT:
+      // [[chooseLeakRoute]] measures the corpus — row count + a
+      // sampled Σ df² candidate-mass estimate — and takes the exact
+      // path only while it is provably affordable; the decision is
+      // written to `routeLog` when set, so the artifact records why).
+      leakRoute: String = "auto",
       leakLshThreshold: Double = 0.7,
+      routeLog: Option[String] = None,
       stageDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
     // stage boundary: materialize an id-keyed verdict frame and cut its
     // lineage (parquet round-trip + a GC nudge so ContextCleaner
@@ -160,21 +237,30 @@ object CurationPipeline {
     val leakOk =
       if (!repairLeaks)
         docs.select(col("doc_id"), lit(true).as("__kl"))
-      else staged("leak_ok",
-        // `leakLsh` is the 10×-scale configuration (the q62→q78 gated
-        // swap): the exact PPJoin repair is the audit path, and at
-        // sf10-skew its prefix filter measured 1.38 BILLION candidates
-        // — content-quadratic, beyond one box's disk even with the
-        // candidate-set job boundary below. The banded-MinHash repair
-        // is candidate-bounded at any corpus size.
-        // threshold passed EXPLICITLY: the 0.5 → 0.7 tightening vs the
-        // exact path is a pipeline-level decision (see the `leakLsh`
-        // parameter doc), not a buried operator default
-        (if (leakLsh) Curation.splitLeakRepairLsh(docs, "doc_id", "text",
-           threshold = leakLshThreshold)
-         else Curation.splitLeakRepair(docs, "doc_id", "text",
-           candStage = stageDir.map(d => s"$d/leak_cand")))
-          .select(col("doc_id"), (col("action") === "keep").as("__kl")))
+      else {
+        // route decided by measurement under "auto" (the q62→q78 gated
+        // swap, automated): the exact PPJoin repair is the audit path,
+        // and at sf10-skew its prefix filter measured 1.38 BILLION
+        // candidates — content-quadratic, beyond one box's disk even
+        // with the candidate-set job boundary below. The banded-MinHash
+        // repair is candidate-bounded at any corpus size.
+        val decision = resolveLeakRoute(docs, leakRoute)
+        routeLog.foreach { p =>
+          import spark.implicits._
+          Seq(decision).toDF().coalesce(1)
+            .write.mode("overwrite").parquet(p)
+        }
+        staged("leak_ok",
+          // threshold passed EXPLICITLY: the 0.5 → 0.7 tightening vs
+          // the exact path is a pipeline-level decision (see the
+          // `leakRoute` parameter doc), not a buried operator default
+          (if (decision.route == "lsh")
+             Curation.splitLeakRepairLsh(docs, "doc_id", "text",
+               threshold = leakLshThreshold)
+           else Curation.splitLeakRepair(docs, "doc_id", "text",
+             candStage = stageDir.map(d => s"$d/leak_cand")))
+            .select(col("doc_id"), (col("action") === "keep").as("__kl")))
+      }
     val curated = docs
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -228,7 +314,12 @@ object CurationPipeline {
     val flags = args.drop(2).toSet
     val modelGates = flags.contains("modelGates")
     val repairLeaks = flags.contains("repairLeaks")
-    val leakLsh = flags.contains("leakLsh")
+    // CLI keeps the explicit overrides; absent both, the route is
+    // measured per run (chooseLeakRoute) and recorded in the artifact
+    val leakRoute =
+      if (flags.contains("leakLsh")) "lsh"
+      else if (flags.contains("leakExact")) "exact"
+      else "auto"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -240,7 +331,8 @@ object CurationPipeline {
     val t0 = System.nanoTime()
     val (curated, census, savings) = run(spark, sfDir,
       modelGates = modelGates, repairLeaks = repairLeaks,
-      leakLsh = leakLsh, stageDir = Some(s"$outDir/_stages"))
+      leakRoute = leakRoute, routeLog = Some(s"$outDir/route_decision"),
+      stageDir = Some(s"$outDir/_stages"))
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     census.coalesce(1).write.mode("overwrite").parquet(s"$outDir/census")
     savings.coalesce(1).write.mode("overwrite").parquet(s"$outDir/savings")

@@ -178,10 +178,19 @@ object ServeBench {
     val nids = readerCompacted.serve(q, k = 10, probes = 2)
       .select(col("nid")).distinct().orderBy(col("nid")).limit(20)
       .collect().map(_.getLong(0)).toSeq
+    // the A/B is meaningless unless both halves actually delete rows
+    // AND each half takes the path its row claims to price: assert the
+    // served-nid pool and each report's mode before emitting numbers
+    require(nids.size == 20,
+      s"delete A/B needs 20 distinct served nids, got ${nids.size}")
     val (drop1, drop2) = (nids.take(10), nids.drop(10))
+    var patchMode = ""
     val delPatchS = timed {
-      IndexStore.deleteVectors(drop1.toDF("vec_id"), dirA).collect()
+      patchMode = IndexStore.deleteVectors(drop1.toDF("vec_id"), dirA)
+        .collect().head.getAs[String]("mode")
     }
+    require(patchMode == "patch",
+      s"delete A/B first half expected mode=patch, got $patchMode")
     val mPatch = IndexStore.currentManifest(spark, dirA)
     val patch = mPatch.patches.last
     val patchBytes = bytesUnder(patch.dir)
@@ -193,12 +202,68 @@ object ServeBench {
     val serveDeletedS = median((1 to repeat).map { _ =>
       timed { readerDel.serve(q, k = 10, probes = 2).count() }
     })
+    var fullMode = ""
     val delFullS = timed {
-      IndexStore.deleteVectors(drop2.toDF("vec_id"), dirA,
-        maxPatches = 0).collect()
+      fullMode = IndexStore.deleteVectors(drop2.toDF("vec_id"), dirA,
+        maxPatches = 0).collect().head.getAs[String]("mode")
     }
+    require(fullMode == "full",
+      s"delete A/B second half expected mode=full, got $fullMode")
     val fullBytes =
       bytesUnder(IndexStore.currentManifest(spark, dirA).codes)
+
+    // PATCH-CHAIN AGING SWEEP (round-18): MaxPatches = 4 and
+    // compactAfterBatches = 8 were asserted, not measured — price the
+    // chain depth by depth. The full delete above reset dirA to one
+    // compacted segment (depth 0); each round lands one more 2-victim
+    // patch, measuring warm serve through a reopened pinned reader and
+    // the files the probed serve actually reads ACROSS every code
+    // branch (primary + live patches). The closing compact fold prices
+    // the recovery. BASELINE's table reads these directly.
+    def codesFilesAll(d: String): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = IndexStore.serveIvfPq(spark, d, q, k = 10, probes = 2)
+        df.collect()
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("codes-")) =>
+            f.metrics("numFiles").value
+        }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    var sweepReader = IndexStore.openReader(spark, dirA)
+    sweepReader.serve(q, k = 10, probes = 2).count()
+    def sweepWarm(): Double = median((1 to repeat).map { _ =>
+      timed { sweepReader.serve(q, k = 10, probes = 2).count() }
+    })
+    val sweepServe = Array.fill(5)(0.0)
+    val sweepFiles = Array.fill(5)(0L)
+    sweepServe(0) = sweepWarm()
+    sweepFiles(0) = codesFilesAll(dirA)
+    for (depth <- 1 to 4) {
+      // 2 currently-served victims per round — earlier rounds' victims
+      // no longer serve, so the pool refreshes itself
+      val vs = sweepReader.serve(q, k = 10, probes = 2)
+        .select(col("nid")).distinct().orderBy(col("nid")).limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      val mode = IndexStore.deleteVectors(vs.toDF("vec_id"), dirA)
+        .collect().head.getAs[String]("mode")
+      require(mode == "patch",
+        s"patch sweep depth $depth expected mode=patch, got $mode")
+      sweepReader = sweepReader.reopen()
+      sweepReader.serve(q, k = 10, probes = 2).count()
+      sweepServe(depth) = sweepWarm()
+      sweepFiles(depth) = codesFilesAll(dirA)
+    }
+    val sweepCompactS = timed {
+      IndexStore.compactCodes(spark, dirA).collect()
+    }
+    sweepReader = sweepReader.reopen()
+    sweepReader.serve(q, k = 10, probes = 2).count()
+    val sweepRecoveredS = sweepWarm()
+    val sweepRecoveredFiles = codesFilesAll(dirA)
 
     println(s"""{"metric":"serve_bench","n":$n,"cells":$cells,""" +
       s""""codebook_k":$ck,"build_s":$buildS,"serve_s":$serveS,""" +
@@ -218,6 +283,11 @@ object ServeBench {
       s""""delete_cells_touched":${patch.cells.size},""" +
       s""""codes_primary_bytes":$primaryBytes,""" +
       s""""serve_warm_deleted_s":$serveDeletedS,""" +
+      s""""patch_sweep_serve_s":[${sweepServe.mkString(",")}],""" +
+      s""""patch_sweep_files":[${sweepFiles.mkString(",")}],""" +
+      s""""patch_sweep_compact_s":$sweepCompactS,""" +
+      s""""patch_sweep_recovered_serve_s":$sweepRecoveredS,""" +
+      s""""patch_sweep_recovered_files":$sweepRecoveredFiles,""" +
       s""""repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -116,7 +116,7 @@ object Dedup {
     * ShingleHashes expression — tokens hashed once, windows combined
     * arithmetically, no shingle strings materialized.
     */
-  private def hashedShingles(
+  private[graft] def hashedShingles(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
       org.apache.spark.sql.graft.Signatures

@@ -217,9 +217,14 @@ final class IndexReader private[operators] (spark: SparkSession,
   * A crash mid-refresh leaves unreferenced artifact dirs and no new
   * manifest: the previous version keeps serving. The previous
   * version's artifacts are retained for in-flight readers; older ones
-  * are garbage-collected at publish. The store is single-WRITER
-  * (one build/refresh/append job at a time — the streaming sink's
-  * foreachBatch serializes naturally); readers are unlimited.
+  * are garbage-collected at publish. WRITERS ARE SERIALIZED, not
+  * refused (round-18): every mutating operation runs under a per-store
+  * write lock (the publish serializer — see [[withStoreLock]]), so a
+  * continuous maintenance stream and a continuous takedown stream
+  * coexist on one store inside a JVM, their publishes interleaving in
+  * some serial order; cross-JVM writers must still serialize
+  * externally (the fail-stop guard in [[publishManifest]] backstops
+  * that). Readers are unlimited and lock-free.
   *
   * Parquet stores arrays of doubles and int64s exactly, so a served
   * result is BIT-IDENTICAL to the in-memory relation path (spec-pinned
@@ -322,27 +327,58 @@ object IndexStore {
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-store WRITE locks (round-18): the PUBLISH SERIALIZER that lets
+    * a continuous maintenance stream and a continuous takedown stream
+    * coexist on ONE store — the normal production pair. Every mutating
+    * operation ([[appendVectors]], [[compactCodes]], [[deleteVectors]],
+    * [[writeCentroids]], [[reassignCells]], [[publishRefresh]],
+    * [[publishRefreshGated]], the builders) runs its ENTIRE body —
+    * manifest resolution, artifact writes, manifest swap, ops-log row —
+    * inside this lock, so concurrent callers queue instead of racing:
+    * the manifest each op resolves is the manifest it publishes
+    * against, two ops never write the same `codes-<v>` artifact name,
+    * and two parquet appends never share one directory's `_temporary`
+    * staging. The [[publishManifest]] race guard beneath it is thereby
+    * never tripped from inside this JVM — it remains the fail-stop
+    * backstop for CROSS-PROCESS writers, which must still serialize
+    * externally (the lock is keyed by the exact dir string, one JVM).
+    * Reentrant because gated refresh publishes through publishRefresh.
+    * Readers never take it: serve/openReader/reopen stay lock-free
+    * (reader isolation is the manifest swap, not a lock).
+    */
+  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  private[graft] def withStoreLock[T](dir: String)(f: => T): T = {
+    val l = storeLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try f finally l.unlock()
+  }
+
   /** Write the manifest fully to a hidden tmp name, then ONE rename to
     * `manifest-<v>` — the atomic pointer swap. Afterwards GC: keep this
     * and the previous version's manifests + every artifact either
     * references; delete the rest (older readers must re-resolve).
     *
-    * SINGLE-WRITER CONTRACT, enforced fail-stop: the store admits ONE
-    * build/refresh/append/compact/delete job at a time (the streaming
-    * sink's foreachBatch serializes naturally; a deployment with
-    * several maintenance jobs must serialize them externally). Two
-    * concurrent publishers would each read the same current version
+    * SINGLE-WRITER-AT-A-TIME, two layers: IN-PROCESS the publish
+    * serializer ([[withStoreLock]]) queues whole mutating operations,
+    * so this guard never trips from concurrent sinks in one JVM;
+    * CROSS-PROCESS it is enforced fail-stop here. Two unserialized
+    * publishers would each read the same current version
     * and race to publish `version+1`; the guard makes exactly one win
     * — a per-dir lock covers the exists-check-then-rename within the
     * JVM, and the loser throws [[IllegalStateException]] WITHOUT
     * touching the winner's manifest, so the store always serves a
     * consistent version (racing-publish spec). CROSS-PROCESS the mutex
-    * is the CREATE-EXCLUSIVE of the tmp file (`fs.create(tmp,
-    * overwrite = false)` — O_EXCL on a local filesystem, the
-    * no-overwrite create on HDFS): two publishers in separate JVMs
-    * race the same `.manifest-<v>.tmp` name and exactly one create
-    * succeeds — a local filesystem's silently-overwriting rename never
-    * gets two contenders. Recovery note: a publisher crashing between
+    * is the CREATE-REFUSES-EXISTING of the tmp file (`fs.create(tmp,
+    * overwrite = false)`): atomic no-overwrite create on HDFS; on a
+    * local filesystem Hadoop implements it as exists-check-then-create,
+    * so a narrow two-JVM race window remains there (far narrower than
+    * the silently-overwriting rename it replaced — and the in-JVM lock
+    * covers the only concurrency this repo actually runs). Two
+    * publishers racing the same `.manifest-<v>.tmp` name thus almost
+    * always see exactly one create succeed. Recovery note: a publisher crashing between
     * the tmp create and the rename orphans the tmp and fail-stops
     * every later attempt at that version — deliberately loud (the
     * crash may have left partial artifacts); delete the `.tmp` to
@@ -396,12 +432,18 @@ object IndexStore {
     val p = new Path(dir, "gc-keep")
     if (!fs.exists(p)) 2
     else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        math.max(2, new String(buf, 0, math.max(0, n), UTF_8).trim.toInt)
-      } finally in.close()
+      // a corrupt/empty policy file must not fail a publish that
+      // already landed (GC runs AFTER the manifest rename) — fall back
+      // to the default retention instead of propagating a parse error
+      val parsed = scala.util.Try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(0, n), UTF_8).trim.toInt
+        } finally in.close()
+      }
+      math.max(2, parsed.getOrElse(2))
     }
   }
 
@@ -550,15 +592,18 @@ object IndexStore {
 
   private def buildAny(vectors: DataFrame, dir: String, numCells: Int,
       cellIters: Int, numSub: Int, codebookK: Int, pqIters: Int,
-      kind: String): Unit = {
+      kind: String): Unit = withStoreLock(dir) {
     val spark = vectors.sparkSession
     import spark.implicits._
     val fs = fsOf(spark, dir)
     val v1 = listVersions(fs, dir).maxOption.getOrElse(0L) + 1
-    val coarse = Similarity.kmeansCentroidSeq(vectors, numCells, cellIters,
+    // a REBUILD into a dir with tombstoned ids honors them (store
+    // truth survives every publish kind); a fresh dir has none
+    val live = antiTombstones(vectors, dir)
+    val coarse = Similarity.kmeansCentroidSeq(live, numCells, cellIters,
       viaRelation = true)
     val centRel = Similarity.centroidRelation(spark, coarse)
-    val v = vectors.select(col("vec_id"),
+    val v = live.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
     val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -686,14 +731,28 @@ object IndexStore {
     */
   def appendVectors(vectors: DataFrame, dir: String, batchId: Long): Unit = {
     require(batchId > 0, s"batchId must be > 0 (0 is the build), got $batchId")
+    // the deletion-patch exclusion and the maintenance-log fold both
+    // push batch ids as Int partition-filter literals (partition values
+    // type-infer as int while every value fits); a batch id past
+    // Int.MaxValue (e.g. epoch millis) would silently truncate in those
+    // predicates and a superseded slice would KEEP SERVING — refuse it
+    // here, at the only door batch ids enter through
+    require(batchId <= Int.MaxValue,
+      s"batchId must fit in Int (got $batchId): the patch-exclusion and " +
+        "log-fold partition filters push batch ids as Int literals — use " +
+        "a small monotonic counter (foreachBatch's batchId), not a " +
+        "timestamp")
     val spark = vectors.sparkSession
+    withStoreLock(dir) {
     val m = currentManifest(spark, dir)
     val centRel = spark.read.parquet(artifactPath(dir, m.centroids))
     val bookRel = spark.read.parquet(artifactPath(dir, m.codebooks))
     val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
     val numSub = meta.getAs[Int]("num_sub")
     val w = meta.getAs[Int]("w")
-    val v = vectors.select(col("vec_id"),
+    // a tombstoned id arriving (late replay of a pre-takedown feed)
+    // must not re-enter the stream — store truth outranks arrivals
+    val v = antiTombstones(vectors, dir).select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
     val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -708,6 +767,7 @@ object IndexStore {
       .encodeViaRelation(Similarity.subSliced(toEncode, numSub, w), bookRel)
       .join(asn.select(col("vec_id"), col("cell")), "vec_id")
     writeCodes(batchCodes, artifactPath(dir, m.codes), batch = batchId)
+    }
   }
 
   /** A decision log's file count stays bounded by ITS OWN compaction
@@ -773,6 +833,63 @@ object IndexStore {
     }
   }
 
+  /** TOMBSTONES (round-18): the persisted set of vec_ids every
+    * [[deleteVectors]] call has ever been asked to take down — the
+    * piece that makes a delete STORE TRUTH under the coexistence
+    * deployment (a maintenance stream and a takedown stream on one
+    * store). A patch/full delete removes an id's code rows, but a
+    * later [[publishRefresh]]/[[reassignCells]]/rebuild re-derives the
+    * code stream FROM THE CALLER'S CORPUS, which still carries the
+    * taken-down rows (the corpus table and the index are separate
+    * systems; a takedown reaches the index first) — without a durable
+    * drop set the refresh would quietly RESURRECT them. Every
+    * corpus-consuming publish therefore anti-joins the tombstone set
+    * first ([[antiTombstones]]), and [[appendVectors]] drops
+    * tombstoned arrivals. The set is takedown-sized (ids only, never
+    * vectors), append-only with an idempotent-append guard, and kept
+    * at O(1) files by [[compactLogIfGrown]] — the same discipline as
+    * the decision logs. It is deliberately NEVER cleared by
+    * compaction: the ids' absence from the code stream says nothing
+    * about the next refresh's input. Delete `dir/tombstones` to
+    * reinstate ids (an explicit operator action, not an API).
+    */
+  def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(dir, "tombstones")))
+      spark.read.parquet(s"$dir/tombstones")
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("vec_id")
+    }
+  }
+
+  /** `vectors` minus the tombstoned ids — identity (no join in the
+    * plan) for a store that never deleted.
+    */
+  private def antiTombstones(vectors: DataFrame, dir: String): DataFrame = {
+    val spark = vectors.sparkSession
+    if (!fsOf(spark, dir).exists(new Path(dir, "tombstones"))) vectors
+    else vectors.join(spark.read.parquet(s"$dir/tombstones"),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Record `ids` as tombstoned (idempotent: already-recorded ids are
+    * never re-appended, so a replayed drop-list adds no file).
+    */
+  private def appendTombstones(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val t = s"$dir/tombstones"
+    val fresh = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val toAdd =
+      if (!fsOf(spark, dir).exists(new Path(t))) fresh
+      else fresh.join(spark.read.parquet(t), Seq("vec_id"), "left_anti")
+    if (!toAdd.isEmpty) {
+      toAdd.coalesce(1).write.mode("append").parquet(t)
+      compactLogIfGrown(spark, t)
+    }
+  }
+
   /** The code stream's batch partition ids under the CURRENT manifest
     * (batch 0 = build/compacted; b > 0 = ingest appends) — the aging
     * readout [[compactCodes]] acts on.
@@ -815,7 +932,8 @@ object IndexStore {
     * Returns the one-row report (version_before, version_after,
     * published, n_batches_in) and appends it to the [[opsLog]].
     */
-  def compactCodes(spark: SparkSession, dir: String): DataFrame = {
+  def compactCodes(spark: SparkSession, dir: String): DataFrame =
+    withStoreLock(dir) {
     import spark.implicits._
     val m = currentManifest(spark, dir)
     val batches = codeBatches(spark, dir)
@@ -843,7 +961,7 @@ object IndexStore {
     logOp(spark, dir, "compact", report._1, report._2, report._3, report._4)
     Seq(report).toDF("version_before", "version_after", "published",
       "n_batches_in")
-  }
+    }
 
   /** Age-gated compaction policy — the form a MAINTENANCE LOOP calls
     * after every decision: compact only once the code stream has
@@ -943,8 +1061,15 @@ object IndexStore {
       maxPatches: Int = MaxPatches): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    withStoreLock(dir) {
     val m = currentManifest(spark, dir)
     val drop = ids.select(col("vec_id"))
+    // record the takedown INTENT first (idempotent): even an id with
+    // no code rows today (never indexed, or already deleted) must stay
+    // out of every later refresh/rebuild/append — see [[tombstones]].
+    // Crash after this, before the publish: the rows keep serving
+    // until the replayed delete lands, but no refresh can resurrect.
+    appendTombstones(spark, dir, drop)
     val raw = rawLogicalCodes(spark, dir, m)
     val hit = raw.join(drop, Seq("vec_id"), "left_semi")
     val nHit = hit.count()
@@ -1010,6 +1135,7 @@ object IndexStore {
     logOp(spark, dir, "delete", report._1, report._2, report._3, report._4)
     Seq(report).toDF("version_before", "version_after", "published",
       "n_rows_removed", "mode", "n_cells_touched")
+    }
   }
 
   /** Persist a maintained centroid set (the output of
@@ -1024,7 +1150,7 @@ object IndexStore {
     * use [[publishRefresh]], which re-encodes.
     */
   def writeCentroids(spark: SparkSession, dir: String,
-      cent: Seq[(Long, Seq[Double])]): Unit = {
+      cent: Seq[(Long, Seq[Double])]): Unit = withStoreLock(dir) {
     val m = currentManifest(spark, dir)
     require(m.kind == KindPq,
       s"centroid-only refresh is undefined for kind=${m.kind} " +
@@ -1045,7 +1171,8 @@ object IndexStore {
     * row-count guard aborts the publish on drift, and the manifest
     * swap means a reader never sees a half-written stream.
     */
-  def reassignCells(vectors: DataFrame, dir: String): Unit = {
+  def reassignCells(vectors: DataFrame, dir: String): Unit =
+    withStoreLock(dir) {
     val spark = vectors.sparkSession
     val m = currentManifest(spark, dir)
     val centRel = spark.read.parquet(artifactPath(dir, m.centroids))
@@ -1061,7 +1188,7 @@ object IndexStore {
     * version until they re-resolve.
     */
   def publishRefresh(vectors: DataFrame, dir: String,
-      cent: Seq[(Long, Seq[Double])]): Unit = {
+      cent: Seq[(Long, Seq[Double])]): Unit = withStoreLock(dir) {
     val spark = vectors.sparkSession
     val m = currentManifest(spark, dir)
     val newCentRel = Similarity.centroidRelation(spark, cent)
@@ -1081,7 +1208,12 @@ object IndexStore {
     */
   private def refreshedCodes(vectors: DataFrame, spark: SparkSession,
       dir: String, m: IndexManifest, centRel: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"),
+    // the refresh input is the CALLER'S corpus — anti-join the
+    // tombstone set or the rewrite resurrects taken-down ids (the
+    // plain-PQ path would drop them anyway via its join to the stored
+    // codes; the residual path re-encodes from the corpus and would
+    // not)
+    val v = antiTombstones(vectors, dir).select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
     val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -1112,11 +1244,21 @@ object IndexStore {
       centroidsName: String): Unit = {
     val v1 = m.version + 1
     val nOld = readCodes(spark, dir, m).count()
+    // a refresh LEGITIMATELY sheds rows whose ids are tombstoned but
+    // still in the old stream (a delete that crashed after its
+    // tombstone append and before its publish — the durable-intent
+    // window): the guard expects exactly that shrink, nothing else
+    val nTomb =
+      if (!fsOf(spark, dir).exists(new Path(dir, "tombstones"))) 0L
+      else readCodes(spark, dir, m)
+        .join(spark.read.parquet(s"$dir/tombstones"),
+          Seq("vec_id"), "left_semi").count()
     val codesName = s"codes-$v1"
     writeCodes(newCodes, artifactPath(dir, codesName), batch = 0L)
     val nNew = spark.read.parquet(artifactPath(dir, codesName)).count()
-    require(nNew == nOld,
-      s"codes row-count drift: $nOld -> $nNew; aborting publish")
+    require(nNew == nOld - nTomb,
+      s"codes row-count drift: $nOld - $nTomb tombstoned -> $nNew; " +
+        "aborting publish")
     // the rewrite read the LOGICAL stream and wrote it whole, so the
     // new version carries no deletion-patch overlay
     publishManifest(spark, dir, m.copy(version = v1,
@@ -1143,8 +1285,13 @@ object IndexStore {
       probes: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    withStoreLock(dir) {
     val m = currentManifest(spark, dir)
-    val exact = Similarity.bruteForceTopK(vectors, sampleQueries, k)
+    // ground truth over the LIVE corpus: a tombstoned id is not a
+    // legitimate neighbor, and counting it would depress both recalls
+    // and could flip the gate
+    val live = antiTombstones(vectors, dir)
+    val exact = Similarity.bruteForceTopK(live, sampleQueries, k)
       .select(col("qid"), col("nid"))
     val nExact = exact.count()
     def recallOf(served: DataFrame): Double =
@@ -1170,5 +1317,6 @@ object IndexStore {
     Seq((math.rint(before * 1e6) / 1e6, math.rint(after * 1e6) / 1e6,
       adopted))
       .toDF("recall_before", "recall_after", "adopted")
+    }
   }
 }

@@ -494,13 +494,24 @@ object Layout {
     *
     * Mechanics: group outputs are staged under `<dir>/.compact_tmp`
     * (dot-prefixed — invisible to both the parquet reader and
-    * [[fileManifest]]), verified, then the member files are deleted
-    * and the staged file moves in as
-    * `part-compacted-g<grp>-<n>.parquet` — the crash window is the
-    * per-group delete+rename, the same non-transactional exposure a
-    * bare-directory OPTIMIZE has anywhere (a lakehouse table closes it
-    * with a manifest commit; this executor targets the plain-directory
-    * layout the rest of the Layout family reads). Driver state is
+    * [[fileManifest]]), verified, then the staged file moves in as
+    * `part-compacted-r<run>-g<grp>.parquet` and the member files are
+    * deleted. The output name is UNIQUE PER RUN (`run` = one past the
+    * largest run number already in the directory): a RECURRING caller
+    * — [[IndexStore.compactLogIfGrown]] re-compacts the same log
+    * directory forever — must never rename onto an existing compacted
+    * file (a local filesystem overwrites silently, losing that file's
+    * rows; HDFS refuses), and the rename's result is REQUIRED true
+    * before any member is deleted, so a refused swap fails loudly with
+    * every input file still in place. The remaining crash window is
+    * between the (checked) rename and the member deletes — a crash
+    * there leaves the group's rows DUPLICATED (output + members), the
+    * recoverable direction (the loss direction is closed: nothing is
+    * deleted until the output verifiably exists). The same
+    * non-transactional exposure a bare-directory OPTIMIZE has anywhere
+    * (a lakehouse table closes it with a manifest commit; this
+    * executor targets the plain-directory layout the rest of the
+    * Layout family reads). Driver state is
     * manifest-scale only (the plan + file list — bounded by file
     * count, the [[fileManifest]] bound); each group rewrite is a
     * distributed read of just that group's files.
@@ -524,6 +535,13 @@ object Layout {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpRoot = new org.apache.hadoop.fs.Path(dir, ".compact_tmp")
+    // unique-per-run output prefix: one past the largest run number
+    // already present, so a recurring compaction never renames onto an
+    // earlier run's output (scan is the dir listing already paid above)
+    val RunName = "part-compacted-r(\\d+)-g\\d+\\.parquet".r
+    val run = fs.listStatus(path).iterator.map(_.getPath.getName)
+      .collect { case RunName(r) => r.toLong }
+      .maxOption.getOrElse(-1L) + 1
     val report = try {
       groups.map { case (grp, nFiles, grpBytes, firstSeq, lastSeq) =>
         val members = files.filter(f => f._1 >= firstSeq && f._1 <= lastSeq)
@@ -542,11 +560,16 @@ object Layout {
           val nOut = spark.read.parquet(tmpDir.toString).count()
           require(nIn == nOut,
             s"compaction group $grp row mismatch: read $nIn wrote $nOut")
-          val outName = f"part-compacted-g$grp%05d.parquet"
+          val outName = f"part-compacted-r$run%05d-g$grp%05d.parquet"
+          val dest = new org.apache.hadoop.fs.Path(dir, outName)
+          // swap order: checked rename FIRST, member deletes after — a
+          // refused rename (name collision, FS error) aborts with every
+          // input intact instead of after the inputs are already gone
+          require(fs.rename(written.head.getPath, dest),
+            s"compaction group $grp rename to $dest failed; " +
+              "no member deleted")
           members.foreach(m =>
             fs.delete(new org.apache.hadoop.fs.Path(dir, m._2), false))
-          fs.rename(written.head.getPath,
-            new org.apache.hadoop.fs.Path(dir, outName))
           (grp, nFiles, grpBytes, nIn, true, outName)
         }
       }.toSeq

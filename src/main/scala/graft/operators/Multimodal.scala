@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads + typed metadata, with decode / feature
   * extraction running batched per partition.
   *
-  * The decode itself is a clearly-marked STUB (no image/audio codecs in
-  * this environment — it derives deterministic pseudo-features from the
-  * bytes), but everything Spark-side is real and is what matters at
+  * IMAGE decode is REAL for the pure-JVM formats (round-18): binary P6
+  * PPM via a hand parser and BMP/PNG/GIF/JPEG via `javax.imageio` —
+  * [[decodeImage]]/[[pixelFeatures]]/[[resizePixels]] operate on
+  * genuine pixels, golden-pixel spec-pinned. Audio/video decode stays
+  * a clearly-marked STUB (no such codecs ship in this environment; the
+  * stub derives deterministic pseudo-features from the bytes), and
+  * undecodable payloads fall back to the stub with the same schema.
+  * Everything Spark-side is real either way and is what matters at
   * 100 TB: the schema contract, the per-partition batch loop (the same
   * shape a vectorized/Arrow decode UDF would use), and the rule that
   * payload bytes are never shuffled — features are extracted before any
@@ -82,6 +87,143 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would submit `batch` to the codec as one unit
         batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** One decoded raster: interleaved RGB, 3 bytes per pixel, row-major
+    * — the common currency of [[decodeImage]], [[pixelFeatures]] and
+    * [[resizePixels]].
+    */
+  case class DecodedImage(w: Int, h: Int, rgb: Array[Byte])
+
+  /** REAL decode of a binary P6 PPM payload (pure JVM, no codec
+    * libraries): `P6` magic, whitespace/`#`-comment tolerant header,
+    * maxval ≤ 255, then w·h·3 raw RGB bytes. Returns None on any
+    * malformed byte — the honest fallback boundary to [[decodeStub]].
+    */
+  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') None
+    else {
+      var i = 2
+      // read the next header integer, skipping whitespace and
+      // `#`-to-end-of-line comments (the PPM spec's lexical rules)
+      def nextInt(): Option[Int] = {
+        while (i < bytes.length &&
+          (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
+            bytes(i) == '\t' || bytes(i) == '#')) {
+          if (bytes(i) == '#')
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9')
+          i += 1
+        if (i == start) None
+        else Some(new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toInt)
+      }
+      (nextInt(), nextInt(), nextInt()) match {
+        case (Some(w), Some(h), Some(max))
+          if w > 0 && h > 0 && max > 0 && max <= 255 &&
+            i < bytes.length &&
+            (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
+              bytes(i) == '\t') &&
+            bytes.length - (i + 1) >= w.toLong * h * 3 =>
+          // exactly ONE whitespace byte separates maxval from raster
+          Some(DecodedImage(w, h,
+            java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + w * h * 3)))
+        case _ => None
+      }
+    }
+  }
+
+  /** REAL image decode (round-18): P6 PPM via the hand parser above,
+    * anything else via `javax.imageio` (BMP/PNG/GIF/JPEG readers ship
+    * in the JDK — still zero external codecs). The BufferedImage is
+    * flattened to interleaved RGB through `getRGB`, so pixel identity
+    * is exact for the lossless formats the golden-pixel spec feeds it.
+    * None for payloads no reader claims (text documents, the stub's
+    * domain).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    decodePpm(bytes).orElse {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              rgb(o) = ((p >> 16) & 0xff).toByte
+              rgb(o + 1) = ((p >> 8) & 0xff).toByte
+              rgb(o + 2) = (p & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(w, h, rgb))
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+  /** [[MediaFeatures]] from GENUINE pixels: luma = mean Rec.601
+    * luminance over the raster, checksum = sum of decoded RGB bytes
+    * (a content digest over pixels, invariant to container framing),
+    * embedding = unit-normalized 16-bin luma histogram — the same
+    * schema the stub emits, so everything downstream of
+    * [[extractFeaturesDecoded]] is agnostic to which path produced a
+    * row. None when the payload is not a decodable image.
+    */
+  def pixelFeatures(row: MediaRow): Option[MediaFeatures] =
+    decodeImage(row.payload).map { img =>
+      val n = img.w * img.h
+      val hist = new Array[Float](16)
+      var lumaSum = 0.0
+      var sum = 0L
+      var p = 0
+      while (p < n) {
+        val r = img.rgb(3 * p) & 0xff
+        val g = img.rgb(3 * p + 1) & 0xff
+        val b = img.rgb(3 * p + 2) & 0xff
+        val y = 0.299 * r + 0.587 * g + 0.114 * b
+        lumaSum += y
+        sum += r.toLong + g + b
+        hist(math.min(15, (y / 16.0).toInt)) += 1f
+        p += 1
+      }
+      var nrm = 0.0
+      hist.foreach(h => nrm += h.toDouble * h)
+      val z = math.sqrt(nrm)
+      val emb = if (z == 0) hist else hist.map(h => (h / z).toFloat)
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+        lumaSum / math.max(1, n), sum, emb)
+    }
+
+  /** [[extractFeatures]] with the REAL decoder in front: payloads that
+    * decode as images ([[decodeImage]]) get genuine pixel features;
+    * everything else — audio/video and undecodable bytes, this
+    * environment ships no codecs for them — falls back to
+    * [[decodeStub]] with the same schema. Same per-partition batch
+    * loop, payload bytes still never shuffle. The oracle-gated q30
+    * stays on [[extractFeatures]] (its documents-as-blobs fixture is
+    * text, and the stub IS its DuckDB-expressible contract); this is
+    * the path a real image corpus takes.
+    */
+  def extractFeaturesDecoded(
+      media: DataFrame, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real pipeline submits `batch` to the codec pool as one unit
+        batch.iterator.map(r => pixelFeatures(r).getOrElse(decodeStub(r)))
       }
     }
   }
@@ -164,6 +306,89 @@ object Multimodal {
             else r.payload.length.toLong * (ow * oh) / (r.w * r.h)
           ResizedMedia(r.media_id, r.kind, ow, oh, nOut,
             r.payload.take(nOut.toInt))
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resample to fit within `maxDim` (aspect
+    * preserved, same integer geometry rule as [[resizeToFit]]): source
+    * pixel (x·w div ow, y·h div oh) — integer-only index math, so the
+    * result is bit-deterministic and replayable anywhere. An image
+    * already inside `maxDim` is returned untouched.
+    */
+  def resizePixels(img: DecodedImage, maxDim: Int): DecodedImage = {
+    val longest = math.max(img.w, img.h)
+    if (longest <= maxDim) img
+    else {
+      val ow = math.max(1, img.w * maxDim / longest)
+      val oh = math.max(1, img.h * maxDim / longest)
+      val out = new Array[Byte](ow * oh * 3)
+      var y = 0
+      while (y < oh) {
+        val sy = y * img.h / oh
+        var x = 0
+        while (x < ow) {
+          val sx = x * img.w / ow
+          val so = (sy * img.w + sx) * 3
+          val o = (y * ow + x) * 3
+          out(o) = img.rgb(so)
+          out(o + 1) = img.rgb(so + 1)
+          out(o + 2) = img.rgb(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(ow, oh, out)
+    }
+  }
+
+  /** Serialize a raster back to binary P6 PPM — the lossless pure-JVM
+    * container, so decode(encode(img)) == img exactly (spec-pinned).
+    */
+  def encodePpm(img: DecodedImage): Array[Byte] = {
+    val header = s"P6\n${img.w} ${img.h}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  /** [[resizeToFit]] with the REAL scaler in front: payloads that
+    * decode ([[decodeImage]]) are genuinely resampled
+    * ([[resizePixels]]) and re-encoded as P6 PPM — `payload_out` holds
+    * an actual thumbnail and `out_w/out_h/n_bytes_out` its true
+    * geometry; undecodable payloads keep the byte-slice stub with the
+    * caller's declared (w, h). Same batch loop, same
+    * compact-before-exchange discipline, same schema — q48's oracle
+    * fixture (text payloads) takes the stub branch unchanged.
+    */
+  def resizeToFitDecoded(
+      media: DataFrame, // (media_id, kind, payload, w, h)
+      maxDim: Int, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[SizedMediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          decodeImage(r.payload) match {
+            case Some(img) =>
+              val small = resizePixels(img, maxDim)
+              val bytes = encodePpm(small)
+              ResizedMedia(r.media_id, r.kind, small.w.toLong,
+                small.h.toLong, bytes.length.toLong, bytes)
+            case None =>
+              val longest = math.max(r.w, r.h)
+              val (ow, oh) =
+                if (longest <= maxDim) (r.w, r.h)
+                else (r.w * maxDim / longest, r.h * maxDim / longest)
+              val nOut =
+                if (r.w * r.h == 0) 0L
+                else r.payload.length.toLong * (ow * oh) / (r.w * r.h)
+              ResizedMedia(r.media_id, r.kind, ow, oh, nOut,
+                r.payload.take(nOut.toInt))
+          }
         }
       }
     }

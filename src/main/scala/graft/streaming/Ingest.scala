@@ -1032,10 +1032,18 @@ object Ingest {
     * CONSTRUCTION of deleteVectors: a replayed drop-list finds no
     * surviving code rows, removes nothing, and publishes nothing — no
     * version churn, unlike the append path this needs no batch keying.
-    * Single-writer contract: this sink and [[ivfMaintainSink]] both
-    * publish; run them serialized (one store, one writer at a time) —
-    * the fail-stop guard turns a violation into a loud error, never a
-    * torn store.
+    *
+    * COEXISTS with a live [[ivfMaintainSink]] on the same store
+    * (round-18): both sinks' publishes queue on the store's publish
+    * serializer ([[graft.operators.IndexStore.withStoreLock]]) and land
+    * in some serial order, and deleteVectors' tombstone record keeps a
+    * later maintenance refresh — whose input is the corpus, which
+    * still carries the taken-down rows — from resurrecting them. The
+    * continuous-maintenance + continuous-takedown pair is the normal
+    * production shape; the coexistence spec pins final-serve
+    * equivalence to a sequential application of the same batches.
+    * Cross-JVM writers still serialize externally (the fail-stop
+    * publish guard backstops that).
     */
   def indexDeleteSink(dropIds: DataFrame, storeDir: String,
       checkpointDir: String) =

@@ -63,4 +63,127 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(first == payload(off.toInt).toLong, s"frame $idx probe")
     }
   }
+
+  // ---- round-18: REAL pixel decode (P6 PPM hand parser + javax
+  // .imageio), golden-pixel pinned ----
+
+  private def ppmBytes(w: Int, h: Int, px: Seq[(Int, Int, Int)],
+      comment: Boolean = false): Array[Byte] = {
+    val hdr = (if (comment) s"P6\n# golden fixture\n$w $h\n255\n"
+      else s"P6\n$w $h\n255\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    hdr ++ px.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray
+  }
+
+  private val goldenPx = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (10, 20, 30), (0, 0, 0), (255, 255, 255), (128, 128, 128), (1, 2, 3))
+
+  test("decodePpm: golden pixels, comment tolerance, malformed -> None") {
+    val img = Multimodal.decodePpm(ppmBytes(4, 2, goldenPx,
+      comment = true)).get
+    assert(img.w == 4 && img.h == 2)
+    val got = img.rgb.grouped(3)
+      .map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    assert(got == goldenPx, "raster must round-trip byte-exactly")
+    // malformed payloads refuse instead of mis-decoding
+    assert(Multimodal.decodePpm(
+      ppmBytes(4, 2, goldenPx).dropRight(1)).isEmpty, "truncated raster")
+    assert(Multimodal.decodePpm("P5\n4 2\n255\n".getBytes).isEmpty,
+      "wrong magic (P5 is grayscale)")
+    assert(Multimodal.decodePpm(
+      "the quick brown fox".getBytes).isEmpty, "text payload")
+    assert(Multimodal.decodePpm(
+      "P6\n0 2\n255\n".getBytes).isEmpty, "zero width")
+  }
+
+  test("decodeImage: BMP and PNG via javax.imageio recover the exact raster") {
+    for (fmt <- Seq("bmp", "png")) {
+      val buf = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      goldenPx.zipWithIndex.foreach { case ((r, g, b), i) =>
+        buf.setRGB(i % 4, i / 4, (r << 16) | (g << 8) | b)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(buf, fmt, baos),
+        s"JDK must ship a $fmt writer")
+      val img = Multimodal.decodeImage(baos.toByteArray)
+        .getOrElse(fail(s"$fmt payload must decode"))
+      assert(img.w == 4 && img.h == 2)
+      val got = img.rgb.grouped(3)
+        .map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+      assert(got == goldenPx, s"$fmt raster must be lossless")
+    }
+  }
+
+  test("pixelFeatures: genuine luma/digest/histogram from decoded pixels") {
+    // 2x1 image: pure white + pure black — hand-computable features
+    val row = Multimodal.MediaRow(7L, "image",
+      ppmBytes(2, 1, Seq((255, 255, 255), (0, 0, 0))), 0L)
+    val f = Multimodal.pixelFeatures(row).get
+    val whiteY = 0.299 * 255 + 0.587 * 255 + 0.114 * 255
+    assert(f.luma == whiteY / 2.0, "mean Rec.601 luminance")
+    assert(f.checksum == 255L * 3, "digest = sum of decoded RGB bytes")
+    // histogram: white in bin 15, black in bin 0, unit-normalized
+    val inv = (1.0 / math.sqrt(2.0)).toFloat
+    assert(f.embedding(0) == inv && f.embedding(15) == inv)
+    assert(f.embedding.slice(1, 15).forall(_ == 0f))
+    // a text payload has no pixel features
+    assert(Multimodal.pixelFeatures(Multimodal.MediaRow(8L, "image",
+      "not an image".getBytes, 0L)).isEmpty)
+  }
+
+  test("resizePixels: nearest-neighbor golden resample + PPM round-trip identity") {
+    val img = Multimodal.decodePpm(ppmBytes(4, 2, goldenPx)).get
+    val small = Multimodal.resizePixels(img, maxDim = 2)
+    // 4x2 fit within 2 -> 2x1; nearest-neighbor picks source pixels
+    // (x*4/2, y*2/1) = columns 0 and 2 of row 0
+    assert(small.w == 2 && small.h == 1)
+    val got = small.rgb.grouped(3)
+      .map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq
+    assert(got == Seq(goldenPx(0), goldenPx(2)))
+    // no upscale: already-fitting image returned untouched
+    assert(Multimodal.resizePixels(img, maxDim = 8) eq img)
+    // encodePpm/decodePpm is identity on the raster
+    val rt = Multimodal.decodePpm(Multimodal.encodePpm(small)).get
+    assert(rt.w == small.w && rt.h == small.h &&
+      rt.rgb.sameElements(small.rgb))
+  }
+
+  test("extractFeaturesDecoded/resizeToFitDecoded: real path for images, stub fallback elsewhere") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val ppm = ppmBytes(4, 2, goldenPx)
+    val media = Seq(
+      (1L, "image", ppm, 4L, 2L),
+      (2L, "audio", "just some text bytes".getBytes, 100L, 80L))
+      .toDF("media_id", "kind", "payload", "w", "h")
+    val feats = Multimodal.extractFeaturesDecoded(
+      media.select("media_id", "kind", "payload")
+        .withColumn("declared_bytes", lit(0L)))
+      .collect().sortBy(_.media_id)
+    // image row carries REAL pixel features; audio row equals the stub
+    // (field-wise — the embedding is an Array, so case-class == would
+    // compare references)
+    def same(a: Multimodal.MediaFeatures,
+        b: Multimodal.MediaFeatures): Boolean =
+      a.media_id == b.media_id && a.kind == b.kind &&
+        a.n_bytes == b.n_bytes && a.luma == b.luma &&
+        a.checksum == b.checksum && a.embedding.sameElements(b.embedding)
+    assert(same(feats(0), Multimodal.pixelFeatures(
+      Multimodal.MediaRow(1L, "image", ppm, 0L)).get))
+    assert(same(feats(1), Multimodal.decodeStub(Multimodal.MediaRow(
+      2L, "audio", "just some text bytes".getBytes, 0L))))
+    val resized = Multimodal.resizeToFitDecoded(media, maxDim = 2)
+      .collect().sortBy(_.media_id)
+    // image: true 2x1 thumbnail re-encoded as PPM, decodable again
+    assert(resized(0).out_w == 2L && resized(0).out_h == 1L)
+    val thumb = Multimodal.decodePpm(resized(0).payload_out).get
+    assert(thumb.rgb.grouped(3)
+      .map(a => (a(0) & 0xff, a(1) & 0xff, a(2) & 0xff)).toSeq ==
+      Seq(goldenPx(0), goldenPx(2)))
+    // audio: byte-slice stub on the DECLARED geometry — 100x80 at
+    // maxDim 2 gives 2x1 via the integer rule
+    assert(resized(1).out_w == 2L && resized(1).out_h == 1L)
+  }
 }
