@@ -1006,18 +1006,28 @@ object TextOps {
     * flattening per-n (n, hash) structs inside one scan benched 2.2×
     * SLOWER at sf0.1 (5.4 s vs 2.5 s) because higher-order lambdas are
     * interpreted and the struct allocation dominates the cheap scan.
-    * On a corpus where the scan itself dominates, pre-tokenize into a
-    * checkpointed slim (source, tokens) frame and run the three passes
-    * over that, rather than fusing into interpreted lambda work.
+    *
+    * The token array is PROJECTED to an attribute before the window
+    * lambda — [[tokenNgramsOfTokens]]'s own discipline. The original
+    * passed the raw `split(text)` expression, whose re-evaluation per
+    * window element (interpreted higher-order eval re-runs the whole
+    * `slice` subtree, `StringSplit` included) made the explode
+    * O(len²) per document WITH an O(len) UTF8String allocation storm
+    * per window: the sf1 scout bench read 110–235 s for a query whose
+    * healthy shape is seconds, swinging with accumulated heap state.
+    * Projected, the lambda slices a bound array — O(len) windows ×
+    * O(n) work, allocation proportional to output.
     */
   def distinctNgramDiversity(
       docs: DataFrame,
       textCol: String,
       sourceCol: String,
       maxN: Int = 3): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      tokens(col(textCol)).as("__w"))
     val perN = (1 to maxN).map { n =>
-      docs.select(col(sourceCol).as("source"),
-          explode(tokenNgramsOfTokens(tokens(col(textCol)), n)).as("__g"))
+      tok.select(col("source"),
+          explode(tokenNgramsOfTokens(col("__w"), n)).as("__g"))
         .select(col("source"), lit(n).as("n"), xxhash64(col("__g")).as("__gh"))
     }.reduce(_ unionByName _)
     perN.groupBy(col("source"), col("n"))
