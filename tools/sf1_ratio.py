@@ -32,10 +32,9 @@ def main():
     sf1_log, r17, flag = sys.argv[1], sys.argv[2], \
         float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
     a = bench_queries(sf1_log)
-    b = json.loads(re.search(r'\{"metric".*"queries".*\}',
-        open(r17).read()).group(0)) if r17.endswith('.json') else None
-    if b is None:
-        raise SystemExit("expected BENCH_rN.json second arg")
+    m = re.search(r'\{"metric".*"queries".*\}', open(r17).read())
+    # second arg: a driver BENCH_rN.json artifact OR another bench log
+    b = json.loads(m.group(0)) if m else bench_queries(r17)
     qa, qb = a["queries"], b["queries"]
     rows = []
     for q, v1 in qa.items():
