@@ -45,6 +45,23 @@ import graft.operators.{IndexStore, Similarity}
   *   SPARK_GRAFT_CPUS     local[N] = shuffle partitions (default 16)
   *   SPARK_GRAFT_BATCHES  arrival micro-batches (default 3)
   *   SPARK_GRAFT_POOL     fair (default) | fifo
+  *   SPARK_GRAFT_DELETES  takedown micro-batches interleaved with the
+  *                        arrivals through a SECOND live sink (default
+  *                        0 = maintenance-only, the r15–r17 shape)
+  *
+  * DUAL-STREAM MODE (round-18): `SPARK_GRAFT_DELETES > 0` runs the
+  * NORMAL PRODUCTION PAIR — [[graft.streaming.Ingest.ivfMaintainSink]]
+  * and [[graft.streaming.Ingest.indexDeleteSink]] live on ONE store at
+  * once, both fed before either drains, while the serve thread keeps
+  * sampling. Round18StoreSpec pins the pair's SEMANTICS (interleaved ≡
+  * sequential, zero sink exceptions, dense version intervals); this
+  * mode MEASURES the same shape at real geometry: the per-store
+  * publish serializer queues whichever sink loses each race, so the
+  * readout shows whether takedown publishes stretch the maintenance
+  * wall or the during-serve tail. The JSON adds the takedown count,
+  * the dense-version verdict recomputed from ops_log, and the
+  * victims-still-served count (must be 0 — tombstones + patch
+  * exclusion, checked against the FINAL reader).
   *
   * Prints one JSON line: geometry, build seconds, per-phase serve
   * latency (n/p50/p95 seconds), versions observed per phase, and the
@@ -64,6 +81,10 @@ object SoakBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "3").toInt
     val pool = sys.env.getOrElse("SPARK_GRAFT_POOL", "fair")
+    val nDeletes = sys.env.getOrElse("SPARK_GRAFT_DELETES", "0").toInt
+    require(nDeletes <= nBatches,
+      s"SPARK_GRAFT_DELETES ($nDeletes) interleaves with the arrival " +
+        s"batches — it cannot exceed SPARK_GRAFT_BATCHES ($nBatches)")
     // FAIR needs an allocation file naming the serve pool; write it
     // beside the store scratch (pool properties: minShare guarantees
     // the serve job task slots as soon as they free, weight breaks
@@ -115,6 +136,8 @@ object SoakBench {
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val ckpt = dir + "_ckpt"
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val ckptDel = dir + "_ckpt_del"
+    fs.delete(new org.apache.hadoop.fs.Path(ckptDel), true)
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -129,6 +152,14 @@ object SoakBench {
       e.filter(col("vec_id") % 10 >= 8)
         .filter(pmod(hash(col("vec_id")), lit(nBatches)) === b)
         .as[(Long, Seq[Float])].collect().toSeq
+    }
+    // takedown batches (dual-stream mode): 50 in-store ids per batch,
+    // residue-disjoint across batches — bounded collects prepared
+    // BEFORE maintStart so driver prep never counts as maintenance
+    val victimBatches: Seq[Seq[Long]] = (0 until nDeletes).map { d =>
+      base.select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(997)) === d)
+        .orderBy(col("vec_id")).limit(50).as[Long].collect().toSeq
     }
 
     // serving thread: fixed 10-query batch, k=10, probes=2, run until
@@ -192,17 +223,33 @@ object SoakBench {
     Thread.sleep(100)
     awaitSamples(5) // quiet 'before' window
     val mem = MemoryStream[(Long, Seq[Float])]
+    val delMem = MemoryStream[Long]
     val maintStart = System.currentTimeMillis()
     val sink = graft.streaming.Ingest.ivfMaintainSink(
       mem.toDS().toDF("vec_id", "embedding"), base, dir, ckpt,
       numCells = cells, iters = 2, deltaMod = 10,
       churnThreshold = 0.05).start()
+    // dual-stream mode: the takedown sink is LIVE alongside the
+    // maintenance sink for the whole window — both streams get their
+    // data before either drains, so their micro-batches overlap and
+    // the per-store publish serializer is what keeps them ordered
+    // (pre-serializer, one of these two would crash on the
+    // single-writer guard)
+    val delSink =
+      if (nDeletes == 0) None
+      else Some(graft.streaming.Ingest.indexDeleteSink(
+        delMem.toDS().toDF("vec_id"), dir, ckptDel).start())
     try {
-      arrivals.foreach { batch =>
+      arrivals.zipWithIndex.foreach { case (batch, i) =>
         mem.addData(batch: _*)
+        if (i < victimBatches.size) delMem.addData(victimBatches(i): _*)
         sink.processAllAvailable()
+        delSink.foreach(_.processAllAvailable())
       }
-    } finally sink.stop()
+    } finally {
+      sink.stop()
+      delSink.foreach(_.stop())
+    }
     val maintEnd = System.currentTimeMillis()
     // quiet 'after' window
     awaitSamples(samples.size + 5)
@@ -227,6 +274,29 @@ object SoakBench {
         s""""versions":[${v.mkString(",")}]}"""
     // the accessor resolves live partitions ∪ the compacted archive
     // (the sink folds old batch partitions past its replay window)
+    // dual-stream verdicts: (a) no victim may serve — probed with the
+    // victims' OWN vectors, where a surviving row would be its own
+    // nearest neighbor (the strongest query for this check); (b) every
+    // published ops_log row reads version_after = version_before + 1
+    // with no version claimed twice — the no-lost-update serializer
+    // invariant Round18StoreSpec pins, recomputed from the store the
+    // two live sinks actually produced. ops_log carries the DELETE
+    // publishes only (maintenance logs to maintenance_log), so gaps
+    // between rows are the other sink's interleaved publishes — the
+    // visible trace of genuine two-writer interleaving, not a hole.
+    val allVictims = victimBatches.flatten
+    val victimsServed =
+      if (allVictims.isEmpty) 0L
+      else IndexStore.serveIvfPq(spark, dir,
+          e.filter(col("vec_id").isin(allVictims: _*)), k = 1, probes = 2)
+        .filter(col("nid").isin(allVictims: _*)).count()
+    val published = IndexStore.opsLog(spark, dir)
+      .filter(col("published"))
+      .select(col("version_before"), col("version_after"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sortBy(_._2)
+    val versionsDense = published.forall { case (b2, a2) => a2 == b2 + 1 } &&
+      published.map(_._2).distinct.size == published.size
     val log = graft.streaming.Ingest.maintenanceLog(spark, dir)
     val logCols = Seq("batch_id", "action", "recall_before",
       "recall_after", "adopted").filter(log.columns.contains)
@@ -241,6 +311,10 @@ object SoakBench {
       s""""during":${phJson(duringL, duringV)},""" +
       s""""after":${phJson(afterL, afterV)},""" +
       s""""maintenance_s":${(maintEnd - maintStart) / 1e3},""" +
+      s""""deletes":$nDeletes,"victims":${allVictims.size},""" +
+      s""""victims_served":$victimsServed,""" +
+      s""""versions_dense":$versionsDense,""" +
+      s""""n_published":${published.size},""" +
       s""""decisions":[${logRows.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
