@@ -249,8 +249,12 @@ object Dedup {
         .otherwise(array_distinct(transform(sequence(lit(0), size(w) - shingleN),
           i => concat_ws(" ", slice(w, i + 1, lit(shingleN))))))
     }
-    val sh = df.select(col(idCol).as("doc_id"), shingleStrs.as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // §3.3 materialization: the shingle-STRING sets feed the signature
+    // pass and both exact-Jaccard verify sides; re-deriving the string
+    // arrays per branch was the portable chain's hidden double work
+    val sh = Exec.materializeToTemp(
+      df.select(col(idCol).as("doc_id"), shingleStrs.as("__sh"))
+        .filter(size(col("__sh")) > 0), "mh16")
     val sig = sh.select(col("doc_id"),
       array((0 until numPerms).map { k =>
         array_min(transform(col("__sh"),
@@ -593,6 +597,10 @@ object Dedup {
       pairPredicate: Option[(Column, Column) => Column] = None,
       candStage: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT materialized: an A/B of a §3.3 temp-parquet here read 1.04×
+    // on q53 and 1.5–2.2× on the light callers (q100/q101) — exchange
+    // reuse already dedupes the repeated posting subtrees, so the
+    // eager write is pure overhead at every measured size
     val hashed = hashedShingles(df, idCol, textCol, shingleN)
     val posts = hashed.select(col("doc_id"), size(col("shh")).as("n"),
       explode(col("shh")).as("h"))
@@ -672,18 +680,20 @@ object Dedup {
     * lower), so the 100 TB cost profile is: rounds × shuffles of the
     * PAIR set — which LSH already bounded — never of the corpus.
     *
-    * Materialization: the convergence loop iterates over eagerly
-    * localCheckpoint-ed edge sets (each round's checkpoint replaces the
-    * previous, which is unpersisted immediately) so the expensive
-    * upstream plan — for near-dup clustering, the whole MinHash-LSH
-    * pipeline — runs ONCE, not once per convergence probe; the
-    * fully-stateless variant measured 11 s vs ~1 s at sf0.01 because
-    * every round's signature() action re-derived LSH from the corpus.
-    * Once the round count R is known, all checkpoints are dropped and
-    * the RETURNED frame is a stateless lazy replay of exactly R rounds
-    * (exchange reuse dedupes the repeated subtrees within the one
-    * consuming job), preserving the shared-session contract: no
-    * persistent RDDs survive the call.
+    * Materialization: the convergence loop iterates over persisted
+    * edge sets (each round's cache replaces the previous, which is
+    * unpersisted immediately) so the expensive upstream plan — for
+    * near-dup clustering, the whole MinHash-LSH pipeline — runs ONCE,
+    * not once per convergence probe; each round's frame is additionally
+    * re-rooted at its cached RDD (Exec.rebind) so round R's logical
+    * plan is O(1) nodes instead of O(R) re-analyzed per signature()
+    * action. The CONVERGED star edges are then written once to a
+    * JVM-temp parquet and the RETURNED frame reads them back (guide
+    * §3.3 materialization) — this preserves the shared-session
+    * contract (no persistent RDDs survive the call) WITHOUT the old
+    * stateless-replay pattern, which re-executed the whole upstream a
+    * second time in every consumption of the result (measured: the
+    * CC-consumer family q110/q116/q185 ran 0.23–0.79× after the swap).
     */
   /** @param maxEdges fail-fast bound on the input pair set, checked in
     *   the count the convergence signature already computes (no extra
@@ -769,33 +779,39 @@ object Dedup {
     // persist leaks into the shared session on the error path)
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var rounds = 0
-    try {
+    val edges = try {
       var ck = edges0.persist(); live += ck
       var sig = signature(ck) // materializes the cache
       require(sig._1 <= maxEdges,
         s"connectedComponents: ${sig._1} edges exceed maxEdges=$maxEdges — " +
           "the pair source has gone quadratic; use a sparser source " +
           "(LSH candidates, higher threshold) or raise the bound")
+      // re-root each round at its cached RDD (Exec.rebind) so round R's
+      // logical plan is O(1) nodes: without this, every signature()
+      // action re-analyzes the full round history INCLUDING the pair
+      // source's subtree — measured driver-bound on the round-18
+      // profile (executors idle, driver in Catalyst rules)
+      var ckR = Exec.rebind(ck)
       var converged = false
       while (!converged && rounds < maxRounds) {
-        val next = oneRound(ck).persist(); live += next
+        val next = oneRound(ckR).persist(); live += next
         val nsig = signature(next) // materializes next BEFORE dropping ck
         ck.unpersist(); live -= ck
         ck = next
+        ckR = Exec.rebind(next)
         converged = nsig == sig
         sig = nsig
         rounds += 1
       }
       require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+      // Materialize the CONVERGED star edges to a JVM-temp parquet and
+      // return the read-back plan (guide §3.3): carries no cache
+      // dependency into the shared session, and replaces the old
+      // stateless replay, which re-executed the ENTIRE upstream — pair
+      // generation included — a second time in every consumption of
+      // the result. The write is pair-set-sized (two longs per edge).
+      Exec.materializeToTemp(ckR, "cc")
     } finally live.foreach(_.unpersist())
-    // Stateless replay — the returned frame carries no cache
-    // dependency. The loop's FINAL round is by construction a no-op
-    // (that unchanged round is what proved convergence), so the
-    // fixpoint is already reached after rounds−1 replayed iterations;
-    // replaying one round fewer saves that round's three shuffles in
-    // every consumption of the result.
-    var edges = edges0
-    for (_ <- 1 until rounds) edges = oneRound(edges)
     // at the fixpoint every edge is (rep, member): stars centered at the
     // component minimum. Roots label themselves.
     edges.select(col("v").as("node"), col("u").as("rep"))
@@ -1369,10 +1385,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, srcCol: String,
       shingleN: Int = 3, k: Int = 128, audit: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(srcCol).as("source"),
+    val sh0 = df.select(col(srcCol).as("source"),
         explode(shingles(col(textCol), shingleN)).as("__s"))
       .select(col("source"), md5(col("__s")).as("h"))
       .distinct()
+    // The AUDIT path references the distinct shingle-hash set FOUR
+    // times (signature, both sides of the exact self-join, per-source
+    // counts) — each reference re-ran the explode + md5 + distinct
+    // exchange. Materialize it once (guide §3.3 write-and-read-back;
+    // intra-invocation temp, no cache left in the session); the
+    // estimate-only path references it once and keeps the lazy plan.
+    val sh = if (audit) graft.operators.Exec.materializeToTemp(sh0, "kmv")
+             else sh0
     val sig = sh
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("h"))))

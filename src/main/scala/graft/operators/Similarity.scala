@@ -945,7 +945,6 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val nodes = vectors.select(col("vec_id").as("id"))
-    val nFrame = nodes.agg(count(lit(1)).as("n"))
     // every persist is tracked so the finally releases ALL of them even
     // when an action throws mid-iteration (the connectedComponents
     // error-path rule: nothing may leak into the shared session)
@@ -956,19 +955,38 @@ object Similarity {
         .select(col("qid").as("src"), col("nid").as("dst"))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val edgesD = edges.join(outdeg, "src").persist(); live += edgesD
-      var pr = nodes.withColumn("pr", lit(1000000L)).persist(); live += pr
+      // Re-root at the cached RDD (Exec.rebind): the PR recurrence
+      // references pr twice per step (contrib + dangling mass), so a
+      // chained logical plan DOUBLES per iteration and Catalyst/AQE
+      // re-analysis — not execution — dominated the round-18 profile
+      // (q191: 67 s isolated, executors idle). With re-rooted frames
+      // every iteration's plan is constant-size over two leaf
+      // relations.
+      val edgesR = Exec.rebind(edgesD)
+      // the dangling-node set is STATIC (nodes with no out-edge), so
+      // it is computed ONCE into a flag column instead of a per-
+      // iteration left_anti join; n is the same 1-row count scalar the
+      // old per-iteration broadcast frame carried (DriverBoundsSpec
+      // class: 1-row)
+      val nodesF = nodes
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("deg").isNull.as("dang")).persist()
+      live += nodesF
+      val nodesR = Exec.rebind(nodesF)
+      val nTotal = nodesR.count()
+      var pr = nodesR.withColumn("pr", lit(1000000L)).persist(); live += pr
+      var prR = Exec.rebind(pr)
       for (_ <- 1 to prIters) {
-        val contrib = edgesD.join(pr, edgesD("src") === pr("id"))
+        val contrib = edgesR.join(prR, edgesR("src") === prR("id"))
           .select(col("dst"), expr("pr div deg").as("ct"))
           .groupBy(col("dst")).agg(sum(col("ct")).as("csum"))
-        val dang = pr.join(outdeg, pr("id") === outdeg("src"), "left_anti")
+        val dang = prR.filter(col("dang"))
           .agg(coalesce(sum(col("pr")), lit(0L)).as("dsum"))
-          .crossJoin(broadcast(nFrame))
-          .select(expr("dsum div n").as("dshare"))
-        val next = nodes
-          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(expr(s"dsum div ${nTotal}L").as("dshare"))
+        val next = nodesR
+          .join(contrib, nodesR("id") === contrib("dst"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("id"),
+          .select(col("id"), col("dang"),
             (lit(150000L) + expr(
               "(17 * (coalesce(csum, 0) + dshare)) div 20")).as("pr"))
           .persist()
@@ -976,11 +994,13 @@ object Similarity {
         next.count() // materialize next BEFORE dropping the previous
         pr.unpersist(); live -= pr
         pr = next
+        prR = Exec.rebind(next)
       }
       // top-bounded collect (rank, id, pr) — the q183 DriverBoundsSpec
       // ceiling; collecting here is what lets the last iteration frame
       // be unpersisted instead of riding the returned plan
-      pr.orderBy(col("pr").desc, col("id").asc).limit(top)
+      prR.orderBy(col("pr").desc, col("id").asc).limit(top)
+        .select(col("id"), col("pr"))
         .as[(Long, Long)].collect()
     } finally live.foreach(_.unpersist())
     out.zipWithIndex.map { case ((id, p), i) => (i + 1L, id, p) }
@@ -1209,34 +1229,62 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val spark = vectors.sparkSession
     import spark.implicits._
+    // Running-min formulation (round-18 optimization): the greedy
+    // recurrence needs each point's distance to the NEAREST picked
+    // center, and min is associative — so each round folds ONE new
+    // rounded distance into a carried `mind` column instead of
+    // re-computing distances to every picked center (the original
+    // shape was O(k²·N·d) work with a plan that grew a `least` arm per
+    // round; this is O(k·N·d) with a constant-size per-round plan).
+    // `mind` values are bit-identical: least over rounds of
+    // round(dist², 6) = least over all rounded distances, and the
+    // argmax struct (mind, -vec_id) tie order is unchanged.
+    def dist2(c: Seq[Double]): Column =
+      round(aggregate(
+        zip_with(col("v"), lit(c.toArray), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .cache()
-    val seed = v.agg(min(col("vec_id"))).as[Long].head()
-    val seedVec =
-      v.filter(col("vec_id") === seed).select(col("v")).as[Seq[Double]].head()
-    val picked =
-      scala.collection.mutable.ArrayBuffer((1L, seed, 0.0, seedVec))
-    var exhausted = false
-    while (picked.size < k && !exhausted) {
-      val dcols = picked.map { case (_, _, _, c) =>
-        round(aggregate(
-          zip_with(col("v"), lit(c.toArray), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x), 6)
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val picked = try {
+      val seed = v.agg(min(col("vec_id"))).as[Long].head()
+      val seedVec =
+        v.filter(col("vec_id") === seed).select(col("v")).as[Seq[Double]].head()
+      val acc =
+        scala.collection.mutable.ArrayBuffer((1L, seed, 0.0, seedVec))
+      // carried state: (vec_id, v, mind) persisted per round, re-rooted
+      // at its cached RDD so round R's plan doesn't chain R histories
+      var st = v.select(col("vec_id"), col("v"), dist2(seedVec).as("mind"))
+        .persist()
+      live += st
+      var stR = Exec.rebind(st)
+      var exhausted = false
+      while (acc.size < k && !exhausted) {
+        val next = stR.filter(!col("vec_id").isInCollection(acc.map(_._2)))
+          .agg(max(struct(col("mind"),
+            (-col("vec_id")).as("negid"), col("v"))).as("m"))
+          .select(col("m.mind"), (-col("m.negid")).as("vec_id"), col("m.v"))
+          .as[(Option[Double], Option[Long], Seq[Double])].head()
+        next match {
+          case (Some(r), Some(id), cv) =>
+            acc += ((acc.size + 1L, id, r, cv))
+            if (acc.size < k) {
+              val nst = stR.select(col("vec_id"), col("v"),
+                least(col("mind"), dist2(cv)).as("mind")).persist()
+              live += nst
+              nst.count() // materialize BEFORE dropping the previous round
+              st.unpersist(); live -= st
+              st = nst
+              stR = Exec.rebind(nst)
+            }
+          case _ => exhausted = true // fewer than k points in the corpus
+        }
       }
-      val mind = if (dcols.size == 1) dcols.head else least(dcols.toSeq: _*)
-      val next = v.filter(!col("vec_id").isInCollection(picked.map(_._2)))
-        .select(col("vec_id"), col("v"), mind.as("mind"))
-        .agg(max(struct(col("mind"),
-          (-col("vec_id")).as("negid"), col("v"))).as("m"))
-        .select(col("m.mind"), (-col("m.negid")).as("vec_id"), col("m.v"))
-        .as[(Option[Double], Option[Long], Seq[Double])].head()
-      next match {
-        case (Some(r), Some(id), cv) =>
-          picked += ((picked.size + 1L, id, r, cv))
-        case _ => exhausted = true // fewer than k points in the corpus
-      }
+      acc
+    } finally {
+      live.foreach(_.unpersist())
+      v.unpersist(false)
     }
-    v.unpersist(false)
     picked.toSeq.map { case (ord, id, r, _) => (ord, id, r) }
       .toDF("ord", "vec_id", "radius")
   }
@@ -1471,12 +1519,49 @@ object Similarity {
       iters: Int): DataFrame = {
     val (w, books) = pqCodebooks(vectors, numSub, codebookK, iters)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    books.map { case (sub, cent) =>
-      assignCells(v.select(col("vec_id"),
-        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionAll _).orderBy(col("vec_id"), col("sub"))
+    encodeLiteral(v, w, books).orderBy(col("vec_id"), col("sub"))
   }
+
+  /** The per-subspace nearest-codeword argmax of [[assignCells]],
+    * INLINED on the slice as one struct column: (sub, code[, sv]).
+    * Arithmetic, zero-norm pin and (sim desc, cid asc) tie order are
+    * assignCells' verbatim — cnrm is the same driver-side fold, the
+    * winner the same sort_array-desc head. Shared by the one-scan
+    * encode and the batched Lloyd trainer below.
+    */
+  private def pqSubStruct(vcol: Column, w: Int, sub: Int,
+      cent: Seq[(Long, Seq[Double])], withSv: Boolean): Column = {
+    require(cent.nonEmpty, "empty centroid set")
+    val sv = slice(vcol, lit(sub * w + 1), lit(w))
+    val svnrm = l2norm(sv)
+    val sims = cent.map { case (cid, cv) =>
+      val cnrm = math.sqrt(cv.map(x => x * x).sum)
+      val sim =
+        if (cnrm == 0.0) lit(0.0)
+        else when(svnrm > 0,
+          dot_product(sv, typedLit(cv)) / (svnrm * lit(cnrm)))
+          .otherwise(lit(0.0))
+      struct(sim.as("sim"), lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+    val code = sort_array(array(sims: _*), asc = false)
+      .getItem(0).getField("cid")
+    if (withSv)
+      struct(lit(sub).as("sub"), code.as("code"), sv.as("sv"))
+    else struct(lit(sub).as("sub"), code.as("code"))
+  }
+
+  /** One-scan, map-only PQ encode against LITERAL codebooks — emits
+    * [[pqCodes]]' exact (vec_id, sub, code) rows. Replaces the
+    * union-of-numSub-branches shape, which scanned (and decoded) the
+    * corpus once per subspace; this reads it once and stays shuffle-
+    * free (the encode's documented scale property).
+    */
+  private[graft] def encodeLiteral(v: DataFrame, w: Int,
+      books: Seq[(Int, Seq[(Long, Seq[Double])])]): DataFrame =
+    v.select(col("vec_id"), explode(array(books.map { case (sub, cent) =>
+        pqSubStruct(col("v"), w, sub, cent, withSv = false)
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.code").as("code"))
 
   /** The PQ training half of [[pqCodes]], exposed because every
     * consumer of the codes needs the codebooks too (decode,
@@ -1490,16 +1575,53 @@ object Similarity {
       iters: Int): (Int, Seq[(Int, Seq[(Long, Seq[Double])])]) = {
     require(numSub > 0 && codebookK > 0 && iters >= 0,
       s"bad PQ config: numSub=$numSub codebookK=$codebookK iters=$iters")
-    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v0 = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // one 1-row action for the fixture's width; PQ needs it to split
-    val d = v.select(size(col("v")).as("d")).head().getInt(0)
+    val d = v0.select(size(col("v")).as("d")).head().getInt(0)
     require(d % numSub == 0, s"dims $d not divisible by numSub=$numSub")
     val w = d / numSub
-    (w, (0 until numSub).map { sub =>
-      sub -> kmeansCentroidSeq(v.select(col("vec_id"),
-        slice(col("v"), lit(sub * w + 1), lit(w)).as("embedding")),
-        codebookK, iters)
-    })
+    // Batched Lloyd (round-18 optimization): ALL subspaces train in the
+    // same jobs. The old shape ran kmeansCentroidSeq once per subspace
+    // — numSub separate caches of the sliced corpus and numSub×(iters+1)
+    // driver actions; this caches the decoded corpus ONCE and runs one
+    // seed collect plus one job per iteration (assignment is the
+    // inlined literal argmax — map-only, assignCells' exact arithmetic
+    // and tie order — and the per-(sub, cell, d) rounded means land in
+    // one partial-aggregated exchange, collected k·d-bounded as
+    // before). Per-subspace recurrences are independent, so batching
+    // changes job count, not one centroid value.
+    val v = v0.cache()
+    try {
+      // seeds: vec_id < codebookK over the full corpus, every
+      // subspace's slice from ONE collect (the kmeansCentroidSeq init,
+      // sliced driver-side)
+      val seedRows = v.filter(col("vec_id") < codebookK)
+        .select(col("vec_id").cast("long"), col("v"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      var books: Seq[(Int, Seq[(Long, Seq[Double])])] =
+        (0 until numSub).map { sub =>
+          sub -> seedRows.map { case (id, vec) =>
+            (id, vec.slice(sub * w, sub * w + w)) }
+        }
+      for (_ <- 1 to iters) {
+        val means = v.select(explode(array(books.map { case (sub, cent) =>
+            pqSubStruct(col("v"), w, sub, cent, withSv = true)
+          }: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("e.code").as("cell"),
+            posexplode(col("e.sv")).as(Seq("d", "x")))
+          .groupBy(col("sub"), col("cell"), col("d"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .as[(Int, Long, Int, Double)].collect()
+        books = means.groupBy(_._1).map { case (sub, rows) =>
+          sub -> rows.groupBy(_._2).map { case (cid, ds) =>
+            (cid, ds.sortBy(_._3).map(_._4).toSeq)
+          }.toSeq.sortBy(_._1)
+        }.toSeq.sortBy(_._1)
+      }
+      (w, books)
+    } finally { v.unpersist(false); () }
   }
 
   /** PQ asymmetric-distance top-k search (the ADC half of Jégou et
@@ -1527,13 +1649,10 @@ object Similarity {
       numSub: Int, codebookK: Int, iters: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val (w, books) = pqCodebooks(vectors, numSub, codebookK, iters)
-    // encode with the books already trained — don't Lloyd twice
+    // encode with the books already trained — don't Lloyd twice; one
+    // map-only scan emits every subspace's code (encodeLiteral)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val codes = books.map { case (sub, cent) =>
-      assignCells(v.select(col("vec_id"),
-        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionAll _)
+    val codes = encodeLiteral(v, w, books)
     val q = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
@@ -1626,11 +1745,7 @@ object Similarity {
     val probeCells = assignCells(qv, coarse, probes = probes)
       .select(col("vec_id").as("qid"), col("cell"))
     val (w, books) = pqCodebooks(vectors, numSub, codebookK, pqIters)
-    val codes = books.map { case (sub, cent) =>
-      assignCells(v.select(col("vec_id"),
-        slice(col("v"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionAll _)
+    val codes = encodeLiteral(v, w, books)
       .join(memberCells, "vec_id")
     val q = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qv"))
@@ -1865,11 +1980,8 @@ object Similarity {
       resid.select(col("vec_id"), col("r").as("embedding")),
       numSub, codebookK, pqIters)
     val memberCells = asn.select(col("vec_id"), col("cell"))
-    val codes = books.map { case (sub, cent) =>
-      assignCells(resid.select(col("vec_id"),
-          slice(col("r"), lit(sub * w + 1), lit(w)).as("v")), cent, probes = 1)
-        .select(col("vec_id"), lit(sub).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionAll _)
+    val codes = encodeLiteral(
+      resid.select(col("vec_id"), col("r").as("v")), w, books)
       .join(memberCells, "vec_id")
     val qv0 = queries.select(col("vec_id").as("qid"),
       asDouble(col("embedding")).as("qv"))

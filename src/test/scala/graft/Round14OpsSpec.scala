@@ -234,7 +234,11 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       indexAsRelation = true)
     val litPlan = lit0.queryExecution.analyzed.toString
     val relPlan = rel.queryExecution.analyzed.toString
-    assert(relPlan.length * 5 < litPlan.length,
+    // margin 2× (was 5×): the round-18 one-pass encode removed the
+    // union-of-numSub branches from the LITERAL plan, shrinking it ~4×
+    // — the relation plan must still be materially smaller, but the
+    // literal side no longer duplicates the whole index per subspace
+    assert(relPlan.length * 2 < litPlan.length,
       s"relation plan (${relPlan.length} chars) is not materially " +
         s"smaller than the literal plan (${litPlan.length} chars)")
     assert(!relPlan.contains("keys:"),
