@@ -605,7 +605,8 @@ object IndexStore {
     val centRel = Similarity.centroidRelation(spark, coarse)
     val v = live.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
-    val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
+    val asn = Similarity.assignCellsRelationAuto(v, centRel, probes = 1,
+      numCells)
       .select(col("vec_id"), col("v"), col("cell"))
     val memberCells = asn.select(col("vec_id"), col("cell"))
     // plain PQ encodes x itself; residual PQ encodes r = x − c(x)
@@ -754,7 +755,8 @@ object IndexStore {
     // must not re-enter the stream — store truth outranks arrivals
     val v = antiTombstones(vectors, dir).select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
-    val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
+    val asn = Similarity.assignCellsRelationAuto(v, centRel, probes = 1,
+      meta.getAs[Int]("num_cells"))
       .select(col("vec_id"), col("v"), col("cell"))
     val toEncode =
       if (m.kind == KindPq) v
@@ -1215,13 +1217,16 @@ object IndexStore {
     // not)
     val v = antiTombstones(vectors, dir).select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("v"))
-    val asn = Similarity.assignCellsRelation(v, centRel, probes = 1)
+    // meta is one stored row (num_sub, w, num_cells, codebook_k); the
+    // cell count routes the assignment shape (assignCellsRelationAuto)
+    val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
+    val asn = Similarity.assignCellsRelationAuto(v, centRel, probes = 1,
+      meta.getAs[Int]("num_cells"))
       .select(col("vec_id"), col("v"), col("cell"))
     if (m.kind == KindPq)
       readCodes(spark, dir, m).drop("cell")
         .join(asn.select(col("vec_id"), col("cell")), "vec_id")
     else {
-      val meta = spark.read.parquet(artifactPath(dir, m.meta)).head()
       val numSub = meta.getAs[Int]("num_sub")
       val w = meta.getAs[Int]("w")
       val bookRel = spark.read.parquet(artifactPath(dir, m.codebooks))

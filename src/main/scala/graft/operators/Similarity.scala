@@ -365,7 +365,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       val asn =
         if (viaRelation)
-          assignCellsRelation(v, centroidRelation(spark, cent), probes = 1)
+          assignCellsRelationAuto(v, centroidRelation(spark, cent),
+            probes = 1, numCells)
         else assignCells(v, cent, probes = 1)
       cent = asn
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
@@ -523,6 +524,77 @@ object Similarity {
     }
   }
 
+  /** Cell-count threshold above which [[assignCellsRelationArr]] beats
+    * the join+aggregate [[assignCellsRelation]] shape. Measured
+    * (round-18 A/B, sf0.1): at 8 cells the codegen'd broadcast-join +
+    * max_by aggregate is ~1.4× faster (q187); at 128 cells the
+    * aggregate's ObjectHashAggregate buffers copy every vector's full
+    * embedding once per candidate row and the array shape is ~2×
+    * faster (q191 13.0 → 6.5 s). 32 splits the measured decades; both
+    * shapes are output-identical (spec-pinned), so the switch is a
+    * pure cost choice that scales with the index, not the corpus.
+    */
+  val DenseCellsThreshold = 32
+
+  /** Shape chooser over the two output-identical relation assignments
+    * — callers that know their cell count route dense indexes to the
+    * array form. */
+  def assignCellsRelationAuto(v: DataFrame, centroids: DataFrame,
+      probes: Int, numCells: Int): DataFrame =
+    if (numCells >= DenseCellsThreshold)
+      assignCellsRelationArr(v, centroids, probes)
+    else assignCellsRelation(v, centroids, probes)
+
+  /** [[assignCellsRelation]] with the index riding ONE broadcast row
+    * holding the centroid ARRAY, the argmax an array expression INSIDE
+    * the scan — map-only, no exchange, no aggregate. The join+agg
+    * shape moves every vector's FULL embedding through
+    * ObjectHashAggregate buffers — one array copy per candidate row, k
+    * copies per vector — which dominated the round-18 thread-dump
+    * profile at dense cell counts. Arithmetic, zero-norm pins and the
+    * (sim desc, cid asc) tie order are unchanged: array_max /
+    * sort_array order (sim, -cid, cid) structs exactly like the
+    * aggregate's ordering struct, and cid is unique. Plan size stays
+    * O(1) in the index (the array is a runtime broadcast, never a
+    * literal); broadcast bytes are the same k·d doubles. The array
+    * lambdas evaluate interpreted (higher-order functions are
+    * codegen-fallback), which is why the join+agg form stays the
+    * default below [[DenseCellsThreshold]].
+    */
+  def assignCellsRelationArr(v: DataFrame, centroids: DataFrame,
+      probes: Int): DataFrame = {
+    val centArr = broadcast(centroids.select(col("cid"), col("cv"), col("cnrm"))
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cnrm")))
+        .as("__cents")))
+    // the literal path's exact guard tree: zero-norm centroid OR vector
+    // pins the cosine to 0.0 (NaN sort order is engine-dependent)
+    val simStructs = transform(col("__cents"), c =>
+      struct(
+        when(c.getField("cnrm") === 0.0, lit(0.0))
+          .otherwise(when(col("_vnrm") > 0,
+            dot_product(col("v"), c.getField("cv")) /
+              (col("_vnrm") * c.getField("cnrm")))
+            .otherwise(lit(0.0))).as("sim"),
+        (-c.getField("cid")).as("nc"),
+        c.getField("cid").as("cid")))
+    // an EMPTY relation yields an empty result (contract unchanged)
+    val based = v.withColumn("_vnrm", l2norm(col("v")))
+      .crossJoin(centArr)
+      .filter(size(col("__cents")) > 0)
+    if (probes == 1) {
+      based.withColumn("_w", array_max(simStructs))
+        .select(col("vec_id"), col("v"), col("_w.cid").as("cell"),
+          col("_w.sim").as("sim"), lit(1).cast("int").as("probe"))
+    } else {
+      based.withColumn("_top",
+          slice(sort_array(simStructs, asc = false), 1, probes))
+        .select(col("vec_id"), col("v"),
+          posexplode(col("_top")).as(Seq("_p", "_c")))
+        .select(col("vec_id"), col("v"), col("_c.cid").as("cell"),
+          col("_c.sim").as("sim"), (col("_p") + 1).as("probe"))
+    }
+  }
+
   /** Corpus-clustering readout over the embedding column: the k-means
     * index (same deterministic Lloyd recurrence the IVF search builds)
     * summarized per cluster — member count, mean and minimum cosine to
@@ -620,8 +692,8 @@ object Similarity {
     val spark0 = vectors.sparkSession
     val all = vectors.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val a0 = assignCellsRelation(all, centroidRelation(spark0, cent0),
-      probes = 1)
+    val a0 = assignCellsRelationAuto(all, centroidRelation(spark0, cent0),
+      probes = 1, numCells)
       .select(col("vec_id"), col("v"), col("cell").as("cell0"))
     // one Lloyd refresh over the merged corpus: means of the stale
     // assignment, rounded to 6 decimals (the kmeansCentroidSeq
@@ -637,8 +709,8 @@ object Similarity {
         s => s.getField("m")).as("cv"))
       .select(col("cell").cast("long"), col("cv"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val a1 = assignCellsRelation(all, centroidRelation(spark0, cent1),
-      probes = 1)
+    val a1 = assignCellsRelationAuto(all, centroidRelation(spark0, cent1),
+      probes = 1, numCells)
       .select(col("vec_id"), col("cell").as("cell1"))
     (a0.select(col("vec_id"), col("cell0")).join(a1, "vec_id"),
       cent0, cent1)
@@ -859,7 +931,7 @@ object Similarity {
     val assign: (DataFrame, Int) => DataFrame =
       if (viaRelation) {
         val rel = centroidRelation(spark, cent)
-        (df, p) => assignCellsRelation(df, rel, p)
+        (df, p) => assignCellsRelationAuto(df, rel, p, numCells)
       } else (df, p) => assignCells(df, cent, p)
     val members = assign(v, 1)
       .withColumn("nv_nrm", l2norm(col("v")))
@@ -1802,6 +1874,12 @@ object Similarity {
     * (vec_id, sub, code) — [[pqCodes]]' exact rows.
     */
   private[graft] def encodeViaRelation(vSub: DataFrame, bookRel: DataFrame): DataFrame = {
+    // join+aggregate kept deliberately: unlike assignCellsRelation's
+    // probes path, the agg buffer here carries only the winning CODE
+    // (never a vector), so the shape has no copy problem — a round-18
+    // A/B of a map-side array-argmax variant read ~1.4× WORSE at the
+    // tested codebook sizes (interpreted higher-order lambdas, and the
+    // groupBy's output partitioning feeds the downstream vec_id joins)
     val sim = when(col("cnrm") === 0.0, lit(0.0))
       .otherwise(when(col("_svnrm") > 0,
         dot_product(col("sv"), col("cv")) / (col("_svnrm") * col("cnrm")))
@@ -1833,7 +1911,7 @@ object Similarity {
       viaRelation = true)
     val centRel = centroidRelation(spark, coarse)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val memberCells = assignCellsRelation(v, centRel, probes = 1)
+    val memberCells = assignCellsRelationAuto(v, centRel, probes = 1, numCells)
       .select(col("vec_id"), col("cell"))
     val qv = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val probeCells = assignCellsRelation(qv, centRel, probes)
@@ -2080,7 +2158,7 @@ object Similarity {
       viaRelation = true)
     val centRel = centroidRelation(spark, coarse)
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val asn = assignCellsRelation(v, centRel, probes = 1)
+    val asn = assignCellsRelationAuto(v, centRel, probes = 1, numCells)
       .select(col("vec_id"), col("v"), col("cell"))
     // residuals r = v − c(cell): one broadcast join on cell, the same
     // elementwise IEEE subtraction as the literal map lookup

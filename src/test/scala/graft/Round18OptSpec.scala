@@ -92,6 +92,25 @@ class Round18OptSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("assignCellsRelationArr equals assignCellsRelation on both probes branches") {
+    val e = Tables.embeddings(spark, sf)
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = Similarity.kmeansCentroidSeq(e, numCells = 8, iters = 1)
+    val rel = Similarity.centroidRelation(spark, cent)
+    for (probes <- Seq(1, 3)) {
+      val a = Similarity.assignCellsRelation(v, rel, probes)
+        .collect().map(_.toString).sorted.toSeq
+      val b = Similarity.assignCellsRelationArr(v, rel, probes)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"probes=$probes diverges")
+    }
+    // empty relation: both shapes yield an empty result
+    val empty = rel.filter(col("cid") < 0)
+    assert(Similarity.assignCellsRelationArr(v, empty, 1).count() == 0L)
+    assert(Similarity.assignCellsRelation(v, empty, 1).count() == 0L)
+  }
+
   test("connectedComponents returned frame survives the loop caches being dropped") {
     val s = spark; import s.implicits._
     // the returned plan must be self-contained (temp-parquet-backed):
